@@ -1,0 +1,66 @@
+"""pred_probs-based out-of-distribution scores (outlier.py:482-581).
+
+All three methods are single projections; the optional class-imbalance
+adjustment reuses the broadcast confident thresholds.  Higher score =
+more in-distribution (reference flips so OOD ≈ 0).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .scores import adjust_pred_probs, normalized_entropy
+
+
+def ood_entropy_score(probs: Column, num_classes: int) -> Column:
+    """1 - normalized entropy."""
+    return F.lit(1.0) - normalized_entropy(probs, num_classes)
+
+
+def ood_least_confidence_score(probs: Column) -> Column:
+    """max_k p_k."""
+    return F.array_max(probs).cast("double")
+
+
+def ood_gen_score(probs: Column, num_classes: int, m: int = 100, gamma: float = 0.1) -> Column:
+    """GEN score (outlier.py:560-570): softmax(P), keep top-M sorted probs,
+    1 - sum(p^γ (1-p)^γ)/M."""
+    m_eff = min(m, num_classes)
+    exp = F.transform(probs, lambda x: F.exp(x.cast("double")))
+    total = F.aggregate(exp, F.lit(0.0), lambda a, x: a + x)
+    soft = F.transform(exp, lambda x: x / total)
+    top = F.slice(F.array_sort(soft), num_classes - m_eff + 1, m_eff)
+    g = F.aggregate(
+        top,
+        F.lit(0.0),
+        lambda a, p: a + F.pow(p, F.lit(gamma)) * F.pow(F.lit(1.0) - p, F.lit(gamma)),
+    )
+    return F.lit(1.0) - g / F.lit(float(m))
+
+
+def with_ood_scores(
+    df: DataFrame,
+    num_classes: int,
+    probs_col: str = "pred_probs",
+    method: str = "entropy",
+    adjust: bool = False,
+    thresholds: list[float] | None = None,
+    out_col: str = "ood_score",
+) -> DataFrame:
+    probs = F.col(probs_col)
+    if adjust:
+        if thresholds is None:
+            raise ValueError("adjust=True requires precomputed confident thresholds")
+        probs = adjust_pred_probs(probs, thresholds)
+    if method == "entropy":
+        col = ood_entropy_score(probs, num_classes)
+    elif method == "least_confidence":
+        col = ood_least_confidence_score(probs)
+    elif method == "gen":
+        col = ood_gen_score(probs, num_classes)
+    else:
+        raise ValueError(f"unknown OOD method {method!r}")
+    return df.withColumn(out_col, col)
