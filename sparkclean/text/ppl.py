@@ -1,0 +1,106 @@
+"""KenLM-style n-gram perplexity.
+
+Production/oracle path (:func:`ppl_hash_col` / :func:`ppl_hash_sql`):
+word-bigram log-probabilities drawn from a *deterministic hashed table* —
+``logp(bigram) = LOGP_MIN + (hash60(bigram) % RES)/RES * (LOGP_MAX-LOGP_MIN)``
+— so the whole scorer is a native Catalyst expression (JVM md5 + array
+ops, zero Python) and has an exact DuckDB twin.  This is the stand-in for
+a broadcast KenLM table; swap `hash→table lookup` to use real LM weights
+via :class:`NgramTablePpl`.
+
+ppl = exp(-mean(logp over bigrams)); rows with <2 tokens get ppl of the
+single-token/empty fallback logp.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from .shared import hash60_col, hash60_sql, words_col, words_sql
+
+LOGP_MIN = -8.0
+LOGP_MAX = -0.5
+RES = 4096
+FALLBACK_LOGP = -6.0
+
+
+def _logp_from_hash_col(h: Column) -> Column:
+    frac = (h % F.lit(RES)).cast("double") / F.lit(float(RES))
+    return F.lit(LOGP_MIN) + frac * F.lit(LOGP_MAX - LOGP_MIN)
+
+
+def ppl_hash_col(text: Column) -> Column:
+    """Perplexity from hashed word-bigram log-probs — pure Catalyst."""
+    w = words_col(F.lower(text))
+    n = F.size(w)
+    idx = F.sequence(F.lit(1), n - 1)  # bigram start positions (1-based)
+    logps = F.transform(
+        idx,
+        lambda i: _logp_from_hash_col(
+            hash60_col(F.concat_ws(" ", F.element_at(w, i), F.element_at(w, i + 1)))
+        ),
+    )
+    mean_logp = F.when(
+        n >= 2,
+        F.aggregate(logps, F.lit(0.0), lambda a, x: a + x) / (n - 1).cast("double"),
+    ).otherwise(F.lit(FALLBACK_LOGP))
+    return F.exp(-mean_logp)
+
+
+def ppl_hash_sql(text: str) -> str:
+    """DuckDB twin of :func:`ppl_hash_col`."""
+    w = words_sql(f"lower({text})")
+    h = hash60_sql(f"(w[i] || ' ' || w[i+1])")
+    logp = f"({LOGP_MIN} + (({h}) % {RES})::DOUBLE / {RES} * {LOGP_MAX - LOGP_MIN})"
+    return (
+        f"(SELECT exp(-CASE WHEN len(w) >= 2 THEN "
+        f"list_aggregate(list_transform(range(1, len(w)), i -> {logp}), 'sum') / (len(w)-1) "
+        f"ELSE {FALLBACK_LOGP} END) "
+        f"FROM (SELECT {w} AS w))"
+    )
+
+
+class NgramTablePpl:
+    """Broadcast-table variant for real LM weights (Arrow path).
+
+    The table maps hash60(bigram) % size → logp (float32 numpy array),
+    looked up vectorised inside a pandas UDF.  With the deterministic
+    hashed table it reproduces :func:`ppl_hash_col` exactly.
+    """
+
+    def __init__(self, spark: SparkSession, table: np.ndarray | None = None):
+        if table is None:
+            frac = np.arange(RES, dtype=np.float64) / RES
+            table = (LOGP_MIN + frac * (LOGP_MAX - LOGP_MIN)).astype(np.float64)
+        self._bc = spark.sparkContext.broadcast(table)
+
+    def udf(self):
+        bc = self._bc
+
+        @pandas_udf("double")
+        def _ppl(texts: pd.Series) -> pd.Series:
+            table = bc.value
+            size = len(table)
+            out = np.empty(len(texts), dtype=np.float64)
+            for i, t in enumerate(texts.fillna("")):
+                toks = str(t).lower().split()
+                if len(toks) < 2:
+                    out[i] = np.exp(-FALLBACK_LOGP)
+                    continue
+                hs = np.array(
+                    [
+                        int(hashlib.md5((a + " " + b).encode()).hexdigest()[:15], 16) % size
+                        for a, b in zip(toks, toks[1:])
+                    ],
+                    dtype=np.int64,
+                )
+                out[i] = np.exp(-table[hs].mean())
+            return pd.Series(out)
+
+        return _ppl
