@@ -1,0 +1,175 @@
+"""MinHash + LSH near-duplicate detection, fully Catalyst-native.
+
+Dataflow (shingle → minhash → band → bucket-join → exact-Jaccard verify):
+
+1. word-trigram shingles, distinct, hashed to 60 bits (JVM md5 — exactly
+   reproducible in the DuckDB oracle);
+2. H=32 minhash signature via universal hashing
+   ``(a_i * (s mod 2^31) + b_i) mod P`` (P = 2^61-1; products stay under
+   2^63 so ANSI overflow checking never fires);
+3. 8 bands × 4 rows; band bucket key = hash60 of the joined band slice;
+4. candidate pairs from a self-join on (band, bucket) — the only shuffle
+   whose width matters at 100 TB; duplicate clusters are the skew hot
+   spot and AQE skew-join splits them;
+5. exact Jaccard on the shingle sets filters false positives.
+
+Coefficients are frozen (seeded) and inlined as literals, so the whole
+operator is oracle-expressible in DuckDB.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..text.shared import hash60_col, hash60_sql, words_col, words_sql
+
+NUM_HASHES = 32
+BANDS = 8
+ROWS_PER_BAND = NUM_HASHES // BANDS
+MERSENNE_P = (1 << 61) - 1
+_RNG = np.random.RandomState(1234)
+COEF_A = [int(x) for x in _RNG.randint(1, 1 << 31, size=NUM_HASHES)]
+COEF_B = [int(x) for x in _RNG.randint(0, 1 << 31, size=NUM_HASHES)]
+
+
+def shingles_col(text: Column, n: int = 3) -> Column:
+    """Distinct hashed word n-gram shingles (array<long>)."""
+    w = words_col(F.lower(text))
+    cnt = F.size(w)
+    starts = F.sequence(F.lit(1), cnt - (n - 1))
+    grams = F.transform(
+        starts,
+        lambda i: hash60_col(
+            F.concat_ws(" ", *[F.element_at(w, i + off) for off in range(n)])
+        ),
+    )
+    return F.when(cnt >= n, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<bigint>")
+    )
+
+
+def shingles_sql(text: str, n: int = 3) -> str:
+    w = words_sql(f"lower({text})")
+    gram = " || ' ' || ".join(f"w[i+{off}]" for off in range(n))
+    h = hash60_sql(f"({gram})")
+    return (
+        f"(SELECT CASE WHEN len(w) >= {n} THEN "
+        f"list_distinct(list_transform(range(1, len(w) - {n - 2}), i -> {h})) "
+        f"ELSE []::BIGINT[] END FROM (SELECT {w} AS w))"
+    )
+
+
+def _min_fold(a: int, b: int):
+    def fold(acc: Column, s: Column) -> Column:
+        return F.least(acc, (F.lit(a) * (s % F.lit(1 << 31)) + F.lit(b)) % F.lit(MERSENNE_P))
+
+    return fold
+
+
+def minhash_signature_col(shingles: Column) -> Column:
+    """H-element minhash signature (array<long>); empty set → all P."""
+    sigs = [
+        F.aggregate(shingles, F.lit(MERSENNE_P).cast("long"), _min_fold(a, b))
+        for a, b in zip(COEF_A, COEF_B)
+    ]
+    return F.array(*sigs)
+
+
+def minhash_signature_sql(shingles: str) -> str:
+    parts = [
+        (
+            f"CASE WHEN len(sh) = 0 THEN {MERSENNE_P} ELSE "
+            f"list_min(list_transform(sh, s -> ({a} * (s % {1 << 31}) + {b}) % {MERSENNE_P})) END"
+        )
+        for a, b in zip(COEF_A, COEF_B)
+    ]
+    return f"(SELECT [{', '.join(parts)}] FROM (SELECT {shingles} AS sh))"
+
+
+def band_buckets_col(sig: Column) -> Column:
+    """Array of BANDS bucket keys: hash60('band_idx:s1,s2,s3,s4')."""
+    keys = []
+    for band in range(BANDS):
+        lo = band * ROWS_PER_BAND
+        parts = [F.element_at(sig, i + 1).cast("string") for i in range(lo, lo + ROWS_PER_BAND)]
+        keys.append(hash60_col(F.concat_ws(",", F.lit(str(band)), *parts)))
+    return F.array(*keys)
+
+
+def band_buckets_sql(sig: str) -> str:
+    keys = []
+    for band in range(BANDS):
+        lo = band * ROWS_PER_BAND
+        parts = " || ',' || ".join(f"sg[{i + 1}]::VARCHAR" for i in range(lo, lo + ROWS_PER_BAND))
+        keys.append(hash60_sql(f"('{band}' || ',' || {parts})"))
+    return f"(SELECT [{', '.join(keys)}] FROM (SELECT {sig} AS sg))"
+
+
+def jaccard_col(a: Column, b: Column) -> Column:
+    inter = F.size(F.array_intersect(a, b)).cast("double")
+    union = F.size(F.array_union(a, b)).cast("double")
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
+def near_duplicate_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+) -> DataFrame:
+    """(id_a, id_b, jaccard) for near-duplicate pairs above threshold."""
+    base = df.select(
+        F.col(id_col).alias("_id"), shingles_col(F.col(text_col)).alias("_sh")
+    ).where(F.size("_sh") > 0)
+    sig = base.withColumn("_sig", minhash_signature_col(F.col("_sh")))
+    buckets = sig.select(
+        "_id", "_sh", F.explode(band_buckets_col(F.col("_sig"))).alias("_bucket")
+    )
+    left = buckets.select(
+        F.col("_id").alias("id_a"), F.col("_sh").alias("_sh_a"), "_bucket"
+    )
+    right = buckets.select(
+        F.col("_id").alias("id_b"), F.col("_sh").alias("_sh_b"), "_bucket"
+    )
+    pairs = (
+        left.join(right, "_bucket")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "_sh_a", "_sh_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        pairs.withColumn("jaccard", jaccard_col(F.col("_sh_a"), F.col("_sh_b")))
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def near_duplicate_pairs_sql(
+    table: str, text_col: str = "text", id_col: str = "doc_id", threshold: float = 0.8
+) -> str:
+    sh = shingles_sql(text_col)
+    sig = minhash_signature_sql("_sh")
+    bk = band_buckets_sql("_sig")
+    return f"""
+WITH base AS (
+  SELECT {id_col} AS _id, {sh} AS _sh FROM {table}
+), nonempty AS (
+  SELECT _id, _sh, {sig} AS _sig FROM base WHERE len(_sh) > 0
+), buckets AS (
+  SELECT _id, _sh, unnest({bk}) AS _bucket FROM nonempty
+), pairs AS (
+  SELECT DISTINCT l._id AS id_a, r._id AS id_b
+  FROM buckets l JOIN buckets r ON l._bucket = r._bucket AND l._id < r._id
+), scored AS (
+  SELECT p.id_a, p.id_b,
+         CASE WHEN len(list_distinct(a._sh || b._sh)) > 0 THEN
+           len(list_intersect(a._sh, b._sh))::DOUBLE / len(list_distinct(a._sh || b._sh))
+         ELSE 0.0 END AS jaccard
+  FROM pairs p
+  JOIN (SELECT DISTINCT _id, _sh FROM nonempty) a ON p.id_a = a._id
+  JOIN (SELECT DISTINCT _id, _sh FROM nonempty) b ON p.id_b = b._id
+)
+SELECT id_a, id_b, round(jaccard, 6) AS jaccard FROM scored WHERE jaccard >= {threshold}
+"""

@@ -1,0 +1,84 @@
+"""32-bit SimHash document fingerprints — Catalyst-native with SQL twin.
+
+simhash(doc) = Σ_j 2^j · [ Σ_{t ∈ distinct tokens} (bit_j(hash60(t)) ? +1 : -1) > 0 ]
+
+Near-dup candidates share 16-bit halves (two-block Hamming banding):
+any pair within Hamming distance 1 shares at least one half exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..text.shared import hash60_col, hash60_sql, words_col, words_sql
+
+BITS = 32
+
+
+def token_hashes_col(text: Column) -> Column:
+    w = F.array_distinct(words_col(F.lower(text)))
+    return F.transform(w, lambda t: hash60_col(t))
+
+
+def _bit_vote(j: int):
+    def fold(acc: Column, h: Column) -> Column:
+        return acc + F.when(F.shiftright(h, j) % 2 == 1, F.lit(1)).otherwise(F.lit(-1))
+
+    return fold
+
+
+def simhash_col(text: Column) -> Column:
+    hs = token_hashes_col(text)
+    out = F.lit(0).cast("long")
+    # shiftright needs a Python-int bit count, so unroll the 32 bit votes
+    # into one wide projection (still a single codegen stage).
+    for j in range(BITS):
+        vote = F.aggregate(hs, F.lit(0).cast("long"), _bit_vote(j))
+        out = out + F.when(vote > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
+    return out
+
+
+def simhash_sql(text: str) -> str:
+    w = words_sql(f"lower({text})")
+    h = hash60_sql("t")
+    return (
+        f"(SELECT list_aggregate(list_transform(range(0, {BITS}), j -> "
+        f"CASE WHEN list_aggregate(list_transform(hs, x -> "
+        f"CASE WHEN (x >> j) % 2 = 1 THEN 1 ELSE -1 END), 'sum') > 0 "
+        f"THEN (1::BIGINT << j) ELSE 0::BIGINT END), 'sum') "
+        f"FROM (SELECT list_transform(list_distinct({w}), t -> {h}) AS hs))"
+    )
+
+
+def with_simhash(df: DataFrame, text_col: str = "text", out_col: str = "simhash") -> DataFrame:
+    return df.withColumn(out_col, simhash_col(F.col(text_col)))
+
+
+def simhash_candidate_pairs(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 3
+) -> DataFrame:
+    """Candidate near-dup pairs sharing a 16-bit simhash half, verified by
+    exact popcount Hamming distance <= max_hamming."""
+    s = df.select(F.col(id_col).alias("_id"), simhash_col(F.col(text_col)).alias("_sh"))
+    halves = s.select(
+        "_id",
+        "_sh",
+        F.explode(
+            F.array(
+                F.concat_ws(":", F.lit("lo"), (F.col("_sh") % F.lit(1 << 16)).cast("string")),
+                F.concat_ws(":", F.lit("hi"), F.shiftright(F.col("_sh"), 16).cast("string")),
+            )
+        ).alias("_half"),
+    )
+    l = halves.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"), "_half")
+    r = halves.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"), "_half")
+    pairs = (
+        l.join(r, "_half")
+        .where(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return pairs.withColumn("hamming", ham).where(F.col("hamming") <= max_hamming).select(
+        "id_a", "id_b", "hamming"
+    )

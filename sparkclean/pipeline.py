@@ -1,0 +1,211 @@
+"""End-to-end caption quality pipeline (the flagship dataflow).
+
+read → heuristic features → langid → perplexity → pseudo-label + K=3
+pred_probs (frozen softmax-linear scorer) → confident thresholds (pass 1)
+→ self-confidence scores + issue count (pass 2) → keep/drop → scrub →
+write.
+
+This is exactly the 2-pass batched shape of the reference
+(experimental/label_issues_batched.py:43-227 — see SURVEY.md §3.4), with
+Spark aggregations replacing the streaming accumulators.  Everything up
+to the bottom-n selection is a single whole-stage-codegen projection per
+pass; the pseudo-label scorer weights are frozen literals (the "broadcast
+model table" of SURVEY.md §2.12).
+
+``oracle_sql_for`` emits the DuckDB twin of the whole pipeline, built
+from the same per-stage SQL generators so the two cannot drift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .constants import CONFIDENT_THRESHOLDS_LOWER_BOUND, FLOATING_POINT_COMPARISON
+from .quality.issues import bottom_n_flags
+from .quality.scores import boosted_predicted_label, predicted_label, self_confidence
+from .quality.thresholds import get_confident_thresholds
+from .text.langid import langid_markers_col, langid_markers_sql
+from .text.ppl import ppl_hash_col, ppl_hash_sql
+from .text.rules import quality_features_sql_exprs, with_quality_features
+from .text.scrub import scrub_col, scrub_sql
+
+NUM_CLASSES = 3  # 0=good, 1=low_quality, 2=wrong_language
+
+# Frozen pseudo-label scorer weights (FIXTURES.md F4): logits are linear in
+# the feature vector, probabilities via softmax.  Chosen (not trained) so
+# the three logits respond to quality/language signals; deterministic.
+W_GOOD = dict(bias=0.8, f_len=2.0, rep=-3.0, digit=-3.0, punct=0.0, stop=2.0, en=1.5, lppl=-1.2)
+W_LOWQ = dict(bias=0.0, f_len=-2.0, rep=3.0, digit=3.0, punct=2.0, stop=0.0, en=0.0, lppl=1.0)
+W_WRONGLANG = dict(bias=1.5, f_len=0.0, rep=0.0, digit=0.0, punct=0.0, stop=-2.0, en=-2.5, lppl=0.3)
+WEIGHTS = [W_GOOD, W_LOWQ, W_WRONGLANG]
+
+MIN_WORDS_GOOD = 5
+MAX_REPETITION_GOOD = 0.5
+MAX_DIGIT_GOOD = 0.3
+
+
+def _features(df: DataFrame, text_col: str) -> DataFrame:
+    out = with_quality_features(df, text_col)
+    return out.withColumn("pred_lang", langid_markers_col(F.col(text_col))).withColumn(
+        "ppl", ppl_hash_col(F.col(text_col))
+    )
+
+
+def _logit(w: dict) -> Column:
+    f_len = F.least(F.col("n_words").cast("double"), F.lit(50.0)) / F.lit(50.0)
+    en = F.when(F.col("pred_lang") == "en", F.lit(1.0)).otherwise(F.lit(0.0))
+    lppl = F.log(F.col("ppl")) / F.lit(10.0)
+    return (
+        F.lit(float(w["bias"]))
+        + F.lit(float(w["f_len"])) * f_len
+        + F.lit(float(w["rep"])) * F.col("repetition_ratio")
+        + F.lit(float(w["digit"])) * F.col("digit_ratio")
+        + F.lit(float(w["punct"])) * F.col("punct_ratio")
+        + F.lit(float(w["stop"])) * F.col("stopword_ratio")
+        + F.lit(float(w["en"])) * en
+        + F.lit(float(w["lppl"])) * lppl
+    )
+
+
+def _with_label_and_probs(df: DataFrame) -> DataFrame:
+    exps = [F.exp(_logit(w)) for w in WEIGHTS]
+    total = exps[0] + exps[1] + exps[2]
+    probs = F.array(*[e / total for e in exps])
+    label = (
+        F.when(F.col("pred_lang") != "en", F.lit(2))
+        .when(
+            (F.col("n_words") < MIN_WORDS_GOOD)
+            | (F.col("repetition_ratio") > MAX_REPETITION_GOOD)
+            | (F.col("digit_ratio") > MAX_DIGIT_GOOD),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+    )
+    return df.withColumn("pred_probs", probs).withColumn("label", label)
+
+
+def run_caption_quality(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Full pipeline. Output: id, label, quality score, is_label_issue,
+    keep flag, scrubbed text."""
+    feats = _with_label_and_probs(_features(df, text_col))
+    feats = feats.persist()
+
+    thresholds = get_confident_thresholds(feats, NUM_CLASSES)
+    t_arr = F.array(*[F.lit(float(t)) for t in thresholds])
+
+    # fast-path issue count (label_issues_batched thorough=False)
+    am = predicted_label(F.col("pred_probs"))
+    confident_neq = (
+        F.array_max(F.col("pred_probs"))
+        >= F.element_at(t_arr, am + 1) - F.lit(FLOATING_POINT_COMPARISON)
+    ) & (am != F.col("label"))
+    n_issues = int(
+        feats.agg(F.sum(F.when(confident_neq, 1).otherwise(0))).collect()[0][0] or 0
+    )
+
+    scored = feats.withColumn(
+        "quality_score", self_confidence(F.col("label"), F.col("pred_probs"))
+    )
+    flagged = bottom_n_flags(scored, n_issues, "quality_score", id_col)
+    flagged = flagged.withColumn(
+        "is_label_issue",
+        F.col("is_label_issue")
+        & ~(boosted_predicted_label(F.col("label"), F.col("pred_probs")) == F.col("label")),
+    )
+    out = flagged.withColumn(
+        "keep", (F.col("label") == 0) & ~F.col("is_label_issue")
+    ).withColumn("scrubbed_text", scrub_col(F.col(text_col)))
+    result = out.select(
+        id_col,
+        "label",
+        F.round("quality_score", 6).alias("quality_score"),
+        "is_label_issue",
+        "keep",
+        "scrubbed_text",
+    )
+    return result
+
+
+# --------------------------------------------------------------- oracle
+
+
+def _logit_sql(w: dict) -> str:
+    f_len = "least(n_words::DOUBLE, 50.0) / 50.0"
+    en = "CASE WHEN pred_lang = 'en' THEN 1.0 ELSE 0.0 END"
+    lppl = "ln(ppl) / 10.0"
+    return (
+        f"({w['bias']} + {w['f_len']} * ({f_len}) + {w['rep']} * repetition_ratio"
+        f" + {w['digit']} * digit_ratio + {w['punct']} * punct_ratio"
+        f" + {w['stop']} * stopword_ratio + {w['en']} * ({en}) + {w['lppl']} * ({lppl}))"
+    )
+
+
+def oracle_sql_for(table: str, id_col: str = "doc_id", text_col: str = "text") -> str:
+    """DuckDB twin of :func:`run_caption_quality`."""
+    feats = quality_features_sql_exprs(text_col)
+    feat_cols = ", ".join(f"{e} AS {k}" for k, e in feats.items())
+    logits = [_logit_sql(w) for w in WEIGHTS]
+    exps = [f"exp({l})" for l in logits]
+    total = " + ".join(exps)
+    probs = ", ".join(f"({e}) / ({total}) AS p{i}" for i, e in enumerate(exps))
+    label = (
+        f"CASE WHEN pred_lang <> 'en' THEN 2 "
+        f"WHEN n_words < {MIN_WORDS_GOOD} OR repetition_ratio > {MAX_REPETITION_GOOD} "
+        f"OR digit_ratio > {MAX_DIGIT_GOOD} THEN 1 ELSE 0 END"
+    )
+    tl = CONFIDENT_THRESHOLDS_LOWER_BOUND
+    fpc = FLOATING_POINT_COMPARISON
+    return f"""
+WITH feats AS (
+  SELECT {id_col}, {text_col} AS _txt, {feat_cols},
+         {langid_markers_sql(text_col)} AS pred_lang,
+         {ppl_hash_sql(text_col)} AS ppl
+  FROM {table}
+), labeled AS (
+  SELECT {id_col}, _txt, {probs}, {label} AS label FROM feats
+), arr AS (
+  SELECT {id_col}, _txt, [p0, p1, p2] AS probs, label,
+         CASE label WHEN 0 THEN p0 WHEN 1 THEN p1 ELSE p2 END AS self_conf
+  FROM labeled
+), th AS (
+  SELECT label AS k, greatest(avg(self_conf), {tl}) AS t FROM arr GROUP BY label
+), tvec AS (
+  SELECT coalesce(max(CASE WHEN k = 0 THEN t END), 2.0) AS t0,
+         coalesce(max(CASE WHEN k = 1 THEN t END), 2.0) AS t1,
+         coalesce(max(CASE WHEN k = 2 THEN t END), 2.0) AS t2
+  FROM th
+), am AS (
+  SELECT a.*, t.t0, t.t1, t.t2,
+         CASE WHEN probs[1] >= probs[2] AND probs[1] >= probs[3] THEN 0
+              WHEN probs[2] >= probs[3] THEN 1 ELSE 2 END AS argmax_lbl,
+         greatest(probs[1], probs[2], probs[3]) AS maxp
+  FROM arr a CROSS JOIN tvec t
+), counted AS (
+  SELECT count(*) FILTER (
+    WHERE maxp >= (CASE argmax_lbl WHEN 0 THEN t0 WHEN 1 THEN t1 ELSE t2 END) - {fpc}
+      AND argmax_lbl <> label
+  ) AS n_issues FROM am
+), ranked AS (
+  SELECT am.*, row_number() OVER (ORDER BY self_conf ASC, {id_col} ASC) AS rn
+  FROM am
+), boosted AS (
+  SELECT r.*, c.n_issues,
+         CASE WHEN (probs[1] + CASE WHEN label = 0 THEN {fpc} ELSE 0 END) >=
+                   (probs[2] + CASE WHEN label = 1 THEN {fpc} ELSE 0 END)
+               AND (probs[1] + CASE WHEN label = 0 THEN {fpc} ELSE 0 END) >=
+                   (probs[3] + CASE WHEN label = 2 THEN {fpc} ELSE 0 END) THEN 0
+              WHEN (probs[2] + CASE WHEN label = 1 THEN {fpc} ELSE 0 END) >=
+                   (probs[3] + CASE WHEN label = 2 THEN {fpc} ELSE 0 END) THEN 1
+              ELSE 2 END AS boosted_argmax
+  FROM ranked r CROSS JOIN counted c
+)
+SELECT {id_col}, label,
+       round(self_conf, 6) AS quality_score,
+       (rn <= n_issues AND boosted_argmax <> label) AS is_label_issue,
+       (label = 0 AND NOT (rn <= n_issues AND boosted_argmax <> label)) AS keep,
+       {scrub_sql('_txt')} AS scrubbed_text
+FROM boosted
+"""
