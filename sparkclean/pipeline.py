@@ -129,6 +129,62 @@ def run_caption_quality(
     return result
 
 
+def run_image_caption_quality(
+    df: DataFrame, id_col: str = "image_id", text_col: str = "caption"
+) -> DataFrame:
+    """Fused image+caption keep/drop over the input_hint schema
+    (image_id, bytes, w, h, fmt, caption, phash).
+
+    Plan shape (100 TB design):
+      1. decode pass FIRST on the raw scan — ``bytes`` never crosses a
+         shuffle; only small stats flow downstream;
+      2. caption pipeline on the narrow columns (pure codegen
+         projections + two tiny aggs);
+      3. broadcast-free equi-join of stats back on image_id;
+      4. drop_reason taxonomy feeds the lineage counters.
+    """
+    from .images.decode import decode_stats, with_image_issues
+
+    stats = with_image_issues(decode_stats(df))
+    narrow = df.drop("bytes")
+    scored = run_caption_quality(narrow, id_col=id_col, text_col=text_col)
+    joined = scored.join(stats, id_col, "left")
+    image_ok = (
+        F.coalesce(F.col("decode_ok"), F.lit(False))
+        & F.coalesce(F.col("fmt_ok"), F.lit(False))
+        & (F.coalesce(F.col("psnr_db"), F.lit(0.0)) >= 40.0)
+    )
+    drop_reason = (
+        F.when(~F.coalesce(F.col("decode_ok"), F.lit(False)), F.lit("decode_failed"))
+        .when(~F.coalesce(F.col("fmt_ok"), F.lit(False)), F.lit("fmt_mismatch"))
+        .when(F.coalesce(F.col("psnr_db"), F.lit(0.0)) < 40.0, F.lit("low_psnr"))
+        .when(F.col("label") == 2, F.lit("wrong_language"))
+        .when(F.col("label") == 1, F.lit("low_quality"))
+        .when(F.col("is_label_issue"), F.lit("label_issue"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    return (
+        joined.withColumn("keep", F.col("keep") & image_ok)
+        .withColumn("drop_reason", drop_reason)
+        .select(
+            id_col,
+            "label",
+            "quality_score",
+            "is_label_issue",
+            "keep",
+            "drop_reason",
+            "scrubbed_text",
+            "decode_ok",
+            "psnr_db",
+            "brightness",
+            "is_dark",
+            "is_light",
+            "is_low_information",
+            "is_blurry",
+        )
+    )
+
+
 # --------------------------------------------------------------- oracle
 
 

@@ -1,0 +1,153 @@
+"""Synthetic corpus, codec, decode pass, phash dedup, image+caption
+pipeline, and checkpoint/resume (FIXTURES.md F1/F6)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from sparkclean import synth
+from sparkclean.checkpoint import load_manifest, run_checkpointed
+from sparkclean.images import codec
+from sparkclean.images.decode import decode_stats, phash_duplicate_clusters, with_image_issues
+from sparkclean.pipeline import run_image_caption_quality
+
+N = 600
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return synth.synth_images(spark, N, with_images=True, partitions=4).cache()
+
+
+def test_codec_roundtrip_and_psnr():
+    px = codec.synth_pixels(42, 64, 48)
+    assert px.shape == (48, 64, 3)
+    # png lossless
+    dec, fmt = codec.decode(codec.encode(px, "png"))
+    assert fmt == "png" and np.array_equal(dec, px)
+    # jpeg lossy but >= 40 dB (input_hint gate)
+    dec_j, fmt_j = codec.decode(codec.encode(px, "jpeg"))
+    assert fmt_j == "jpeg"
+    assert codec.psnr(px, dec_j) >= 40.0
+    # determinism
+    assert np.array_equal(codec.synth_pixels(42, 64, 48), px)
+    assert codec.phash64(px) == codec.phash64(px.copy())
+
+
+def test_synth_schema_and_determinism(spark, corpus):
+    rows = corpus.orderBy("image_id").limit(5).collect()
+    assert [f.name for f in corpus.schema] == [
+        "image_id", "bytes", "w", "h", "fmt", "caption", "phash",
+    ]
+    # regenerating with different partitioning yields identical rows
+    again = (
+        synth.synth_images(spark, N, with_images=True, partitions=13)
+        .orderBy("image_id")
+        .limit(5)
+        .collect()
+    )
+    for a, b in zip(rows, again):
+        assert a["image_id"] == b["image_id"]
+        assert a["caption"] == b["caption"]
+        assert a["phash"] == b["phash"]
+        assert bytes(a["bytes"]) == bytes(b["bytes"])
+
+
+def test_decode_stats_validation(spark, corpus):
+    stats = with_image_issues(decode_stats(corpus)).cache()
+    n = stats.count()
+    assert n == N
+    agg = stats.agg(
+        F.sum(F.when(F.col("decode_ok"), 1).otherwise(0)).alias("ok"),
+        F.sum(F.when(F.col("fmt_ok"), 1).otherwise(0)).alias("fmt"),
+        F.min("psnr_db").alias("min_psnr"),
+    ).collect()[0]
+    assert agg["ok"] == N and agg["fmt"] == N
+    assert agg["min_psnr"] >= 40.0
+    # recomputed phash equals stored phash for png rows (lossless path)
+    joined = corpus.select("image_id", "phash", "fmt").join(stats, "image_id")
+    png_bad = joined.where(
+        (F.col("fmt") == "png") & (F.col("phash") != F.col("phash_recomputed"))
+    ).count()
+    assert png_bad == 0
+
+
+def test_decode_matches_local_reference(spark, corpus):
+    """Per-row invariant: Spark-side decode equals reference (local)
+    decode of the same bytes — allclose/bit-exact."""
+    sample = corpus.limit(20).collect()
+    stats = {
+        r["image_id"]: r
+        for r in decode_stats(spark.createDataFrame(sample, corpus.schema)).collect()
+    }
+    for row in sample:
+        px, fmt = codec.decode(bytes(row["bytes"]))
+        s = stats[row["image_id"]]
+        assert s["decode_ok"]
+        np.testing.assert_allclose(s["brightness"], px.astype(float).mean(), rtol=1e-9)
+        assert s["phash_recomputed"] == codec.phash64(px)
+
+
+def test_phash_duplicate_clusters(spark, corpus):
+    clusters = phash_duplicate_clusters(corpus).collect()
+    assert len(clusters) > 0  # synth plants ~2% duplicate rows
+    by_cluster: dict = {}
+    for r in clusters:
+        by_cluster.setdefault(r["phash"], []).append(r["image_id"])
+    # duplicates share identical pixel content → identical bytes per fmt
+    rows = {r["image_id"]: r for r in corpus.collect()}
+    some = next(iter(by_cluster.values()))
+    fmts = {}
+    for iid in some:
+        r = rows[iid]
+        fmts.setdefault((r["fmt"], r["w"], r["h"]), set()).add(bytes(r["bytes"]))
+    for blobs in fmts.values():
+        assert len(blobs) == 1
+
+
+def test_image_caption_pipeline(spark, corpus):
+    out = run_image_caption_quality(corpus).cache()
+    assert out.count() == N
+    kept = out.where("keep").count()
+    assert 0 < kept < N
+    # every dropped row carries a reason; kept rows carry none
+    assert out.where(~F.col("keep") & F.col("drop_reason").isNull()).count() == 0
+    assert out.where(F.col("keep") & F.col("drop_reason").isNotNull()).count() == 0
+    # scrub removed every raw PII token
+    leaked = out.where(
+        F.col("scrubbed_text").rlike(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}")
+    ).count()
+    assert leaked == 0
+
+
+def test_checkpoint_resume(spark, corpus, tmp_path):
+    out_dir = str(tmp_path / "ckpt")
+    scored = run_image_caption_quality(corpus)
+
+    # phase 1: pretend an earlier run completed only buckets 0..7
+    m1 = run_checkpointed(
+        scored.where(F.pmod(F.xxhash64("image_id"), F.lit(16)).cast("int") < 8),
+        out_dir,
+        n_buckets=16,
+    )
+    # simulate the crash: manifest only knows buckets 0..7
+    m1["buckets"] = {k: v for k, v in m1["buckets"].items() if int(k) < 8}
+    import json, os
+
+    with open(os.path.join(out_dir, "_sparkclean_manifest.json"), "w") as f:
+        json.dump(m1, f)
+
+    # phase 2: resume with the full input — only buckets 8..15 recompute
+    m2 = run_checkpointed(scored, out_dir, n_buckets=16)
+    assert set(m2["buckets"]) == {str(b) for b in range(16)}
+
+    # single-shot run matches the resumed run exactly
+    solo_dir = str(tmp_path / "solo")
+    m3 = run_checkpointed(scored, solo_dir, n_buckets=16)
+    assert m2["counters"]["rows_scored"] == m3["counters"]["rows_scored"] == N
+    assert m2["counters"]["rows_kept"] == m3["counters"]["rows_kept"]
+    assert m2["counters"]["dropped_by_rule"] == m3["counters"]["dropped_by_rule"]
+
+    a = spark.read.parquet(out_dir).orderBy("image_id").drop("_bucket").collect()
+    b = spark.read.parquet(solo_dir).orderBy("image_id").drop("_bucket").collect()
+    assert a == b
