@@ -324,6 +324,112 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def embedding_near_duplicates(spark, sf):
         return sim_knn.embedding_near_duplicates(_emb(spark, sf), threshold=0.9)
 
+    # ---- pooling / task scores / multiannotator / datalab managers
+    def softmin_token_scores(spark, sf):
+        from sparkclean.quality.pooling import softmin_col
+        from sparkclean.text.shared import hash60_col, words_col
+
+        docs = _docs(spark, sf)
+        tok_scores = F.transform(
+            words_col(F.lower(F.col("text"))),
+            lambda t: (hash60_col(t) % F.lit(1000)).cast("double") / F.lit(1000.0)
+            * F.lit(0.8)
+            + F.lit(0.1),
+        )
+        return docs.where(F.length(F.trim("text")) > 0).select(
+            "doc_id", F.round(softmin_col(tok_scores), 6).alias("sentence_score")
+        )
+
+    def multilabel_ema_scores(spark, sf):
+        from sparkclean.quality.task_scores import multilabel_quality_score
+
+        df = _with_probs(_emb(spark, sf))
+        given = F.array_sort(
+            F.array(F.col("label").cast("int"), (F.col("label") + 3) % 10)
+        )
+        return df.select(
+            "vec_id",
+            F.round(multilabel_quality_score(F.col("pred_probs"), given), 6).alias("score"),
+        )
+
+    def regression_residual(spark, sf):
+        from sparkclean.quality.task_scores import regression_residual_score
+
+        ev = _events(spark, sf)
+        means = ev.groupBy("event_type").agg(F.avg("value").alias("_pred"))
+        return ev.join(F.broadcast(means), "event_type").select(
+            "event_id",
+            F.round(
+                regression_residual_score(F.col("value") / 100.0, F.col("_pred") / 100.0), 6
+            ).alias("score"),
+        )
+
+    def _annotator_long(spark, sf):
+        df = _with_probs(_with_probs(_emb(spark, sf)).withColumnRenamed("pred_probs", "_pa"), lo=11)
+        df = df.withColumnRenamed("pred_probs", "_pb")
+        from sparkclean.quality.scores import predicted_label as _am
+
+        wide = df.select(
+            F.col("vec_id").alias("example_id"),
+            F.col("label").cast("int").alias("a1"),
+            _am(F.col("_pa")).alias("a2"),
+            _am(F.col("_pb")).alias("a3"),
+        )
+        return wide.selectExpr(
+            "example_id",
+            "stack(3, 'a1', a1, 'a2', a2, 'a3', a3) AS (annotator_id, label)",
+        )
+
+    def majority_vote(spark, sf):
+        from sparkclean.quality.multiannotator import majority_vote_label
+
+        long_df = _annotator_long(spark, sf)
+        probs = _with_probs(_emb(spark, sf)).select(
+            F.col("vec_id").alias("example_id"), "pred_probs"
+        )
+        return majority_vote_label(long_df, probs).select(
+            "example_id", "consensus_label", "n_votes"
+        )
+
+    def annotator_agreement(spark, sf):
+        from sparkclean.quality.multiannotator import annotator_stats, majority_vote_label
+
+        long_df = _annotator_long(spark, sf)
+        probs = _with_probs(_emb(spark, sf)).select(
+            F.col("vec_id").alias("example_id"), "pred_probs"
+        )
+        cons = majority_vote_label(long_df, probs)
+        return annotator_stats(long_df, cons).select(
+            "annotator_id", "num_labeled", F.round("agreement", 6).alias("agreement")
+        )
+
+    def underperforming_group(spark, sf):
+        from sparkclean.quality.datalab import underperforming_group_issues
+
+        df = _with_probs(_emb(spark, sf)).withColumn(
+            "cluster", (F.col("label") % 3).cast("int")
+        )
+        out = underperforming_group_issues(df, K, "cluster")
+        return out.select(
+            "vec_id",
+            F.round("underperforming_group_score", 6).alias("score"),
+            "is_underperforming_group_issue",
+        )
+
+    def datalab_issue_summary(spark, sf):
+        from sparkclean.quality.datalab import find_issues
+
+        df = _with_probs(_emb(spark, sf)).withColumn(
+            "cluster", (F.col("label") % 3).cast("int")
+        )
+        _, summary = find_issues(
+            df, K, id_col="vec_id", cluster_col="cluster",
+            null_cols=["embedding"], exact_quantile=True,
+        )
+        return summary.select(
+            "issue_type", "num_issues", F.round("overall_score", 6).alias("overall_score")
+        )
+
     # ---- events rollup
     def events_hourly(spark, sf):
         return (
@@ -366,6 +472,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         knn_bruteforce=knn_bruteforce,
         embedding_near_duplicates=embedding_near_duplicates,
         events_hourly=events_hourly,
+        softmin_token_scores=softmin_token_scores,
+        multilabel_ema_scores=multilabel_ema_scores,
+        regression_residual=regression_residual,
+        majority_vote=majority_vote,
+        annotator_agreement=annotator_agreement,
+        underperforming_group=underperforming_group,
+        datalab_issue_summary=datalab_issue_summary,
     )
     return q
 
@@ -483,4 +596,119 @@ FROM documents"""
 SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
        round(avg(value), 6) AS avg_value
 FROM events GROUP BY 1, 2"""
+
+    from sparkclean.quality.pooling import softmin_sql
+    from sparkclean.quality.task_scores import (
+        multilabel_quality_score_sql,
+        regression_residual_score_sql,
+    )
+    from sparkclean.text.shared import hash60_sql, words_sql
+
+    tok_scores = (
+        f"list_transform({words_sql('lower(text)')}, "
+        f"t -> ({hash60_sql('t')} % 1000)::DOUBLE / 1000.0 * 0.8 + 0.1)"
+    )
+    o["softmin_token_scores"] = f"""
+SELECT doc_id, round({softmin_sql(tok_scores)}, 6) AS sentence_score
+FROM documents WHERE length(trim(text)) > 0"""
+
+    given = "list_sort([label::INT, ((label + 3) % 10)::INT])"
+    o["multilabel_ema_scores"] = f"""
+WITH {pc}
+SELECT vec_id, round({multilabel_quality_score_sql('p', given)}, 6) AS score FROM pp"""
+
+    o["regression_residual"] = f"""
+WITH m AS (SELECT event_type, avg(value) AS _pred FROM events GROUP BY 1)
+SELECT e.event_id,
+       round({regression_residual_score_sql('e.value / 100.0', 'm._pred / 100.0')}, 6) AS score
+FROM events e JOIN m USING (event_type)"""
+
+    pc2 = _probs_cte(lo=11, sfx="2")
+    _ANNOT_CTE = f"""
+wide AS (
+  SELECT pp.vec_id AS example_id, pp.label::INT AS a1,
+         (list_position(pp.p, list_max(pp.p)) - 1)::INT AS a2,
+         (list_position(pp2.p, list_max(pp2.p)) - 1)::INT AS a3,
+         pp.p AS probs
+  FROM pp JOIN pp2 USING (vec_id)
+), long AS (
+  SELECT example_id, 'a1' AS annotator_id, a1 AS label, probs FROM wide
+  UNION ALL SELECT example_id, 'a2', a2, probs FROM wide
+  UNION ALL SELECT example_id, 'a3', a3, probs FROM wide
+), votes AS (
+  SELECT example_id, label, count(*) AS n_votes, any_value(probs) AS probs
+  FROM long GROUP BY 1, 2
+), freqs AS (
+  SELECT label, count(*) AS class_freq FROM long GROUP BY 1
+), ranked AS (
+  SELECT v.example_id, v.label, v.n_votes,
+         row_number() OVER (
+           PARTITION BY v.example_id
+           ORDER BY v.n_votes DESC, v.probs[v.label + 1] DESC, f.class_freq ASC, v.label ASC
+         ) AS rk
+  FROM votes v JOIN freqs f USING (label)
+), consensus AS (
+  SELECT example_id, label AS consensus_label, n_votes FROM ranked WHERE rk = 1
+)"""
+    o["majority_vote"] = f"""
+WITH {pc}, {pc2.lstrip()}, {_ANNOT_CTE}
+SELECT example_id, consensus_label, n_votes FROM consensus"""
+    o["annotator_agreement"] = f"""
+WITH {pc}, {pc2.lstrip()}, {_ANNOT_CTE}
+SELECT l.annotator_id, count(*) AS num_labeled,
+       round(avg(CASE WHEN l.label = c.consensus_label THEN 1.0 ELSE 0.0 END), 6) AS agreement
+FROM long l JOIN consensus c USING (example_id)
+GROUP BY 1"""
+
+    _UPG_CTE = f"""
+sc AS (SELECT vec_id, label, (label % 3)::INT AS cluster, p[label + 1] AS self_conf FROM pp),
+cm AS (SELECT cluster, avg(self_conf) AS cluster_mean FROM sc GROUP BY 1),
+worst AS (SELECT cluster, cluster_mean FROM cm ORDER BY cluster_mean ASC, cluster ASC LIMIT 1),
+ov AS (SELECT avg(self_conf) AS overall FROM sc)"""
+    o["underperforming_group"] = f"""
+WITH {pc}, {_UPG_CTE}
+SELECT s.vec_id,
+       round(CASE WHEN s.cluster = w.cluster
+                  THEN least(w.cluster_mean / o.overall, 1.0) ELSE 1.0 END, 6) AS score,
+       (s.cluster = w.cluster AND w.cluster_mean / o.overall < 0.1) AS is_underperforming_group_issue
+FROM sc s CROSS JOIN worst w CROSS JOIN ov o"""
+
+    # reuse _TH_CTE's `sc` (vec_id, label, p, self_conf); cluster on top
+    _upg_from_sc = """
+scc AS (SELECT vec_id, label, (label % 3)::INT AS cluster, self_conf FROM sc),
+cm AS (SELECT cluster, avg(self_conf) AS cluster_mean FROM scc GROUP BY 1),
+worst AS (SELECT cluster, cluster_mean FROM cm ORDER BY cluster_mean ASC, cluster ASC LIMIT 1),
+ov AS (SELECT avg(self_conf) AS overall FROM scc)"""
+    o["datalab_issue_summary"] = f"""
+WITH {pc}, {_TH_CTE}, {_BIN_CTE}, {_upg_from_sc.lstrip()},
+lab AS (
+  SELECT count(*) FILTER (WHERE n_conf >= 1 AND guess <> label AND {_BOOST_SQL} <> label) AS n,
+         avg(self_conf) AS s
+  FROM guessed
+), osc AS (SELECT vec_id, 1.0 - {_ENT_SQL} AS outlier_score FROM pp),
+othr AS (SELECT quantile_cont(outlier_score, 0.1) AS thr FROM osc),
+outl AS (
+  SELECT count(*) FILTER (WHERE o.outlier_score < t.thr) AS n, avg(o.outlier_score) AS s
+  FROM osc o CROSS JOIN othr t
+), cls AS (SELECT label, count(*) AS n FROM embeddings GROUP BY 1),
+rare AS (SELECT label, n FROM cls ORDER BY n ASC, label ASC LIMIT 1),
+tot AS (SELECT count(*)::DOUBLE AS total FROM embeddings),
+imb AS (
+  SELECT CASE WHEN r.n / t.total < {0.1 / K} THEN r.n ELSE 0 END AS n,
+         (SELECT avg(CASE WHEN e.label = r.label THEN r.n / t.total ELSE 1.0 END) FROM embeddings e) AS s
+  FROM rare r CROSS JOIN tot t
+), nul AS (
+  SELECT count(*) FILTER (WHERE embedding IS NULL) AS n,
+         avg(CASE WHEN embedding IS NULL THEN 0.0 ELSE 1.0 END) AS s
+  FROM embeddings
+), upg AS (
+  SELECT count(*) FILTER (WHERE s.cluster = w.cluster AND w.cluster_mean / o.overall < 0.1) AS n,
+         avg(CASE WHEN s.cluster = w.cluster THEN least(w.cluster_mean / o.overall, 1.0) ELSE 1.0 END) AS s
+  FROM scc s CROSS JOIN worst w CROSS JOIN ov o
+)
+SELECT 'label' AS issue_type, n::BIGINT AS num_issues, round(s, 6) AS overall_score FROM lab
+UNION ALL SELECT 'outlier', n, round(s, 6) FROM outl
+UNION ALL SELECT 'class_imbalance', n, round(s, 6) FROM imb
+UNION ALL SELECT 'null', n, round(s, 6) FROM nul
+UNION ALL SELECT 'underperforming_group', n, round(s, 6) FROM upg"""
     return o

@@ -1,0 +1,84 @@
+"""Benchmark harness — prints ONE JSON line per run.
+
+Headline queries at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
+on local[$SPARK_GRAFT_CPUS], plus the fused image+caption pipeline over
+the deterministic synthetic corpus (throughput metric: images/sec for
+keep-drop + scrub, per BASELINE.json).
+
+Usage: python bench.py            # driver mode, one JSON line on stdout
+       SPARKCLEAN_BENCH_N=... python bench.py   # override image count
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "caption_quality_pipeline",
+    "issues_low_self_confidence",
+    "minhash_near_duplicates",
+    "knn_bruteforce",
+    "confident_joint_raw",
+    "events_hourly",
+]
+
+
+def run(sf_dir: str, cpus: int, image_n: int, include_headline: bool = True) -> dict:
+    import __spark_entry__ as entry_mod
+    from sparkclean.pipeline import run_image_caption_quality
+    from sparkclean.session import get_spark
+    from sparkclean.synth import synth_images
+
+    spark = get_spark(
+        "sparkclean-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=max(cpus * 2, 8),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    if include_headline:
+        qs = entry_mod.queries()
+        for name in HEADLINE:
+            t0 = time.time()
+            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.time() - t0, 3)
+
+    # fused image pipeline over the synthetic corpus (decode + score + scrub)
+    t0 = time.time()
+    corpus = synth_images(spark, image_n, with_images=True, partitions=cpus * 4)
+    out = run_image_caption_quality(corpus)
+    out.write.format("noop").mode("overwrite").save()
+    image_secs = time.time() - t0
+    timings["image_pipeline"] = round(image_secs, 3)
+
+    total = round(sum(timings.values()), 3)
+    result = {
+        "metric": "headline suite wall time (keep-drop+scrub incl. image decode)",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf_dir.rstrip("/").split("sf")[-1]) if "sf" in sf_dir else None,
+        "images_per_sec": round(image_n / image_secs, 1),
+        "image_n": image_n,
+        "cpus": cpus,
+    }
+    spark.stop()
+    return result
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    image_n = int(os.environ.get("SPARKCLEAN_BENCH_N", "60000"))
+    result = run(sf_dir, cpus, image_n)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,126 @@
+"""Two-parallelism scaling run: same input, same code, local[LO] vs
+local[HI] — the in-sandbox evidence for the N → 4N executor scaling
+rule (BASELINE.json: efficiency ≥ 0.8).
+
+Each configuration runs in its own subprocess (fresh JVM) to avoid any
+shared-executor warm-up bias.  Writes BENCH.md at the repo root.
+
+Usage: python bench/scaling.py [n_images] [lo] [hi]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+GEN = """
+import sys
+sys.path.insert(0, {repo!r})
+from sparkclean.session import get_spark
+from sparkclean.synth import synth_images
+spark = get_spark("gen", master="local[32]")
+spark.sparkContext.setLogLevel("ERROR")
+# base_px=64: decode CPU dominates Arrow transport, matching the
+# proportions of a real image corpus (10-100 KB JPEGs, ms-scale decode)
+synth_images(spark, {n}, with_images=True, partitions=256, base_px=64, px_step=24).write.mode("overwrite").parquet({path!r})
+spark.stop()
+"""
+
+WORKER = """
+import json, sys, time
+sys.path.insert(0, {repo!r})
+from sparkclean.session import get_spark
+from sparkclean.pipeline import run_image_caption_quality
+
+cpus = {cpus}
+n = {n}
+spark = get_spark("scaling", master=f"local[{{cpus}}]", shuffle_partitions=max(cpus*2, 16))
+spark.sparkContext.setLogLevel("ERROR")
+# warm-up: JVM + codegen on a small slice (untimed)
+warm = spark.read.parquet({path!r}).limit(500)
+run_image_caption_quality(warm).write.format("noop").mode("overwrite").save()
+t0 = time.time()
+corpus = spark.read.parquet({path!r})
+run_image_caption_quality(corpus).write.format("noop").mode("overwrite").save()
+dt = time.time() - t0
+print(json.dumps({{"cpus": cpus, "secs": dt, "images_per_sec": n/dt}}))
+spark.stop()
+"""
+
+
+def gen_corpus(n: int, path: str) -> None:
+    code = GEN.format(repo=REPO, n=n, path=path)
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, timeout=1800
+    )
+    if out.returncode != 0:
+        raise RuntimeError(out.stderr[-2000:])
+
+
+def run_config(cpus: int, n: int, path: str) -> dict:
+    """Run one parallelism level in its own JVM, pinned to exactly
+    ``cpus`` physical cores with taskset — otherwise the Python decode
+    workers of a local[8] session spill onto the other 24 cores and the
+    comparison measures nothing."""
+    code = WORKER.format(repo=REPO, cpus=cpus, n=n, path=path)
+    cmd = [sys.executable, "-c", code]
+    if os.path.exists("/usr/bin/taskset"):
+        cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
+    out = subprocess.run(cmd, capture_output=True, text=True, timeout=1800)
+    if out.returncode != 0:
+        raise RuntimeError(out.stderr[-2000:])
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def main():
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 120_000
+    lo = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    hi = int(sys.argv[3]) if len(sys.argv) > 3 else 32
+    path = os.environ.get("SPARKCLEAN_SCALING_CORPUS", f"/tmp/sparkclean_corpus_{n}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        gen_corpus(n, path)
+    r_lo = run_config(lo, n, path)
+    r_hi = run_config(hi, n, path)
+    speedup = r_lo["secs"] / r_hi["secs"]
+    efficiency = speedup / (hi / lo)
+    report = {
+        "n_images": n,
+        "low": r_lo,
+        "high": r_hi,
+        "speedup": round(speedup, 3),
+        "cores_ratio": hi / lo,
+        "scaling_efficiency": round(efficiency, 3),
+    }
+    print(json.dumps(report, indent=2))
+    md = f"""# BENCH — throughput + scaling evidence
+
+Same input (deterministic synthetic corpus, N={n:,} images with
+encoded pixel payloads), same code, two parallelism levels (the
+in-sandbox stand-in for N vs 4N executors per BASELINE.json).
+
+| config | wall (s) | images/sec |
+|---|---|---|
+| local[{lo}] | {r_lo['secs']:.1f} | {r_lo['images_per_sec']:.0f} |
+| local[{hi}] | {r_hi['secs']:.1f} | {r_hi['images_per_sec']:.0f} |
+
+* speedup {lo}→{hi} cores: **{speedup:.2f}×** (ideal {hi/lo:.0f}×)
+* **scaling efficiency: {efficiency:.2f}** (target ≥ 0.8)
+
+Workload (pipeline only; corpus pre-generated to parquet, untimed):
+parquet scan → one-pass decode+validate mapInPandas (bytes die at the
+scan, never shuffled) → caption features/langid/ppl projections →
+2-pass confident thresholds + exact bottom-n keep/drop → regex scrub →
+noop sink.
+
+Reproduce: `python bench/scaling.py {n} {lo} {hi}`
+"""
+    with open(os.path.join(REPO, "BENCH.md"), "w") as f:
+        f.write(md)
+
+
+if __name__ == "__main__":
+    main()

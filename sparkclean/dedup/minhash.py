@@ -61,20 +61,29 @@ def shingles_sql(text: str, n: int = 3) -> str:
     )
 
 
-def _min_fold(a: int, b: int):
-    def fold(acc: Column, s: Column) -> Column:
-        return F.least(acc, (F.lit(a) * (s % F.lit(1 << 31)) + F.lit(b)) % F.lit(MERSENNE_P))
-
-    return fold
-
-
 def minhash_signature_col(shingles: Column) -> Column:
-    """H-element minhash signature (array<long>); empty set → all P."""
-    sigs = [
-        F.aggregate(shingles, F.lit(MERSENNE_P).cast("long"), _min_fold(a, b))
-        for a, b in zip(COEF_A, COEF_B)
-    ]
-    return F.array(*sigs)
+    """H-element minhash signature (array<long>); empty set → all P.
+
+    Single fold over the shingle array with an array-of-running-minima
+    accumulator — one pass over the data and a plan 32× smaller than
+    one aggregate per hash function.
+    """
+    a_arr = F.array(*[F.lit(a).cast("long") for a in COEF_A])
+    b_arr = F.array(*[F.lit(b).cast("long") for b in COEF_B])
+    init = F.array_repeat(F.lit(MERSENNE_P).cast("long"), NUM_HASHES)
+
+    def fold(acc: Column, s: Column) -> Column:
+        sm = s % F.lit(1 << 31)
+        return F.transform(
+            acc,
+            lambda m, i: F.least(
+                m,
+                (F.element_at(a_arr, i + 1) * sm + F.element_at(b_arr, i + 1))
+                % F.lit(MERSENNE_P),
+            ),
+        )
+
+    return F.aggregate(shingles, init, fold)
 
 
 def minhash_signature_sql(shingles: str) -> str:
@@ -120,7 +129,9 @@ def near_duplicate_pairs(
     threshold: float = 0.8,
 ) -> DataFrame:
     """(id_a, id_b, jaccard) for near-duplicate pairs above threshold."""
-    base = df.select(
+    from ..skew import ensure_parallelism
+
+    base = ensure_parallelism(df).select(
         F.col(id_col).alias("_id"), shingles_col(F.col(text_col)).alias("_sh")
     ).where(F.size("_sh") > 0)
     sig = base.withColumn("_sig", minhash_signature_col(F.col("_sh")))

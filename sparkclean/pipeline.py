@@ -46,7 +46,9 @@ MAX_DIGIT_GOOD = 0.3
 
 
 def _features(df: DataFrame, text_col: str) -> DataFrame:
-    out = with_quality_features(df, text_col)
+    from .skew import ensure_parallelism
+
+    out = with_quality_features(ensure_parallelism(df), text_col)
     return out.withColumn("pred_lang", langid_markers_col(F.col(text_col))).withColumn(
         "ppl", ppl_hash_col(F.col(text_col))
     )
@@ -85,11 +87,18 @@ def _with_label_and_probs(df: DataFrame) -> DataFrame:
     return df.withColumn("pred_probs", probs).withColumn("label", label)
 
 
-def run_caption_quality(
+def caption_scores(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """Full pipeline. Output: id, label, quality score, is_label_issue,
-    keep flag, scrubbed text."""
+    """Caption quality dataflow; returns the input columns plus label,
+    quality_score (unrounded), is_label_issue, keep, scrubbed_text.
+
+    Job structure (the 2-pass batched shape): one projection builds
+    features+probs (cached), pass-1 agg collects K=3 thresholds, pass-2
+    agg counts issues, then the exact bottom-n selection and the scrub
+    projection.  All aggregations are map-side partial; nothing wide
+    shuffles.
+    """
     feats = _with_label_and_probs(_features(df, text_col))
     feats = feats.persist()
 
@@ -108,17 +117,25 @@ def run_caption_quality(
 
     scored = feats.withColumn(
         "quality_score", self_confidence(F.col("label"), F.col("pred_probs"))
-    )
+    ).persist()
     flagged = bottom_n_flags(scored, n_issues, "quality_score", id_col)
+    feats.unpersist()
     flagged = flagged.withColumn(
         "is_label_issue",
         F.col("is_label_issue")
         & ~(boosted_predicted_label(F.col("label"), F.col("pred_probs")) == F.col("label")),
     )
-    out = flagged.withColumn(
+    return flagged.withColumn(
         "keep", (F.col("label") == 0) & ~F.col("is_label_issue")
     ).withColumn("scrubbed_text", scrub_col(F.col(text_col)))
-    result = out.select(
+
+
+def run_caption_quality(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Caption-only pipeline with the stable public output schema."""
+    out = caption_scores(df, id_col, text_col)
+    return out.select(
         id_col,
         "label",
         F.round("quality_score", 6).alias("quality_score"),
@@ -126,7 +143,6 @@ def run_caption_quality(
         "keep",
         "scrubbed_text",
     )
-    return result
 
 
 def run_image_caption_quality(
@@ -136,19 +152,16 @@ def run_image_caption_quality(
     (image_id, bytes, w, h, fmt, caption, phash).
 
     Plan shape (100 TB design):
-      1. decode pass FIRST on the raw scan — ``bytes`` never crosses a
-         shuffle; only small stats flow downstream;
-      2. caption pipeline on the narrow columns (pure codegen
-         projections + two tiny aggs);
-      3. broadcast-free equi-join of stats back on image_id;
-      4. drop_reason taxonomy feeds the lineage counters.
+      1. ONE scan: the decode mapInPandas emits narrow columns + stats
+         together — ``bytes`` dies at the scan, no join needed;
+      2. caption scoring on the narrow projection (codegen projections
+         + two tiny aggs + exact bottom-n);
+      3. drop_reason taxonomy feeds the lineage counters.
     """
-    from .images.decode import decode_stats, with_image_issues
+    from .images.decode import decode_and_project, with_image_issues
 
-    stats = with_image_issues(decode_stats(df))
-    narrow = df.drop("bytes")
-    scored = run_caption_quality(narrow, id_col=id_col, text_col=text_col)
-    joined = scored.join(stats, id_col, "left")
+    projected = with_image_issues(decode_and_project(df))
+    joined = caption_scores(projected, id_col=id_col, text_col=text_col)
     image_ok = (
         F.coalesce(F.col("decode_ok"), F.lit(False))
         & F.coalesce(F.col("fmt_ok"), F.lit(False))
@@ -169,7 +182,7 @@ def run_image_caption_quality(
         .select(
             id_col,
             "label",
-            "quality_score",
+            F.round("quality_score", 6).alias("quality_score"),
             "is_label_issue",
             "keep",
             "drop_reason",

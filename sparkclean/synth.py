@@ -120,8 +120,15 @@ def synth_images(
     n: int,
     with_images: bool = True,
     partitions: int | None = None,
+    base_px: int = 32,
+    px_step: int = 16,
 ) -> DataFrame:
-    """Build the synthetic corpus as a distributed DataFrame."""
+    """Build the synthetic corpus as a distributed DataFrame.
+
+    ``base_px``/``px_step`` control image dimensions
+    (base_px .. base_px + 4·px_step); larger sizes make decode CPU
+    dominate transport, matching real-corpus proportions.
+    """
     parts = partitions or max(spark.sparkContext.defaultParallelism, 8)
     base = spark.range(0, n, 1, parts)
     n_total = n
@@ -132,13 +139,13 @@ def synth_images(
             ids = pdf["id"].to_numpy().astype(np.uint64)
             m = len(ids)
             captions, _ = _gen_captions(ids)
-            sizes = 32 + (mix64(ids, 9) % np.uint64(5)).astype(np.int64) * 16  # 32..96
+            sizes = base_px + (mix64(ids, 9) % np.uint64(5)).astype(np.int64) * px_step
             fmt_jpeg = _u(ids, 10) < 0.30
             seeds = _image_seed(ids, n_total)
             blobs: list[bytes | None] = [None] * m
             phashes = np.zeros(m, dtype=np.int64)
             ws = sizes
-            hs = 32 + (mix64(ids, 11) % np.uint64(5)).astype(np.int64) * 16
+            hs = base_px + (mix64(ids, 11) % np.uint64(5)).astype(np.int64) * px_step
             if gen_images:
                 for i in range(m):
                     px = codec.synth_pixels(int(seeds[i]), int(ws[i]), int(hs[i]))

@@ -36,20 +36,25 @@ def _logp_from_hash_col(h: Column) -> Column:
 
 
 def ppl_hash_col(text: Column) -> Column:
-    """Perplexity from hashed word-bigram log-probs — pure Catalyst."""
+    """Perplexity from hashed word-bigram log-probs — pure Catalyst.
+
+    Bigrams come from ``zip_with`` of two shifted slices of the token
+    array (NOT element_at inside a transform lambda, which would
+    re-split the text per bigram — O(n²) under interpreted HOFs).
+    """
     w = words_col(F.lower(text))
     n = F.size(w)
-    idx = F.sequence(F.lit(1), n - 1)  # bigram start positions (1-based)
-    logps = F.transform(
-        idx,
-        lambda i: _logp_from_hash_col(
-            hash60_col(F.concat_ws(" ", F.element_at(w, i), F.element_at(w, i + 1)))
-        ),
+    bigrams = F.zip_with(
+        F.slice(w, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(w, 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b),
     )
-    mean_logp = F.when(
-        n >= 2,
-        F.aggregate(logps, F.lit(0.0), lambda a, x: a + x) / (n - 1).cast("double"),
-    ).otherwise(F.lit(FALLBACK_LOGP))
+    sum_logp = F.aggregate(
+        bigrams, F.lit(0.0), lambda acc, g: acc + _logp_from_hash_col(hash60_col(g))
+    )
+    mean_logp = F.when(n >= 2, sum_logp / (n - 1).cast("double")).otherwise(
+        F.lit(FALLBACK_LOGP)
+    )
     return F.exp(-mean_logp)
 
 
