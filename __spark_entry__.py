@@ -214,6 +214,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return out.select("vec_id", "is_label_issue")
 
+    def issues_prune_by_class(spark, sf):
+        df = _with_probs(_emb(spark, sf))
+        out = q_issues.find_label_issues(df, K, id_col="vec_id", filter_by="prune_by_class")
+        return out.select("vec_id", "is_label_issue")
+
+    def issues_prune_by_noise_rate(spark, sf):
+        df = _with_probs(_emb(spark, sf))
+        out = q_issues.find_label_issues(
+            df, K, id_col="vec_id", filter_by="prune_by_noise_rate"
+        )
+        return out.select("vec_id", "is_label_issue")
+
+    def top_issues_ranked(spark, sf):
+        # find_top_issues / order_label_issues (rank.py:369-461): lowest
+        # 50 self-confidence scores, ranked ascending with id tie-break
+        df = _with_probs(_emb(spark, sf))
+        scored = df.select(
+            "vec_id",
+            q_scores.self_confidence(F.col("label"), F.col("pred_probs")).alias("_s"),
+        )
+        w = Window.orderBy(F.col("_s").asc(), F.col("vec_id").asc())
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= 50)
+            .select("vec_id", "rank", F.round("_s", 6).alias("score"))
+        )
+
     def class_imbalance(spark, sf):
         df = _emb(spark, sf)
         total = df.count()
@@ -455,6 +482,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         issues_low_self_confidence=issues_low_self_confidence,
         issues_predicted_neq_given=issues_predicted_neq_given,
         issues_confident_learning=issues_confident_learning,
+        issues_prune_by_class=issues_prune_by_class,
+        issues_prune_by_noise_rate=issues_prune_by_noise_rate,
+        top_issues_ranked=top_issues_ranked,
         class_imbalance=class_imbalance,
         ood_entropy=ood_entropy,
         ood_least_confidence=ood_least_confidence,
@@ -539,6 +569,18 @@ WITH {pc}, {_TH_CTE}, {_BIN_CTE}
 SELECT vec_id,
   (n_conf >= 1 AND guess <> label AND {_BOOST_SQL} <> label) AS is_label_issue
 FROM guessed"""
+    # issues_prune_by_class / issues_prune_by_noise_rate intentionally
+    # have no oracle: their prune-count matrix needs the reference's
+    # iterative largest-remainder rounding (internal/util.py:194-248),
+    # which is not expressible in set-based SQL.  Parity is asserted
+    # against the NumPy oracle in tests/test_quality_core.py instead.
+    o["top_issues_ranked"] = f"""
+WITH {pc},
+sc AS (SELECT vec_id, p[label + 1] AS s FROM pp),
+ranked AS (
+  SELECT vec_id, row_number() OVER (ORDER BY s ASC, vec_id ASC) AS rank, s FROM sc
+)
+SELECT vec_id, rank, round(s, 6) AS score FROM ranked WHERE rank <= 50"""
     o["class_imbalance"] = f"""
 WITH t AS (SELECT count(*)::DOUBLE AS total FROM embeddings)
 SELECT label::INT AS label, count(*) AS n,

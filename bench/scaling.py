@@ -34,18 +34,17 @@ WORKER = """
 import json, sys, time
 sys.path.insert(0, {repo!r})
 from sparkclean.session import get_spark
-from sparkclean.pipeline import run_image_caption_quality
+from sparkclean.pipeline import run_image_caption_quality, run_image_caption_quality_from_path
 
 cpus = {cpus}
 n = {n}
 spark = get_spark("scaling", master=f"local[{{cpus}}]", shuffle_partitions=max(cpus*2, 16))
 spark.sparkContext.setLogLevel("ERROR")
-# warm-up: JVM + codegen on a small slice (untimed)
+# warm-up: JVM + codegen + python workers on a small slice (untimed)
 warm = spark.read.parquet({path!r}).limit(500)
 run_image_caption_quality(warm).write.format("noop").mode("overwrite").save()
 t0 = time.time()
-corpus = spark.read.parquet({path!r})
-run_image_caption_quality(corpus).write.format("noop").mode("overwrite").save()
+run_image_caption_quality_from_path(spark, {path!r}).write.format("noop").mode("overwrite").save()
 dt = time.time() - t0
 print(json.dumps({{"cpus": cpus, "secs": dt, "images_per_sec": n/dt}}))
 spark.stop()

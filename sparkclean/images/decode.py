@@ -118,6 +118,68 @@ def decode_and_project(df: DataFrame) -> DataFrame:
     return df.mapInPandas(run, schema)
 
 
+def decode_scan(spark, path: str, files_per_task: int = 1) -> DataFrame:
+    """Python-native scan variant: workers read the parquet files
+    directly with pyarrow, so the multi-KB ``bytes`` column never
+    crosses the JVM→Python socket (measured as a hard ~0.5 GB/s
+    aggregate wall in local mode; on a real cluster the same pattern
+    avoids double-materialising the payload in the JVM).
+
+    Spark still owns the file-split assignment, retries, and everything
+    downstream; this is the standard vectorized-python-reader shape for
+    binary-heavy tables.  Emits the same schema as
+    :func:`decode_and_project`.
+    """
+    import glob as _glob
+
+    import pyarrow.parquet as _pq
+
+    files = sorted(_glob.glob(f"{path.rstrip('/')}/*.parquet"))
+    if not files:
+        raise ValueError(f"no parquet files under {path}")
+    arrow_schema = _pq.read_schema(files[0])
+    narrow_cols = [n for n in arrow_schema.names if n != "bytes"]
+    spark_types = {}
+    import pyarrow as _pa
+
+    for f in arrow_schema:
+        if f.name == "bytes":
+            continue
+        t = f.type
+        if _pa.types.is_string(t) or _pa.types.is_large_string(t):
+            s = "string"
+        elif _pa.types.is_int64(t):
+            s = "bigint"
+        elif _pa.types.is_int32(t):
+            s = "int"
+        elif _pa.types.is_float64(t):
+            s = "double"
+        elif _pa.types.is_float32(t):
+            s = "float"
+        else:
+            s = t.to_pandas_dtype().__name__
+        spark_types[f.name] = s
+    schema = (
+        ", ".join(f"{c} {spark_types[c]}" for c in narrow_cols) + ", " + STATS_FIELDS
+    )
+
+    fdf = spark.createDataFrame([(f,) for f in files], "file string").repartition(
+        max(len(files) // files_per_task, 1)
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            for fname in pdf["file"]:
+                pdf_full = pq.read_table(fname).to_pandas()
+                out = {c: pdf_full[c] for c in narrow_cols}
+                out.update(_stats_for_batch(pdf_full))
+                yield pd.DataFrame(out)
+
+    return fdf.mapInPandas(run, schema)
+
+
 def with_image_issues(stats: DataFrame) -> DataFrame:
     """Flag columns from the stats (imagelab issue analogs)."""
     return (

@@ -162,6 +162,23 @@ def run_image_caption_quality(
 
     projected = with_image_issues(decode_and_project(df))
     joined = caption_scores(projected, id_col=id_col, text_col=text_col)
+    return _finalize_image_output(joined, id_col)
+
+
+def run_image_caption_quality_from_path(
+    spark, path: str, id_col: str = "image_id", text_col: str = "caption"
+) -> DataFrame:
+    """Like :func:`run_image_caption_quality` but scanning the parquet
+    corpus with the python-native reader (images.decode.decode_scan) so
+    the binary payload never crosses the JVM↔Python boundary."""
+    from .images.decode import decode_scan, with_image_issues
+
+    projected = with_image_issues(decode_scan(spark, path))
+    joined = caption_scores(projected, id_col=id_col, text_col=text_col)
+    return _finalize_image_output(joined, id_col)
+
+
+def _finalize_image_output(joined: DataFrame, id_col: str) -> DataFrame:
     image_ok = (
         F.coalesce(F.col("decode_ok"), F.lit(False))
         & F.coalesce(F.col("fmt_ok"), F.lit(False))

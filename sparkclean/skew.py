@@ -17,11 +17,26 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def ensure_parallelism(df: DataFrame, target: int | None = None) -> DataFrame:
+def ensure_parallelism(
+    df: DataFrame, target: int | None = None, max_factor: int = 4
+) -> DataFrame:
+    """Clamp partition count into [target, target·max_factor].
+
+    Too few partitions → idle cores; far too many → the multi-job
+    downstream phase (cache materialise, thresholds agg, issue count,
+    quantile, bottom-n, final write) pays driver-side task-launch
+    overhead per job × per partition, which is serial and dominated the
+    scaling profile (512-task × 8-job runs spent ~35 s in scheduling).
+    The repartition shuffles only the narrow projection — cheap and
+    fully parallel.
+    """
     sc = df.sparkSession.sparkContext
     target = target or sc.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    n = df.rdd.getNumPartitions()
+    if n < target:
         return df.repartition(target)
+    if n > target * max_factor:
+        return df.repartition(target * 2)
     return df
 
 

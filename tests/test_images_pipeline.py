@@ -120,6 +120,24 @@ def test_image_caption_pipeline(spark, corpus):
     assert leaked == 0
 
 
+def test_decode_scan_matches_dataframe_path(spark, corpus, tmp_path):
+    """The python-native parquet scan must produce identical pipeline
+    output to the JVM-scan path."""
+    from sparkclean.pipeline import run_image_caption_quality_from_path
+
+    path = str(tmp_path / "corpus")
+    corpus.repartition(8).write.parquet(path)
+    a = (
+        run_image_caption_quality(spark.read.parquet(path))
+        .orderBy("image_id")
+        .collect()
+    )
+    b = run_image_caption_quality_from_path(spark, path).orderBy("image_id").collect()
+    assert len(a) == len(b) == N
+    for ra, rb in zip(a, b):
+        assert ra == rb
+
+
 def test_checkpoint_resume(spark, corpus, tmp_path):
     out_dir = str(tmp_path / "ckpt")
     scored = run_image_caption_quality(corpus)
