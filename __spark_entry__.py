@@ -188,6 +188,100 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .agg(F.count(F.lit(1)).alias("n"))
         )
 
+    def confident_joint_calibrated(spark, sf):
+        from sparkclean.quality.joint import compute_confident_joint
+
+        df = _with_probs(_emb(spark, sf))
+        cj = compute_confident_joint(df, K, calibrate=True)
+        rows = [(s, y, int(cj[s, y])) for s in range(K) for y in range(K)]
+        return spark.createDataFrame(rows, "given_label: int, true_label: int, n: long")
+
+    def _joint_and_n(spark, sf):
+        import numpy as np
+
+        from sparkclean.quality.joint import compute_confident_joint
+
+        df = _with_probs(_emb(spark, sf))
+        cj = compute_confident_joint(df, K, calibrate=True)
+        return cj / np.clip(cj.sum(), 1e-100, None), int(cj.sum())
+
+    def label_health_score(spark, sf):
+        from sparkclean.quality.matrix_ops import overall_label_health_score
+
+        joint, _ = _joint_and_n(spark, sf)
+        return spark.createDataFrame(
+            [(round(overall_label_health_score(joint), 6),)], "health_score: double"
+        )
+
+    def rank_classes(spark, sf):
+        from sparkclean.quality.matrix_ops import rank_classes_by_label_quality
+
+        joint, n = _joint_and_n(spark, sf)
+        rows = [
+            (
+                int(r["class_index"]),
+                int(r["num_label_issues"]),
+                int(r["num_inverse_issues"]),
+                float(round(r["label_noise"], 6)),
+                float(round(r["label_quality_score"], 6)),
+            )
+            for r in rank_classes_by_label_quality(joint, n)
+        ]
+        return spark.createDataFrame(
+            rows,
+            "class_index: int, num_label_issues: long, num_inverse_issues: long, "
+            "label_noise: double, label_quality_score: double",
+        )
+
+    def overlapping_classes(spark, sf):
+        from sparkclean.quality.matrix_ops import find_overlapping_classes
+
+        joint, n = _joint_and_n(spark, sf)
+        rows = [
+            (
+                int(r["class_a"]),
+                int(r["class_b"]),
+                int(r["num_overlapping_examples"]),
+                float(round(r["joint_probability"], 6)),
+            )
+            for r in find_overlapping_classes(joint, n)
+        ]
+        return spark.createDataFrame(
+            rows,
+            "class_a: int, class_b: int, num_overlapping_examples: long, "
+            "joint_probability: double",
+        )
+
+    def ood_knn_distance(spark, sf):
+        df = _emb(spark, sf).select("vec_id", "embedding")
+        a = df.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("_qa"))
+        b = df.select(F.col("vec_id").alias("nid"), F.col("embedding").alias("_nb"))
+        dist = F.sqrt(
+            F.aggregate(
+                F.zip_with(
+                    F.col("_qa"),
+                    F.col("_nb"),
+                    lambda x, y: (x.cast("double") - y.cast("double"))
+                    * (x.cast("double") - y.cast("double")),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+        )
+        pairs = a.join(b, F.col("qid") != F.col("nid")).withColumn("_d", dist)
+        w = Window.partitionBy("qid").orderBy(F.col("_d").asc(), F.col("nid").asc())
+        avg_d = (
+            pairs.withColumn("_rk", F.row_number().over(w))
+            .where(F.col("_rk") <= 10)
+            .groupBy("qid")
+            .agg(F.avg("_d").alias("avg_dist"))
+        )
+        med = avg_d.agg(F.expr("percentile(avg_dist, 0.5)")).collect()[0][0]
+        return avg_d.select(
+            F.col("qid").alias("vec_id"),
+            F.round(F.exp(-F.col("avg_dist") / F.lit(float(med))), 6).alias("score"),
+        )
+
     def num_label_issues_q(spark, sf):
         df = _with_probs(_emb(spark, sf))
         n = q_issues.num_label_issues(df, K)
@@ -478,6 +572,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         entropy_scores=entropy_scores,
         confident_thresholds=confident_thresholds,
         confident_joint_raw=confident_joint_raw,
+        confident_joint_calibrated=confident_joint_calibrated,
+        label_health_score=label_health_score,
+        rank_classes=rank_classes,
+        overlapping_classes=overlapping_classes,
+        ood_knn_distance=ood_knn_distance,
         num_label_issues=num_label_issues_q,
         issues_low_self_confidence=issues_low_self_confidence,
         issues_predicted_neq_given=issues_predicted_neq_given,
@@ -544,6 +643,83 @@ FROM range(0, {K}) r(k) LEFT JOIN th0 ON th0.k = r.k"""
 WITH {pc}, {_TH_CTE}, {_BIN_CTE}
 SELECT label AS given_label, guess::INT AS true_label_guess, count(*) AS n
 FROM guessed WHERE n_conf >= 1 GROUP BY 1, 2"""
+    # Calibrated confident joint in pure SQL: diagonal clip, row scaling
+    # to label counts, global scaling to N, then single-pass
+    # largest-remainder rounding with (residual, index) tie order —
+    # round_even matches numpy banker's rounding; |target - Σround| ≤ K/2
+    # so one adjustment pass is exact (count.py:221-291 +
+    # internal/util.py:194-248 semantics).
+    _CAL_CTE = f"""
+cjraw AS (
+  SELECT label AS s, guess AS y, count(*) AS n FROM guessed WHERE n_conf >= 1 GROUP BY 1, 2
+), dense AS (
+  SELECT r.k::INT AS s, c.k::INT AS y,
+         (CASE WHEN r.k = c.k THEN greatest(coalesce(cj.n, 0), 1)
+               ELSE coalesce(cj.n, 0) END)::DOUBLE AS n1
+  FROM range(0, {K}) r(k) CROSS JOIN range(0, {K}) c(k)
+  LEFT JOIN cjraw cj ON cj.s = r.k AND cj.y = c.k
+), lc AS (
+  SELECT r.k::INT AS s, coalesce(t.cnt, 0)::DOUBLE AS lc
+  FROM range(0, {K}) r(k)
+  LEFT JOIN (SELECT label AS s, count(*) AS cnt FROM embeddings GROUP BY 1) t ON t.s = r.k
+), rsum AS (SELECT s, sum(n1) AS rs FROM dense GROUP BY 1),
+scaledj AS (
+  SELECT d.s, d.y, (d.n1 / greatest(rsum.rs, 1e-100)) * lc.lc AS x
+  FROM dense d JOIN rsum USING (s) JOIN lc USING (s)
+), tt AS (SELECT greatest(sum(x), 1e-100) AS t FROM scaledj),
+nn AS (SELECT sum(lc) AS n FROM lc),
+scaled2 AS (SELECT s, y, (x / tt.t) * nn.n AS x FROM scaledj CROSS JOIN tt CROSS JOIN nn),
+intsj AS (SELECT s, y, x, round_even(x, 0) AS r FROM scaled2),
+rtj AS (SELECT s, round_even(sum(x), 0) AS target, sum(r) AS rsumr FROM intsj GROUP BY 1),
+adjj AS (
+  SELECT i.s, i.y, i.r, rtj.target - rtj.rsumr AS d,
+         row_number() OVER (PARTITION BY i.s ORDER BY (i.x - i.r) DESC, i.y ASC) AS rk_up,
+         row_number() OVER (PARTITION BY i.s ORDER BY (i.x - i.r) ASC, i.y ASC) AS rk_dn
+  FROM intsj i JOIN rtj USING (s)
+), cal AS (
+  SELECT s, y,
+         (r + CASE WHEN d > 0 AND rk_up <= d THEN 1
+                   WHEN d < 0 AND rk_dn <= -d THEN -1 ELSE 0 END)::BIGINT AS n
+  FROM adjj
+)"""
+    o["confident_joint_calibrated"] = f"""
+WITH {pc}, {_TH_CTE}, {_BIN_CTE}, {_CAL_CTE.lstrip()}
+SELECT s AS given_label, y AS true_label, n FROM cal"""
+    o["label_health_score"] = f"""
+WITH {pc}, {_TH_CTE}, {_BIN_CTE}, {_CAL_CTE.lstrip()}
+SELECT round(sum(CASE WHEN s = y THEN n ELSE 0 END)::DOUBLE / sum(n), 6) AS health_score FROM cal"""
+    o["rank_classes"] = f"""
+WITH {pc}, {_TH_CTE}, {_BIN_CTE}, {_CAL_CTE.lstrip()},
+rows_ AS (SELECT s, sum(n) AS rowsum, sum(CASE WHEN s = y THEN n ELSE 0 END) AS diag FROM cal GROUP BY 1),
+cols_ AS (SELECT y, sum(n) AS colsum FROM cal GROUP BY 1)
+SELECT r.s AS class_index,
+       (r.rowsum - r.diag)::BIGINT AS num_label_issues,
+       (c.colsum - r.diag)::BIGINT AS num_inverse_issues,
+       round(1.0 - CASE WHEN r.rowsum > 0 THEN r.diag::DOUBLE / r.rowsum ELSE 0.0 END, 6) AS label_noise,
+       round(CASE WHEN r.rowsum > 0 THEN r.diag::DOUBLE / r.rowsum ELSE 0.0 END, 6) AS label_quality_score
+FROM rows_ r JOIN cols_ c ON c.y = r.s"""
+    o["overlapping_classes"] = f"""
+WITH {pc}, {_TH_CTE}, {_BIN_CTE}, {_CAL_CTE.lstrip()},
+tot2 AS (SELECT sum(n)::DOUBLE AS n FROM cal)
+SELECT a.s AS class_a, a.y AS class_b,
+       (a.n + b.n)::BIGINT AS num_overlapping_examples,
+       round((a.n + b.n) / t.n, 6) AS joint_probability
+FROM cal a JOIN cal b ON a.s = b.y AND a.y = b.s AND a.s < a.y
+CROSS JOIN tot2 t"""
+    o["ood_knn_distance"] = """
+WITH pairs AS (
+  SELECT a.vec_id AS qid, b.vec_id AS nid,
+         sqrt(list_aggregate(list_transform(range(1, len(a.embedding) + 1),
+           i -> (a.embedding[i]::DOUBLE - b.embedding[i]::DOUBLE)
+              * (a.embedding[i]::DOUBLE - b.embedding[i]::DOUBLE)), 'sum')) AS d
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+), ranked AS (
+  SELECT qid, d, row_number() OVER (PARTITION BY qid ORDER BY d ASC, nid ASC) AS rk FROM pairs
+), avgd AS (
+  SELECT qid, avg(d) AS avg_dist FROM ranked WHERE rk <= 10 GROUP BY 1
+), med AS (SELECT quantile_cont(avg_dist, 0.5) AS m FROM avgd)
+SELECT qid AS vec_id, round(exp(-avg_dist / med.m), 6) AS score
+FROM avgd CROSS JOIN med"""
     o["num_label_issues"] = f"""
 WITH {pc}, {_TH_CTE}, {_BIN_CTE}
 SELECT count(*) FILTER (

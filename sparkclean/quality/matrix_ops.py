@@ -30,8 +30,11 @@ def round_preserving_sum(values: np.ndarray) -> np.ndarray:
         n_changes = min(int(abs(gap)), vals.size)
         # residual = how much each entry was rounded *down*; bump the most
         # under-rounded entries first when stepping up (and vice versa).
+        # Ties broken by lower index (deterministic total order; the
+        # reference leaves tie order unspecified — unstable argsort).
         residual = vals - out
-        order = np.argsort(residual)[::-step][:n_changes]
+        idx = np.arange(vals.size)
+        order = np.lexsort((idx, -step * residual))[:n_changes]
         out[order] += step
     return out.astype(int)
 

@@ -84,7 +84,8 @@ def _round_preserving_sum(vals):
     while abs(out.sum().round() - target) > 1e-6:
         gap = np.round(target - out.sum().round())
         step = 1 if gap > 0 else -1
-        idx = np.argsort(vals - out)[::-step][: min(int(abs(gap)), vals.size)]
+        resid = vals - out
+        idx = np.lexsort((np.arange(vals.size), -step * resid))[: min(int(abs(gap)), vals.size)]
         out[idx] += step
     return out.astype(int)
 
