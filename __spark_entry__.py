@@ -252,6 +252,72 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "joint_probability: double",
         )
 
+    def _latent(spark, sf):
+        from sparkclean.quality.joint import compute_confident_joint, label_counts
+        from sparkclean.quality.matrix_ops import estimate_latent
+
+        df = _with_probs(_emb(spark, sf))
+        cj = compute_confident_joint(df, K, calibrate=True)
+        counts = label_counts(df, K)
+        return estimate_latent(cj, counts)
+
+    def noise_matrix_estimate(spark, sf):
+        _, nm, _ = _latent(spark, sf)
+        rows = [
+            (s, y, float(round(nm[s, y], 6))) for s in range(K) for y in range(K)
+        ]
+        return spark.createDataFrame(rows, "noisy_label: int, true_label: int, p: double")
+
+    def inv_noise_matrix_estimate(spark, sf):
+        _, _, inv = _latent(spark, sf)
+        rows = [
+            (y, s, float(round(inv[y, s], 6))) for y in range(K) for s in range(K)
+        ]
+        return spark.createDataFrame(rows, "true_label: int, noisy_label: int, p: double")
+
+    def latent_prior(spark, sf):
+        py, _, _ = _latent(spark, sf)
+        return spark.createDataFrame(
+            [(k, float(round(py[k], 6))) for k in range(K)], "k: int, py: double"
+        )
+
+    def cleanlearning_class_weights(spark, sf):
+        # CleanLearning.fit sample weights: 1 / max(nm[k,k], 1e-3)
+        # (classification.py:527-543)
+        _, nm, _ = _latent(spark, sf)
+        return spark.createDataFrame(
+            [(k, float(round(1.0 / max(nm[k, k], 1e-3), 6))) for k in range(K)],
+            "k: int, sample_weight: double",
+        )
+
+    def ensemble_accuracy_weighted(spark, sf):
+        # rank.py:158-366 weight_ensemble_members_by="accuracy":
+        # weight_m ∝ avg(argmax(P_m) == label)
+        a = _with_probs(_emb(spark, sf), lo=1).withColumnRenamed("pred_probs", "_pa")
+        b = _with_probs(a, lo=11).withColumnRenamed("pred_probs", "_pb")
+        label = F.col("label").cast("int")
+        accs = b.agg(
+            F.avg((q_scores.predicted_label(F.col("_pa")) == label).cast("double")).alias("a1"),
+            F.avg((q_scores.predicted_label(F.col("_pb")) == label).cast("double")).alias("a2"),
+        ).collect()[0]
+        w1, w2 = accs["a1"], accs["a2"]
+        tot = (w1 + w2) or 1.0
+        w1, w2 = w1 / tot, w2 / tot
+        sc = (
+            q_scores.self_confidence(label, F.col("_pa")) * F.lit(float(w1))
+            + q_scores.self_confidence(label, F.col("_pb")) * F.lit(float(w2))
+        )
+        return b.select("vec_id", F.round(sc, 6).alias("score"))
+
+    def multilabel_confident_joint(spark, sf):
+        from sparkclean.quality.joint import multilabel_confident_joint_counts
+
+        df = _with_probs(_emb(spark, sf)).withColumn(
+            "labels",
+            F.array_sort(F.array(F.col("label").cast("int"), (F.col("label") + 3) % 10)),
+        )
+        return multilabel_confident_joint_counts(df, K, "labels", "pred_probs")
+
     def ood_knn_distance(spark, sf):
         df = _emb(spark, sf).select("vec_id", "embedding")
         a = df.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("_qa"))
@@ -576,6 +642,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         label_health_score=label_health_score,
         rank_classes=rank_classes,
         overlapping_classes=overlapping_classes,
+        noise_matrix_estimate=noise_matrix_estimate,
+        inv_noise_matrix_estimate=inv_noise_matrix_estimate,
+        latent_prior=latent_prior,
+        cleanlearning_class_weights=cleanlearning_class_weights,
+        ensemble_accuracy_weighted=ensemble_accuracy_weighted,
+        multilabel_confident_joint=multilabel_confident_joint,
         ood_knn_distance=ood_knn_distance,
         num_label_issues=num_label_issues_q,
         issues_low_self_confidence=issues_low_self_confidence,
@@ -706,6 +778,103 @@ SELECT a.s AS class_a, a.y AS class_b,
        round((a.n + b.n) / t.n, 6) AS joint_probability
 FROM cal a JOIN cal b ON a.s = b.y AND a.y = b.s AND a.s < a.y
 CROSS JOIN tot2 t"""
+    # latent estimation CTEs on top of the calibrated joint
+    _LATENT_CTE = f"""
+lcnt AS (
+  SELECT r.k::INT AS k, coalesce(t.cnt, 0)::DOUBLE AS cnt FROM range(0, {K}) r(k)
+  LEFT JOIN (SELECT label, count(*) AS cnt FROM embeddings GROUP BY 1) t ON t.label = r.k
+), ntot AS (SELECT sum(cnt) AS n FROM lcnt),
+colsums AS (SELECT y, sum(n)::DOUBLE AS cs FROM cal GROUP BY 1),
+rowsums AS (SELECT s, sum(n)::DOUBLE AS rw FROM cal GROUP BY 1),
+nm0 AS (SELECT c.s, c.y, c.n::DOUBLE / greatest(cs.cs, 1e-100) AS v FROM cal c JOIN colsums cs USING (y)),
+inv0 AS (SELECT c.y, c.s, c.n::DOUBLE / greatest(rw.rw, 1e-100) AS v FROM cal c JOIN rowsums rw USING (s)),
+nmc0 AS (
+  SELECT s, y, v,
+         CASE WHEN s = y THEN least(greatest(v, 1e-5), 1.0)
+              ELSE least(greatest(v, 0.0), 0.9999) END AS v2
+  FROM nm0
+), nmt AS (SELECT y, sum(v) AS t0, sum(v2) AS t1 FROM nmc0 GROUP BY 1),
+nm AS (
+  SELECT s, y, CASE WHEN t1 > 0 AND t0 > 0 THEN v2 * (t0 / t1) ELSE v2 END AS v
+  FROM nmc0 JOIN nmt USING (y)
+), invc0 AS (
+  SELECT y, s, v,
+         CASE WHEN s = y THEN least(greatest(v, 1e-5), 1.0)
+              ELSE least(greatest(v, 0.0), 0.9999) END AS v2
+  FROM inv0
+), invt AS (SELECT s, sum(v) AS t0, sum(v2) AS t1 FROM invc0 GROUP BY 1),
+inv AS (
+  SELECT y, s, CASE WHEN t1 > 0 AND t0 > 0 THEN v2 * (t0 / t1) ELSE v2 END AS v
+  FROM invc0 JOIN invt USING (s)
+), py0 AS (
+  SELECT l.k,
+         ((c.n::DOUBLE / greatest(rw.rw, 1e-100))
+          / greatest(c.n::DOUBLE / greatest(cs.cs, 1e-100), 1e-100))
+         * (l.cnt / nt.n) AS v
+  FROM lcnt l
+  JOIN cal c ON c.s = l.k AND c.y = l.k
+  JOIN rowsums rw ON rw.s = l.k
+  JOIN colsums cs ON cs.y = l.k
+  CROSS JOIN ntot nt
+), pyc AS (SELECT k, least(greatest(v, 1e-5), 1.0) AS v FROM py0),
+pys AS (SELECT sum(v) AS t FROM pyc),
+py AS (SELECT k, pyc.v * (1.0 / pys.t) AS v FROM pyc CROSS JOIN pys)"""
+    _FULL_CHAIN = f"WITH {pc}, {_TH_CTE}, {_BIN_CTE}, {_CAL_CTE.lstrip()}, {_LATENT_CTE.lstrip()}"
+    o["noise_matrix_estimate"] = f"""
+{_FULL_CHAIN}
+SELECT s AS noisy_label, y AS true_label, round(v, 6) AS p FROM nm"""
+    o["inv_noise_matrix_estimate"] = f"""
+{_FULL_CHAIN}
+SELECT y AS true_label, s AS noisy_label, round(v, 6) AS p FROM inv"""
+    o["latent_prior"] = f"""
+{_FULL_CHAIN}
+SELECT k, round(v, 6) AS py FROM py"""
+    o["cleanlearning_class_weights"] = f"""
+{_FULL_CHAIN}
+SELECT s AS k, round(1.0 / greatest(v, 0.001), 6) AS sample_weight FROM nm WHERE s = y"""
+
+    pc2e = _probs_cte(lo=11, sfx="2")
+    o["ensemble_accuracy_weighted"] = f"""
+WITH {pc}, {pc2e.lstrip()},
+joined AS (
+  SELECT pp.vec_id, pp.label, pp.p AS pa, pp2.p AS pb FROM pp JOIN pp2 USING (vec_id)
+), accs AS (
+  SELECT avg(CASE WHEN list_position(pa, list_max(pa)) - 1 = label THEN 1.0 ELSE 0.0 END) AS a1,
+         avg(CASE WHEN list_position(pb, list_max(pb)) - 1 = label THEN 1.0 ELSE 0.0 END) AS a2
+  FROM joined
+), w AS (SELECT a1 / (a1 + a2) AS w1, a2 / (a1 + a2) AS w2 FROM accs)
+SELECT j.vec_id,
+       round(j.pa[j.label + 1] * w.w1 + j.pb[j.label + 1] * w.w2, 6) AS score
+FROM joined j CROSS JOIN w"""
+
+    o["multilabel_confident_joint"] = f"""
+WITH {pc},
+ml AS (SELECT vec_id, label, p, list_sort([label::INT, ((label + 3) % 10)::INT]) AS ls FROM pp),
+ex AS (
+  SELECT vec_id, r.k::INT AS k,
+         CASE WHEN list_contains(ls, r.k::INT) THEN 1 ELSE 0 END AS yk,
+         p[r.k + 1] AS pk
+  FROM ml CROSS JOIN range(0, {K}) r(k)
+), scb AS (SELECT *, CASE WHEN yk = 1 THEN pk ELSE 1.0 - pk END AS scv FROM ex),
+thb AS (
+  SELECT k,
+         coalesce(max(CASE WHEN yk = 0 THEN t END), 2.0) AS t0,
+         coalesce(max(CASE WHEN yk = 1 THEN t END), 2.0) AS t1
+  FROM (SELECT k, yk, greatest(avg(scv), 2e-6) AS t FROM scb GROUP BY 1, 2)
+  GROUP BY k
+), jb AS (SELECT s.*, thb.t0, thb.t1 FROM scb s JOIN thb USING (k)),
+gb AS (
+  SELECT k, yk,
+         CASE WHEN (CASE WHEN 1.0 - pk >= t0 - {FPC} THEN 1 ELSE 0 END)
+                 + (CASE WHEN pk >= t1 - {FPC} THEN 1 ELSE 0 END) > 1
+              THEN CASE WHEN 1.0 - pk >= pk THEN 0 ELSE 1 END
+              WHEN 1.0 - pk >= t0 - {FPC} THEN 0
+              WHEN pk >= t1 - {FPC} THEN 1
+              ELSE -1 END AS gk
+  FROM jb
+)
+SELECT k AS class_k, yk AS given_k, gk AS true_k, count(*) AS n
+FROM gb WHERE gk >= 0 GROUP BY 1, 2, 3"""
     o["ood_knn_distance"] = """
 WITH pairs AS (
   SELECT a.vec_id AS qid, b.vec_id AS nid,

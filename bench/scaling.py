@@ -47,7 +47,11 @@ t0 = time.time()
 run_image_caption_quality_from_path(spark, {path!r}).write.format("noop").mode("overwrite").save()
 dt = time.time() - t0
 print(json.dumps({{"cpus": cpus, "secs": dt, "images_per_sec": n/dt}}))
-spark.stop()
+sys.stdout.flush()
+try:
+    spark.stop()
+except Exception:
+    pass
 """
 
 
@@ -70,9 +74,11 @@ def run_config(cpus: int, n: int, path: str) -> dict:
     if os.path.exists("/usr/bin/taskset"):
         cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
     out = subprocess.run(cmd, capture_output=True, text=True, timeout=1800)
-    if out.returncode != 0:
+    lines = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
+    if not lines:
         raise RuntimeError(out.stderr[-2000:])
-    return json.loads(out.stdout.strip().splitlines()[-1])
+    # shutdown races after the result line are tolerated
+    return json.loads(lines[-1])
 
 
 def main():

@@ -108,6 +108,69 @@ def compute_confident_joint(
     return cj
 
 
+def multilabel_confident_joint_counts(
+    df: DataFrame,
+    num_classes: int,
+    labels_col: str = "labels",
+    probs_col: str = "pred_probs",
+) -> DataFrame:
+    """One-vs-rest multilabel confident joint (count.py:625-712 via
+    stack_complement, internal/multilabel_utils.py:22-41): for every
+    class k the problem becomes binary with labels ``k ∈ labels`` and
+    probabilities ``[1-p_k, p_k]``; the binary confident-joint rule is
+    applied per class in ONE distributed pass (posexplode over classes,
+    one groupBy — no K-iteration driver loop).
+
+    Returns (class, given_k, true_k, n) with given/true ∈ {0,1}.
+    """
+    k_seq = F.sequence(F.lit(0), F.lit(num_classes - 1))
+    exploded = df.select(
+        F.col(labels_col).alias("_ls"),
+        F.col(probs_col).alias("_p"),
+        F.explode(k_seq).alias("_k"),
+    ).select(
+        "_k",
+        F.array_contains(F.col("_ls"), F.col("_k")).cast("int").alias("_y"),
+        F.element_at("_p", F.col("_k") + 1).cast("double").alias("_pk"),
+    )
+    # binary self-confidence: p of the given binary class
+    sc = F.when(F.col("_y") == 1, F.col("_pk")).otherwise(F.lit(1.0) - F.col("_pk"))
+    exploded = exploded.withColumn("_sc", sc)
+    th = (
+        exploded.groupBy("_k", "_y")
+        .agg(F.greatest(F.avg("_sc"), F.lit(2e-6)).alias("_t"))
+        .groupBy("_k")
+        .agg(
+            F.coalesce(
+                F.max(F.when(F.col("_y") == 0, F.col("_t"))), F.lit(2.0)
+            ).alias("_t0"),
+            F.coalesce(
+                F.max(F.when(F.col("_y") == 1, F.col("_t"))), F.lit(2.0)
+            ).alias("_t1"),
+        )
+    )
+    j = exploded.join(F.broadcast(th), "_k")
+    p0 = F.lit(1.0) - F.col("_pk")
+    b0 = p0 >= F.col("_t0") - F.lit(FLOATING_POINT_COMPARISON)
+    b1 = F.col("_pk") >= F.col("_t1") - F.lit(FLOATING_POINT_COMPARISON)
+    n_conf = b0.cast("int") + b1.cast("int")
+    # >1 confident → argmax of [1-p, p] (first max wins at ties → class 0)
+    argmax = F.when(p0 >= F.col("_pk"), F.lit(0)).otherwise(F.lit(1))
+    first_bin = F.when(b0, F.lit(0)).otherwise(F.lit(1))
+    guess = F.when(n_conf > 1, argmax).when(n_conf == 1, first_bin).otherwise(F.lit(-1))
+    out = (
+        j.withColumn("_g", guess)
+        .where(F.col("_g") >= 0)
+        .groupBy(
+            F.col("_k").alias("class_k"),
+            F.col("_y").alias("given_k"),
+            F.col("_g").alias("true_k"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return out
+
+
 def estimate_joint(
     df: DataFrame,
     num_classes: int,
