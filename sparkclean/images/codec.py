@@ -88,7 +88,7 @@ def phash64(pixels: np.ndarray) -> int:
     """Perceptual-hash surrogate: 8×8 block-mean luma thresholded at its
     mean → 64 bits. Identical pixels → identical hash; robust to the
     jpeg quantisation."""
-    luma = pixels.astype(np.float64).mean(axis=2)
+    luma = pixels.mean(axis=2, dtype=np.float32)
     h, w = luma.shape
     if h % 8 == 0 and w % 8 == 0:
         # uniform blocks → one vectorised reshape-mean (identical values

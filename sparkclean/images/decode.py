@@ -74,17 +74,20 @@ def _stats_for_batch(pdf: pd.DataFrame) -> dict[str, np.ndarray]:
             err = codec.JPEG_Q / np.sqrt(12.0)
             out["psnr_db"][i] = float(10 * np.log10(255.0**2 / err**2))
         out["phash_recomputed"][i] = codec.phash64(px)
-        luma = px.astype(np.float64).mean(axis=2)
-        out["brightness"][i] = float(luma.mean())
-        out["pixel_std"][i] = float(luma.std())
+        # float32 throughout: the decode stage is memory-bandwidth bound
+        # at high worker counts (float64 doubled the traffic and capped
+        # aggregate throughput); stat precision of 1e-4 is ample for the
+        # dark/light/blur thresholds.
+        luma = px.mean(axis=2, dtype=np.float32)
+        out["brightness"][i] = float(luma.mean(dtype=np.float64))
+        out["pixel_std"][i] = float(luma.std(dtype=np.float64))
         out["aspect_ratio"][i] = float(max(w, h) / max(min(w, h), 1))
-        out["is_grayscale"][i] = bool(
-            np.abs(px[:, :, 0].astype(int) - px[:, :, 1]).max() < 2
-            and np.abs(px[:, :, 1].astype(int) - px[:, :, 2]).max() < 2
-        )
+        d01 = np.abs(px[:, :, 0].astype(np.int16) - px[:, :, 1]).max()
+        d12 = np.abs(px[:, :, 1].astype(np.int16) - px[:, :, 2]).max()
+        out["is_grayscale"][i] = bool(d01 < 2 and d12 < 2)
         gy = np.diff(luma, n=2, axis=0)
         gx = np.diff(luma, n=2, axis=1)
-        out["blur_score"][i] = float(gy.var() + gx.var())
+        out["blur_score"][i] = float(gy.var(dtype=np.float64) + gx.var(dtype=np.float64))
     return out
 
 
@@ -118,7 +121,9 @@ def decode_and_project(df: DataFrame) -> DataFrame:
     return df.mapInPandas(run, schema)
 
 
-def decode_scan(spark, path: str, files_per_task: int = 1) -> DataFrame:
+def decode_scan(
+    spark, path: str, files_per_task: int = 1, with_caption_features: bool = False
+) -> DataFrame:
     """Python-native scan variant: workers read the parquet files
     directly with pyarrow, so the multi-KB ``bytes`` column never
     crosses the JVM→Python socket (measured as a hard ~0.5 GB/s
@@ -162,6 +167,13 @@ def decode_scan(spark, path: str, files_per_task: int = 1) -> DataFrame:
     schema = (
         ", ".join(f"{c} {spark_types[c]}" for c in narrow_cols) + ", " + STATS_FIELDS
     )
+    if with_caption_features:
+        schema += (
+            ", n_chars bigint, n_words bigint, digit_ratio double, alpha_ratio double,"
+            " punct_ratio double, upper_ratio double, repetition_ratio double,"
+            " stopword_ratio double, pred_lang string, ppl double,"
+            " label int, pred_probs array<double>"
+        )
 
     fdf = spark.createDataFrame([(f,) for f in files], "file string").repartition(
         max(len(files) // files_per_task, 1)
@@ -175,6 +187,14 @@ def decode_scan(spark, path: str, files_per_task: int = 1) -> DataFrame:
                 pdf_full = pq.read_table(fname).to_pandas()
                 out = {c: pdf_full[c] for c in narrow_cols}
                 out.update(_stats_for_batch(pdf_full))
+                if with_caption_features:
+                    from ..text.fast import caption_features_batch, label_and_probs_batch
+
+                    feats = caption_features_batch(pdf_full["caption"].tolist())
+                    label, probs = label_and_probs_batch(feats)
+                    out.update(feats)
+                    out["label"] = label
+                    out["pred_probs"] = list(probs)
                 yield pd.DataFrame(out)
 
     return fdf.mapInPandas(run, schema)

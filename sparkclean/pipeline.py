@@ -99,26 +99,35 @@ def caption_scores(
     projection.  All aggregations are map-side partial; nothing wide
     shuffles.
     """
-    feats = _with_label_and_probs(_features(df, text_col))
+    if "label" in df.columns and "pred_probs" in df.columns:
+        # fast path: features + pseudo-labels already computed upstream
+        # (e.g. inside the decode_scan Arrow pass — text.fast)
+        feats = df
+    else:
+        feats = _with_label_and_probs(_features(df, text_col))
     feats = feats.persist()
 
     thresholds = get_confident_thresholds(feats, NUM_CLASSES)
     t_arr = F.array(*[F.lit(float(t)) for t in thresholds])
 
-    # fast-path issue count (label_issues_batched thorough=False)
+    # fast-path issue count (label_issues_batched thorough=False),
+    # fused with the row count in a single aggregation pass
     am = predicted_label(F.col("pred_probs"))
     confident_neq = (
         F.array_max(F.col("pred_probs"))
         >= F.element_at(t_arr, am + 1) - F.lit(FLOATING_POINT_COMPARISON)
     ) & (am != F.col("label"))
-    n_issues = int(
-        feats.agg(F.sum(F.when(confident_neq, 1).otherwise(0))).collect()[0][0] or 0
-    )
+    agg_row = feats.agg(
+        F.sum(F.when(confident_neq, 1).otherwise(0)).alias("_n_issues"),
+        F.count(F.lit(1)).alias("_total"),
+    ).collect()[0]
+    n_issues = int(agg_row["_n_issues"] or 0)
+    total = int(agg_row["_total"])
 
     scored = feats.withColumn(
         "quality_score", self_confidence(F.col("label"), F.col("pred_probs"))
     ).persist()
-    flagged = bottom_n_flags(scored, n_issues, "quality_score", id_col)
+    flagged = bottom_n_flags(scored, n_issues, "quality_score", id_col, total=total)
     feats.unpersist()
     flagged = flagged.withColumn(
         "is_label_issue",
@@ -166,14 +175,23 @@ def run_image_caption_quality(
 
 
 def run_image_caption_quality_from_path(
-    spark, path: str, id_col: str = "image_id", text_col: str = "caption"
+    spark, path: str, id_col: str = "image_id", text_col: str = "caption",
+    fast_captions: bool = True,
 ) -> DataFrame:
     """Like :func:`run_image_caption_quality` but scanning the parquet
     corpus with the python-native reader (images.decode.decode_scan) so
-    the binary payload never crosses the JVM↔Python boundary."""
-    from .images.decode import decode_scan, with_image_issues
+    the binary payload never crosses the JVM↔Python boundary.
 
-    projected = with_image_issues(decode_scan(spark, path))
+    ``fast_captions=True`` additionally computes the caption features +
+    pseudo-labels inside the same Arrow pass (text.fast) — the
+    north-star dataflow: decode, langid, perplexity and heuristics all
+    in one vectorized Python stage, keep/drop + scrub in Catalyst.
+    """
+    from .images.decode import decode_scan, with_image_issues
+    from .skew import ensure_parallelism
+
+    scanned = decode_scan(spark, path, with_caption_features=fast_captions)
+    projected = with_image_issues(ensure_parallelism(scanned))
     joined = caption_scores(projected, id_col=id_col, text_col=text_col)
     return _finalize_image_output(joined, id_col)
 

@@ -101,16 +101,21 @@ def bottom_n_flags(
     score_col: str,
     id_col: str,
     flag_col: str = "is_label_issue",
+    total: int | None = None,
 ) -> DataFrame:
     """Flag exactly the n smallest rows by (score, id) total order.
 
     Scale strategy: a global single-partition window would serialise the
-    whole table through one task, so instead we (1) bound a quantile band
-    around the cutoff with ``approxQuantile``, (2) hard-flag everything
-    below the band, and (3) rank only the (small) band.  At 100 TB the band
-    is ~2·err·N rows, independent of n.
+    whole table through one task.  Instead: (1) bound a quantile band
+    around the cutoff with ``approxQuantile``; (2) rows strictly below
+    the band are flagged by predicate alone; (3) only the (small) band
+    is ranked; (4) the result is a three-branch union of disjoint
+    filters — no join, no broadcast, each branch one pass over the
+    (cached) input.  At 100 TB the band is ~2·err·N rows, independent
+    of n.
     """
-    total = df.count()
+    if total is None:
+        total = df.count()
     if n <= 0:
         return df.withColumn(flag_col, F.lit(False))
     if n >= total:
@@ -121,25 +126,39 @@ def bottom_n_flags(
     lo_q, hi_q = max(0.0, frac - 2 * err), min(1.0, frac + 2 * err)
     lo, hi = df.approxQuantile(score_col, [lo_q, hi_q], err / 2)
 
-    below = df.where(F.col(score_col) < lo)
-    c_below = below.count()
+    c_below = df.where(F.col(score_col) < lo).count()
     if c_below > n:
         # quantile estimate overshot (heavy ties) — fall back to full rank
         lo, c_below = float("-inf"), 0
 
+    # rank only the small band to find the exact n-th (score, id) cutoff,
+    # then flag with a pure predicate — zero joins, one final pass
     band = df.where((F.col(score_col) >= lo) & (F.col(score_col) <= hi))
     w = Window.orderBy(F.col(score_col).asc(), F.col(id_col).asc())
-    band_flagged = band.withColumn("_rn", F.row_number().over(w)).where(
-        F.col("_rn") <= F.lit(n - c_below)
+    r = n - c_below
+    if r <= 0:
+        return df.withColumn(flag_col, F.col(score_col) < F.lit(lo))
+    cut = (
+        band.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == F.lit(r))
+        .select(score_col, id_col)
+        .collect()
     )
-    flagged_ids = below.select(id_col).union(band_flagged.select(id_col))
-    return df.join(
-        F.broadcast(flagged_ids.withColumn(flag_col, F.lit(True)))
-        if n < 1_000_000
-        else flagged_ids.withColumn(flag_col, F.lit(True)),
-        on=id_col,
-        how="left",
-    ).fillna({flag_col: False})
+    if not cut:
+        # band smaller than r (quantile undershoot) — rank everything ≥ lo
+        band = df.where(F.col(score_col) >= lo)
+        cut = (
+            band.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == F.lit(r))
+            .select(score_col, id_col)
+            .collect()
+        )
+    s_star, id_star = cut[0][0], cut[0][1]
+    return df.withColumn(
+        flag_col,
+        (F.col(score_col) < F.lit(s_star))
+        | ((F.col(score_col) == F.lit(s_star)) & (F.col(id_col) <= F.lit(id_star))),
+    )
 
 
 def find_label_issues(

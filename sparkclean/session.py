@@ -43,6 +43,9 @@ def get_spark(
         # binary column pipelined (40MB batches serialize poorly at high
         # task concurrency; measured 2.3× faster at 32 cores with 1024)
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1024")
+        # multi-KB binary blobs: 4096-row columnar batches overflow the
+        # vectorized reader's contiguous buffer — keep batches small
+        .config("spark.sql.parquet.columnarReaderBatchSize", "512")
         .config("spark.driver.memory", os.environ.get("SPARKCLEAN_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
