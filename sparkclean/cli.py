@@ -1,0 +1,58 @@
+"""spark-submit entry point.
+
+Usage (cluster):
+    spark-submit --py-files sparkclean.zip -m sparkclean.cli \
+        --input /data/images_table --output /data/scored \
+        --buckets 256
+
+Reads the image+caption table (Iceberg via ``--format iceberg`` on a
+cluster with the runtime jar; parquet locally), runs the fused
+keep/drop + scrub pipeline, writes bucket-partitioned output with the
+checkpoint manifest + lineage counters beside it, and prints the
+counter summary.  Re-running with the same ``--output`` resumes from
+the manifest (completed buckets are skipped).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def main(argv: list[str] | None = None) -> None:
+    p = argparse.ArgumentParser(prog="sparkclean")
+    p.add_argument("--input", required=True, help="input table path")
+    p.add_argument("--output", required=True, help="output directory")
+    p.add_argument("--format", default="parquet", choices=["parquet", "iceberg"])
+    p.add_argument("--buckets", type=int, default=64, help="checkpoint buckets")
+    p.add_argument("--id-col", default="image_id")
+    p.add_argument("--text-col", default="caption")
+    p.add_argument(
+        "--fast-scan", action="store_true", default=True,
+        help="python-native parquet scan (bytes never cross the JVM boundary)",
+    )
+    p.add_argument("--master", default=None)
+    args = p.parse_args(argv)
+
+    from .checkpoint import run_checkpointed
+    from .pipeline import run_image_caption_quality, run_image_caption_quality_from_path
+    from .session import get_spark
+
+    spark = get_spark("sparkclean-cli", master=args.master)
+    if args.format == "parquet" and args.fast_scan:
+        scored = run_image_caption_quality_from_path(
+            spark, args.input, id_col=args.id_col, text_col=args.text_col
+        )
+    else:
+        df = spark.read.format(args.format).load(args.input)
+        scored = run_image_caption_quality(df, id_col=args.id_col, text_col=args.text_col)
+
+    manifest = run_checkpointed(
+        scored, args.output, id_col=args.id_col, n_buckets=args.buckets
+    )
+    print(json.dumps(manifest["counters"], indent=1, sort_keys=True))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -30,6 +30,8 @@ def ensure_parallelism(
     The repartition shuffles only the narrow projection — cheap and
     fully parallel.
     """
+    if df.isStreaming:
+        return df
     sc = df.sparkSession.sparkContext
     target = target or sc.defaultParallelism
     n = df.rdd.getNumPartitions()

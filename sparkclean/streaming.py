@@ -1,0 +1,140 @@
+"""Structured Streaming variant of the caption-quality dataflow.
+
+The reference's streaming shape is LabelInspector
+(experimental/label_issues_batched.py): pass 1 maintains per-class
+confident thresholds as a running weighted mean (order-invariant),
+pass 2 scores each batch against the thresholds seen so far.  Here:
+
+* :class:`StreamingLabelInspector` — foreachBatch driver that updates
+  the K-vector threshold state from each micro-batch (exact analog of
+  update_confident_thresholds :487-516: ``t = (n_old·t_old +
+  n_b·t_b)/(n_old+n_b)``), scores the batch with the current state, and
+  appends scored output + a metrics row per batch (lineage counters).
+* :func:`score_stream` — stateless scoring stream for the common
+  deployment: thresholds fitted offline (pass 1 over the history),
+  streaming pass 2 = pure projection, so the query needs no state store
+  and scales with source parallelism.
+
+Windowed per-language drop-rate counters ride on processing time via
+``current_timestamp`` windows.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .constants import CONFIDENT_THRESHOLDS_LOWER_BOUND, FLOATING_POINT_COMPARISON
+from .pipeline import NUM_CLASSES, _features, _with_label_and_probs
+from .quality.scores import predicted_label, self_confidence
+from .text.scrub import scrub_col
+
+
+def _score_batch(df: DataFrame, thresholds: list[float]) -> DataFrame:
+    t_arr = F.array(*[F.lit(float(t)) for t in thresholds])
+    am = predicted_label(F.col("pred_probs"))
+    confident_neq = (
+        F.array_max(F.col("pred_probs"))
+        >= F.element_at(t_arr, am + 1) - F.lit(FLOATING_POINT_COMPARISON)
+    ) & (am != F.col("label"))
+    return (
+        df.withColumn("quality_score", self_confidence(F.col("label"), F.col("pred_probs")))
+        .withColumn("is_issue_candidate", confident_neq)
+        .withColumn("keep", (F.col("label") == 0) & ~confident_neq)
+    )
+
+
+def score_stream(
+    stream_df: DataFrame,
+    thresholds: list[float],
+    text_col: str = "caption",
+) -> DataFrame:
+    """Stateless streaming pass 2: features → pseudo-labels → scores →
+    scrub, with frozen thresholds. Pure projections — no state store,
+    no shuffle; watermark/window counters can be layered by the caller.
+    """
+    feats = _with_label_and_probs(_features(stream_df, text_col))
+    scored = _score_batch(feats, thresholds)
+    return scored.withColumn("scrubbed_text", scrub_col(F.col(text_col)))
+
+
+class StreamingLabelInspector:
+    """Stateful two-pass analog: running thresholds + per-batch scoring.
+
+    State is one (sum, count) pair per class — O(K) on the driver,
+    mathematically identical for any batching (the associative-mean
+    invariance the reference asserts at tests/test_filter_count.py:951).
+    """
+
+    def __init__(self, num_classes: int = NUM_CLASSES):
+        self.num_classes = num_classes
+        self._sums = np.zeros(num_classes)
+        self._counts = np.zeros(num_classes, dtype=np.int64)
+        self.batches_seen = 0
+        self.rows_seen = 0
+        self.metrics: list[dict] = []
+
+    def thresholds(self) -> list[float]:
+        t = np.where(self._counts > 0, self._sums / np.maximum(self._counts, 1), 2.0)
+        return [float(x) for x in np.clip(t, CONFIDENT_THRESHOLDS_LOWER_BOUND, None)]
+
+    def process_batch(self, batch_df: DataFrame, text_col: str = "caption") -> DataFrame:
+        """Update thresholds from this batch, then score it with the
+        post-update state (matches LabelInspector's single-pass mode)."""
+        feats = _with_label_and_probs(_features(batch_df, text_col)).persist()
+        rows = (
+            feats.groupBy(F.col("label").cast("int").alias("_k"))
+            .agg(
+                F.sum(self_confidence(F.col("label"), F.col("pred_probs"))).alias("_s"),
+                F.count(F.lit(1)).alias("_c"),
+            )
+            .collect()
+        )
+        for r in rows:
+            if r["_k"] is not None and 0 <= r["_k"] < self.num_classes:
+                self._sums[r["_k"]] += r["_s"]
+                self._counts[r["_k"]] += r["_c"]
+        scored = _score_batch(feats, self.thresholds()).withColumn(
+            "scrubbed_text", scrub_col(F.col(text_col))
+        )
+        stats = scored.agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("kept"),
+        ).collect()[0]
+        self.batches_seen += 1
+        self.rows_seen += int(stats["rows"])
+        self.metrics.append(
+            {
+                "batch": self.batches_seen,
+                "rows": int(stats["rows"]),
+                "kept": int(stats["kept"] or 0),
+                "thresholds": self.thresholds(),
+            }
+        )
+        result = scored
+        feats.unpersist()
+        return result
+
+    def attach(self, stream_df: DataFrame, output_path: str, text_col: str = "caption"):
+        """foreachBatch wiring for a real streaming query."""
+
+        def handle(batch_df: DataFrame, batch_id: int) -> None:
+            out = self.process_batch(batch_df, text_col)
+            out.write.mode("append").parquet(output_path)
+
+        return stream_df.writeStream.foreachBatch(handle)
+
+
+def language_window_counts(scored: DataFrame) -> DataFrame:
+    """Processing-time windowed keep/drop counters per language — the
+    streaming lineage metric (1-minute tumbling windows)."""
+    stamped = scored.withColumn("_ts", F.current_timestamp())
+    return (
+        stamped.withWatermark("_ts", "2 minutes")
+        .groupBy(F.window("_ts", "1 minute"), F.col("pred_lang"))
+        .agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("kept"),
+        )
+    )

@@ -1,0 +1,85 @@
+"""Streaming dataflow: stateless pass-2 stream, stateful inspector,
+batching invariance, and an end-to-end availableNow query."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from sparkclean import synth
+from sparkclean.pipeline import caption_scores
+from sparkclean.quality.thresholds import get_confident_thresholds
+from sparkclean.streaming import StreamingLabelInspector, score_stream
+
+
+@pytest.fixture(scope="module")
+def corpus(spark, tmp_path_factory):
+    df = synth.synth_images(spark, 400, with_images=False, partitions=4)
+    path = str(tmp_path_factory.mktemp("stream") / "in")
+    df.drop("bytes").repartition(4).write.parquet(path)
+    return path
+
+
+def test_inspector_threshold_batch_invariance(spark, corpus):
+    """Thresholds after consuming all batches equal the batch-size-
+    invariant global mean (tests/test_filter_count.py:951 analog)."""
+    full = spark.read.parquet(corpus)
+
+    insp1 = StreamingLabelInspector()
+    insp1.process_batch(full)
+
+    insp4 = StreamingLabelInspector()
+    for i in range(4):
+        part = full.where(F.pmod(F.xxhash64("image_id"), F.lit(4)) == i)
+        insp4.process_batch(part)
+
+    np.testing.assert_allclose(insp1.thresholds(), insp4.thresholds(), rtol=1e-9)
+    assert insp4.batches_seen == 4 and insp4.rows_seen == 400
+    assert len(insp4.metrics) == 4
+
+
+def test_score_stream_available_now(spark, corpus, tmp_path):
+    """Real streaming query: parquet source → stateless scoring →
+    memory sink, one availableNow trigger."""
+    static = spark.read.parquet(corpus)
+    from sparkclean.pipeline import _features, _with_label_and_probs
+
+    feats = _with_label_and_probs(_features(static, "caption"))
+    thresholds = get_confident_thresholds(feats, 3)
+
+    stream = spark.readStream.schema(static.schema).parquet(corpus)
+    scored = score_stream(stream, thresholds)
+    q = (
+        scored.writeStream.format("memory")
+        .queryName("scored_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql("SELECT * FROM scored_stream")
+    assert out.count() == 400
+    row = out.select("quality_score", "keep", "scrubbed_text").first()
+    assert row["quality_score"] is not None
+
+    # streaming scores equal the batch pipeline's pre-selection scores
+    batch = {
+        r["image_id"]: r["quality_score"]
+        for r in feats.withColumn(
+            "quality_score",
+            F.element_at(F.col("pred_probs"), F.col("label") + 1),
+        ).select("image_id", "quality_score").collect()
+    }
+    stream_scores = {r["image_id"]: r["quality_score"] for r in out.collect()}
+    for k, v in stream_scores.items():
+        assert abs(batch[k] - v) < 1e-12
+
+
+def test_foreachbatch_end_to_end(spark, corpus, tmp_path):
+    static = spark.read.parquet(corpus)
+    insp = StreamingLabelInspector()
+    out_dir = str(tmp_path / "out")
+    stream = spark.readStream.schema(static.schema).parquet(corpus)
+    q = insp.attach(stream, out_dir).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+    written = spark.read.parquet(out_dir)
+    assert written.count() == 400
+    assert insp.rows_seen == 400
