@@ -617,6 +617,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "issue_type", "num_issues", F.round("overall_score", 6).alias("overall_score")
         )
 
+    def data_valuation(spark, sf):
+        from sparkclean.quality.valuation import knn_shapley_scores
+
+        out = knn_shapley_scores(_emb(spark, sf), k=10)
+        return out.select(
+            "vec_id", F.round("data_valuation_score", 6).alias("data_valuation_score")
+        )
+
+    def non_iid_check(spark, sf):
+        from sparkclean.quality.valuation import non_iid_ks
+
+        df = _with_probs(_emb(spark, sf)).withColumn(
+            "_sc", q_scores.self_confidence(F.col("label"), F.col("pred_probs"))
+        )
+        return non_iid_ks(df, "vec_id", "_sc")
+
     # ---- events rollup
     def events_hourly(spark, sf):
         return (
@@ -673,6 +689,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         knn_bruteforce=knn_bruteforce,
         embedding_near_duplicates=embedding_near_duplicates,
         events_hourly=events_hourly,
+        data_valuation=data_valuation,
+        non_iid_check=non_iid_check,
         softmin_token_scores=softmin_token_scores,
         multilabel_ema_scores=multilabel_ema_scores,
         regression_residual=regression_residual,
@@ -983,6 +1001,24 @@ FROM documents"""
 SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
        round(avg(value), 6) AS avg_value
 FROM events GROUP BY 1, 2"""
+
+    from sparkclean.quality.valuation import knn_shapley_sql
+
+    o["data_valuation"] = knn_shapley_sql("embeddings", k=10)
+    o["non_iid_check"] = f"""
+WITH {pc},
+scv AS (SELECT vec_id, p[label + 1] AS v FROM pp),
+med AS (SELECT quantile_cont(vec_id, 0.5) AS m FROM scv),
+tagged AS (SELECT v, CASE WHEN vec_id <= med.m THEN 1 ELSE 0 END AS a FROM scv CROSS JOIN med),
+cnts AS (SELECT sum(a)::DOUBLE AS na, sum(1 - a)::DOUBLE AS nb FROM tagged),
+ecdf AS (
+  SELECT sum(a) OVER (ORDER BY v ASC ROWS UNBOUNDED PRECEDING) AS ca,
+         sum(1 - a) OVER (ORDER BY v ASC ROWS UNBOUNDED PRECEDING) AS cb
+  FROM tagged
+), d AS (SELECT max(abs(ca / c.na - cb / c.nb)) AS d FROM ecdf CROSS JOIN cnts c)
+SELECT round(d.d, 6) AS ks_statistic, c.na::BIGINT AS n_a, c.nb::BIGINT AS n_b,
+       (d.d > 1.36 * sqrt((c.na + c.nb) / (c.na * c.nb))) AS is_non_iid_issue
+FROM d CROSS JOIN cnts c"""
 
     from sparkclean.quality.pooling import softmin_sql
     from sparkclean.quality.task_scores import (
