@@ -617,6 +617,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "issue_type", "num_issues", F.round("overall_score", 6).alias("overall_score")
         )
 
+    def confusion_matrix_argmax(spark, sf):
+        # filter.find_label_issues_using_argmax_confusion_matrix's first
+        # stage (filter.py:702-759): confusion(argmax(P), labels)
+        df = _with_probs(_emb(spark, sf))
+        return (
+            df.groupBy(
+                F.col("label").cast("int").alias("given_label"),
+                q_scores.predicted_label(F.col("pred_probs")).alias("predicted_label"),
+            )
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    def cleanlearning_issue_frame(spark, sf):
+        # CleanLearning.find_label_issues output frame
+        # (classification.py:675-947): is_label_issue, label_quality,
+        # given_label, predicted_label
+        # confident_learning branch so the whole frame stays
+        # SQL-oracle-expressible (the default prune branch needs the
+        # iterative prune-matrix rounding; its parity is pytest-checked)
+        df = _with_probs(_emb(spark, sf))
+        out = q_issues.find_label_issues(
+            df, K, id_col="vec_id", filter_by="confident_learning"
+        )
+        return out.select(
+            "vec_id",
+            "is_label_issue",
+            F.round(
+                q_scores.self_confidence(F.col("label"), F.col("pred_probs")), 6
+            ).alias("label_quality"),
+            F.col("label").cast("int").alias("given_label"),
+            q_scores.predicted_label(F.col("pred_probs")).alias("predicted_label"),
+        )
+
+    def common_token_issues(spark, sf):
+        # token_classification.summary.common_label_issues analog: tokens
+        # whose hash-derived quality score flags them most often
+        from sparkclean.text.shared import hash60_col, words_col
+
+        docs = _docs(spark, sf)
+        toks = docs.select(
+            F.explode(words_col(F.lower(F.col("text")))).alias("token")
+        )
+        score = (hash60_col(F.col("token")) % F.lit(1000)).cast("double") / F.lit(1000.0)
+        flagged = toks.withColumn("_s", score).withColumn("_iss", F.col("_s") < 0.2)
+        return (
+            flagged.groupBy("token")
+            .agg(
+                F.count(F.lit(1)).alias("occurrences"),
+                F.sum(F.when(F.col("_iss"), 1).otherwise(0)).alias("num_issues"),
+            )
+            .where(F.col("num_issues") > 0)
+        )
+
     def data_valuation(spark, sf):
         from sparkclean.quality.valuation import knn_shapley_scores
 
@@ -689,6 +742,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         knn_bruteforce=knn_bruteforce,
         embedding_near_duplicates=embedding_near_duplicates,
         events_hourly=events_hourly,
+        confusion_matrix_argmax=confusion_matrix_argmax,
+        cleanlearning_issue_frame=cleanlearning_issue_frame,
+        common_token_issues=common_token_issues,
         data_valuation=data_valuation,
         non_iid_check=non_iid_check,
         softmin_token_scores=softmin_token_scores,
@@ -1001,6 +1057,32 @@ FROM documents"""
 SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
        round(avg(value), 6) AS avg_value
 FROM events GROUP BY 1, 2"""
+
+    o["confusion_matrix_argmax"] = f"""
+WITH {pc}
+SELECT label::INT AS given_label, (list_position(p, list_max(p)) - 1)::INT AS predicted_label,
+       count(*) AS n
+FROM pp GROUP BY 1, 2"""
+    o["cleanlearning_issue_frame"] = f"""
+WITH {pc}, {_TH_CTE}, {_BIN_CTE}
+SELECT vec_id,
+       (n_conf >= 1 AND guess <> label AND {_BOOST_SQL} <> label) AS is_label_issue,
+       round(self_conf, 6) AS label_quality,
+       label::INT AS given_label,
+       (list_position(p, list_max(p)) - 1)::INT AS predicted_label
+FROM guessed"""
+    from sparkclean.text.shared import hash60_sql as _h60
+    from sparkclean.text.shared import words_sql as _wsql
+
+    o["common_token_issues"] = f"""
+WITH toks AS (
+  SELECT unnest({_wsql('lower(text)')}) AS token FROM documents
+), scored AS (
+  SELECT token, ({_h60('token')} % 1000)::DOUBLE / 1000.0 AS s FROM toks
+)
+SELECT token, count(*) AS occurrences,
+       sum(CASE WHEN s < 0.2 THEN 1 ELSE 0 END) AS num_issues
+FROM scored GROUP BY token HAVING sum(CASE WHEN s < 0.2 THEN 1 ELSE 0 END) > 0"""
 
     from sparkclean.quality.valuation import knn_shapley_sql
 
