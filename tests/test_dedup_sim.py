@@ -1,0 +1,112 @@
+"""Dedup + similarity-search behaviour on corpora with planted
+duplicates (the driver tables contain few/none)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from sparkclean.dedup import exact as d_exact
+from sparkclean.dedup import minhash as d_minhash
+from sparkclean.dedup import simhash as d_simhash
+from sparkclean.sim import knn as s_knn
+
+BASE = "the quick brown fox jumps over the lazy dog near the river bank today"
+
+
+@pytest.fixture(scope="module")
+def dup_docs(spark):
+    rows = []
+    words = BASE.split()
+    for i in range(60):
+        rows.append((i, " ".join(words[j % len(words)] for j in range(i, i + 12)) + f" tail{i}"))
+    # exact duplicates: 100/101/102 identical; 103 same modulo whitespace
+    rows.append((100, BASE))
+    rows.append((101, BASE))
+    rows.append((102, BASE))
+    rows.append((103, "  " + BASE.replace(" ", "  ") + " "))
+    # near duplicate: one word changed
+    rows.append((110, BASE.replace("lazy", "sleepy")))
+    # unrelated
+    rows.append((120, "completely different content about spark query engines and shuffles"))
+    return spark.createDataFrame(rows, "doc_id: long, text: string").cache()
+
+
+def test_exact_duplicates(spark, dup_docs):
+    out = d_exact.exact_duplicates(dup_docs, "text", "doc_id").collect()
+    ids = sorted(r["doc_id"] for r in out)
+    # whitespace-normalised fingerprint folds 103 into the cluster
+    assert ids == [100, 101, 102, 103]
+    assert all(r["cluster_rep"] == 100 and r["cluster_size"] == 4 for r in out)
+
+    kept = d_exact.distinct_by_fingerprint(dup_docs, "text", "doc_id")
+    assert kept.count() == dup_docs.count() - 3
+    assert kept.where(F.col("doc_id").isin([101, 102, 103])).count() == 0
+
+
+def test_minhash_near_duplicates(spark, dup_docs):
+    pairs = d_minhash.near_duplicate_pairs(dup_docs, "text", "doc_id", threshold=0.5)
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs.collect()}
+    # identical docs → jaccard 1.0
+    assert got.get((100, 101)) == 1.0
+    assert got.get((100, 103)) == 1.0
+    # one-word change → high but < 1
+    near = [v for (a, b), v in got.items() if 110 in (a, b) and (a in (100, 101, 102, 103) or b in (100, 101, 102, 103))]
+    assert near and all(0.5 <= v < 1.0 for v in near)
+    # unrelated doc never pairs with the base cluster
+    assert not any(120 in (a, b) for (a, b) in got)
+
+
+def test_simhash_pairs(spark, dup_docs):
+    out = d_simhash.simhash_candidate_pairs(dup_docs, "text", "doc_id", max_hamming=4)
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in out.collect()}
+    assert got.get((100, 101)) == 0
+    assert got.get((100, 103)) == 0
+    assert all(h <= 4 for h in got.values())
+    # a one-word change moves the fingerprint but stays closer than an
+    # unrelated doc (compare raw hamming distances, not candidacy —
+    # 13-token docs flip several of 32 bits per token change)
+    sh = {
+        r["doc_id"]: r["sh"]
+        for r in dup_docs.select(
+            "doc_id", d_simhash.simhash_col(F.col("text")).alias("sh")
+        ).collect()
+    }
+    ham = lambda a, b: bin((sh[a] ^ sh[b]) & 0xFFFFFFFF).count("1")
+    assert ham(100, 110) < ham(100, 120)
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rng = np.random.RandomState(11)
+    base = rng.randn(20, 16)
+    rows = []
+    vid = 0
+    for c in range(20):
+        for j in range(5):
+            v = base[c] + rng.randn(16) * 0.05
+            rows.append((vid, [float(x) for x in v], c))
+            vid += 1
+    return spark.createDataFrame(rows, "vec_id: long, embedding: array<double>, label: int").cache()
+
+
+def test_lsh_topk_recall(spark, vectors):
+    queries = vectors.where(F.col("vec_id") < 10)
+    exact = s_knn.cosine_topk(vectors, queries, k=4)
+    approx = s_knn.lsh_topk(vectors, queries, dim=16, k=4)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    # same-cluster neighbours share LSH buckets with high probability
+    recall = len(e & a) / len(e)
+    assert recall >= 0.5, recall
+    # LSH results are a subset of correct cosine ranking within buckets:
+    # every returned pair must have cosine >= 0.9 (same-cluster)
+    for r in approx.collect():
+        assert r["cosine"] > 0.8
+
+
+def test_embedding_near_duplicates(spark, vectors):
+    pairs = s_knn.embedding_near_duplicates(vectors, threshold=0.995, block_col="label")
+    got = pairs.collect()
+    assert len(got) > 0
+    for r in got:
+        assert r["cosine"] >= 0.995
