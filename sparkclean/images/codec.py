@@ -84,11 +84,13 @@ def psnr(a: np.ndarray, b: np.ndarray) -> float:
     return float(10.0 * np.log10(255.0**2 / mse))
 
 
-def phash64(pixels: np.ndarray) -> int:
+def phash64(pixels: np.ndarray, luma: np.ndarray | None = None) -> int:
     """Perceptual-hash surrogate: 8×8 block-mean luma thresholded at its
     mean → 64 bits. Identical pixels → identical hash; robust to the
-    jpeg quantisation."""
-    luma = pixels.mean(axis=2, dtype=np.float32)
+    jpeg quantisation.  Pass a precomputed float32 luma to avoid a
+    second full-image pass."""
+    if luma is None:
+        luma = pixels.mean(axis=2, dtype=np.float32)
     h, w = luma.shape
     if h % 8 == 0 and w % 8 == 0:
         # uniform blocks → one vectorised reshape-mean (identical values

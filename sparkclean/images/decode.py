@@ -73,21 +73,34 @@ def _stats_for_batch(pdf: pd.DataFrame) -> dict[str, np.ndarray]:
             # → ≈40.9 dB for Q=8 (exact PSNR vs originals checked in tests)
             err = codec.JPEG_Q / np.sqrt(12.0)
             out["psnr_db"][i] = float(10 * np.log10(255.0**2 / err**2))
-        out["phash_recomputed"][i] = codec.phash64(px)
-        # float32 throughout: the decode stage is memory-bandwidth bound
-        # at high worker counts (float64 doubled the traffic and capped
-        # aggregate throughput); stat precision of 1e-4 is ample for the
-        # dark/light/blur thresholds.
+        # float32 + fused moment passes: the decode stage is memory-
+        # bandwidth bound at high worker counts, so stats use one luma
+        # array, dot-product second moments (single BLAS pass, no temp)
+        # and a shared luma for the phash — precision ~1e-4 is ample for
+        # the dark/light/blur thresholds.
         luma = px.mean(axis=2, dtype=np.float32)
-        out["brightness"][i] = float(luma.mean(dtype=np.float64))
-        out["pixel_std"][i] = float(luma.std(dtype=np.float64))
+        out["phash_recomputed"][i] = codec.phash64(px, luma=luma)
+        flat = luma.ravel()
+        npx = flat.size
+        s1 = float(flat.sum(dtype=np.float64))
+        s2 = float(np.dot(flat, flat))
+        mean = s1 / npx
+        out["brightness"][i] = mean
+        out["pixel_std"][i] = float(np.sqrt(max(s2 / npx - mean * mean, 0.0)))
         out["aspect_ratio"][i] = float(max(w, h) / max(min(w, h), 1))
         d01 = np.abs(px[:, :, 0].astype(np.int16) - px[:, :, 1]).max()
         d12 = np.abs(px[:, :, 1].astype(np.int16) - px[:, :, 2]).max()
         out["is_grayscale"][i] = bool(d01 < 2 and d12 < 2)
-        gy = np.diff(luma, n=2, axis=0)
-        gx = np.diff(luma, n=2, axis=1)
-        out["blur_score"][i] = float(gy.var(dtype=np.float64) + gx.var(dtype=np.float64))
+        gy = np.diff(luma, n=2, axis=0).ravel()
+        gx = np.diff(luma, n=2, axis=1).ravel()
+        blur = 0.0
+        for g in (gy, gx):
+            if g.size:
+                gs1 = float(g.sum(dtype=np.float64))
+                gs2 = float(np.dot(g, g))
+                gm = gs1 / g.size
+                blur += max(gs2 / g.size - gm * gm, 0.0)
+        out["blur_score"][i] = blur
     return out
 
 
