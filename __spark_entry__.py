@@ -309,6 +309,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return b.select("vec_id", F.round(sc, 6).alias("score"))
 
+    def ensemble_logloss_weighted(spark, sf):
+        # rank.py:258-291 log_loss_search weighting over a T grid
+        from sparkclean.quality.preprocess import log_loss_search_weights
+
+        a = _with_probs(_emb(spark, sf), lo=1).withColumnRenamed("pred_probs", "_pa")
+        b = _with_probs(a, lo=11).withColumnRenamed("pred_probs", "_pb")
+        w1, w2 = log_loss_search_weights(b, "label", ["_pa", "_pb"])
+        label = F.col("label").cast("int")
+        sc = (
+            F.element_at("_pa", label + 1) * F.lit(float(w1))
+            + F.element_at("_pb", label + 1) * F.lit(float(w2))
+        )
+        return b.select("vec_id", F.round(sc, 6).alias("score"))
+
+    def format_labels_q(spark, sf):
+        from sparkclean.quality.preprocess import format_labels
+
+        docs = _docs(spark, sf).select("doc_id", "lang")
+        out, _ = format_labels(docs, "lang")
+        return out.select("doc_id", "lang", "label_id")
+
     def multilabel_confident_joint(spark, sf):
         from sparkclean.quality.joint import multilabel_confident_joint_counts
 
@@ -716,6 +737,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         latent_prior=latent_prior,
         cleanlearning_class_weights=cleanlearning_class_weights,
         ensemble_accuracy_weighted=ensemble_accuracy_weighted,
+        ensemble_logloss_weighted=ensemble_logloss_weighted,
+        format_labels=format_labels_q,
         multilabel_confident_joint=multilabel_confident_joint,
         ood_knn_distance=ood_knn_distance,
         num_label_issues=num_label_issues_q,
@@ -921,6 +944,32 @@ SELECT j.vec_id,
        round(j.pa[j.label + 1] * w.w1 + j.pb[j.label + 1] * w.w2, 6) AS score
 FROM joined j CROSS JOIN w"""
 
+    o["ensemble_logloss_weighted"] = f"""
+WITH {pc}, {pc2e.lstrip()},
+j AS (SELECT pp.vec_id, pp.label, pp.p AS pa, pp2.p AS pb FROM pp JOIN pp2 USING (vec_id)),
+ll AS (
+  SELECT
+    avg(-ln(greatest(pa[label + 1], 1e-6)
+        / list_aggregate(list_transform(pa, x -> greatest(x, 1e-6)), 'sum'))) AS l1,
+    avg(-ln(greatest(pb[label + 1], 1e-6)
+        / list_aggregate(list_transform(pb, x -> greatest(x, 1e-6)), 'sum'))) AS l2
+  FROM j
+), grid AS (SELECT unnest([1.0, 10.0, 100.0]) AS t),
+wts AS (
+  SELECT t,
+         exp(-t * l1) / (exp(-t * l1) + exp(-t * l2)) AS w1,
+         exp(-t * l2) / (exp(-t * l1) + exp(-t * l2)) AS w2
+  FROM grid CROSS JOIN ll
+), evl AS (
+  SELECT w.t, w.w1, w.w2,
+         avg(-ln(greatest(w.w1 * j.pa[j.label + 1] + w.w2 * j.pb[j.label + 1], 1e-6))) AS e
+  FROM wts w CROSS JOIN j GROUP BY 1, 2, 3
+), best AS (SELECT w1, w2 FROM evl ORDER BY e ASC, t ASC LIMIT 1)
+SELECT j.vec_id, round(best.w1 * j.pa[j.label + 1] + best.w2 * j.pb[j.label + 1], 6) AS score
+FROM j CROSS JOIN best"""
+    o["format_labels"] = """
+SELECT doc_id, lang, (dense_rank() OVER (ORDER BY lang) - 1)::INT AS label_id
+FROM documents"""
     o["multilabel_confident_joint"] = f"""
 WITH {pc},
 ml AS (SELECT vec_id, label, p, list_sort([label::INT, ((label + 3) % 10)::INT]) AS ls FROM pp),

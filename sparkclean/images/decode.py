@@ -224,6 +224,24 @@ def with_image_issues(stats: DataFrame) -> DataFrame:
     )
 
 
+def with_odd_size_flags(stats: DataFrame, ratio: float = 4.0) -> DataFrame:
+    """imagelab odd_size analog: flag images whose pixel area deviates
+    from the median by more than ``ratio``× in either direction.
+    Requires w/h columns (use decode_and_project / decode_scan output)."""
+    if "w" not in stats.columns or "h" not in stats.columns:
+        raise ValueError("with_odd_size_flags needs w/h columns")
+    with_area = stats.withColumn("_area", (F.col("w") * F.col("h")).cast("double"))
+    med = with_area.agg(F.expr("percentile(_area, 0.5)")).collect()[0][0]
+    return (
+        with_area.withColumn(
+            "is_odd_size",
+            (F.col("_area") > F.lit(float(med) * ratio))
+            | (F.col("_area") < F.lit(float(med) / ratio)),
+        )
+        .drop("_area")
+    )
+
+
 def phash_duplicate_clusters(df: DataFrame, id_col: str = "image_id") -> DataFrame:
     """Exact-phash duplicate clusters (the reference's near_duplicate
     manager maps to this for our corpus — duplicate.py:20-228 →

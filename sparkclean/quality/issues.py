@@ -68,6 +68,7 @@ def num_label_issues(
     probs_col: str = "pred_probs",
     estimation_method: str = "off_diagonal",
     thresholds: list[float] | None = None,
+    confident_joint: np.ndarray | None = None,
 ) -> int:
     """count.num_label_issues (count.py:50-173).
 
@@ -92,6 +93,13 @@ def num_label_issues(
         joint = matrix_ops.estimate_joint_from_cj(cj)
         n_total = int(np.asarray(cj).sum())
         return int(np.rint((1.0 - np.trace(joint)) * n_total))
+    if estimation_method == "off_diagonal_custom":
+        if confident_joint is None:
+            raise ValueError("off_diagonal_custom requires confident_joint")
+        counts = label_counts(df, num_classes, label_col)
+        cal = matrix_ops.calibrate_confident_joint(confident_joint, counts)
+        joint = matrix_ops.estimate_joint_from_cj(cal)
+        return int(np.rint((1.0 - np.trace(joint)) * int(counts.sum())))
     raise ValueError(f"unknown estimation_method {estimation_method!r}")
 
 
