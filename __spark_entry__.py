@@ -339,6 +339,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return multilabel_confident_joint_counts(df, K, "labels", "pred_probs")
 
+    def multilabel_label_issues_q(spark, sf):
+        from sparkclean.quality.joint import multilabel_label_issues
+
+        df = _with_probs(_emb(spark, sf)).withColumn(
+            "labels",
+            F.array_sort(F.array(F.col("label").cast("int"), (F.col("label") + 3) % 10)),
+        )
+        return multilabel_label_issues(df, K, id_col="vec_id")
+
     def ood_knn_distance(spark, sf):
         df = _emb(spark, sf).select("vec_id", "embedding")
         a = df.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("_qa"))
@@ -691,6 +700,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .where(F.col("num_issues") > 0)
         )
 
+    def spurious_correlations(spark, sf):
+        from sparkclean.quality.datalab import spurious_correlation_scores
+
+        df = _emb(spark, sf).select(
+            "vec_id",
+            "label",
+            F.element_at("embedding", 1).cast("double").alias("prop_dim1"),
+            F.element_at("embedding", 33).cast("double").alias("prop_dim33"),
+        )
+        return spurious_correlation_scores(df, ["prop_dim1", "prop_dim33"])
+
     def data_valuation(spark, sf):
         from sparkclean.quality.valuation import knn_shapley_scores
 
@@ -740,6 +760,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ensemble_logloss_weighted=ensemble_logloss_weighted,
         format_labels=format_labels_q,
         multilabel_confident_joint=multilabel_confident_joint,
+        multilabel_label_issues=multilabel_label_issues_q,
         ood_knn_distance=ood_knn_distance,
         num_label_issues=num_label_issues_q,
         issues_low_self_confidence=issues_low_self_confidence,
@@ -765,6 +786,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         knn_bruteforce=knn_bruteforce,
         embedding_near_duplicates=embedding_near_duplicates,
         events_hourly=events_hourly,
+        spurious_correlations=spurious_correlations,
         confusion_matrix_argmax=confusion_matrix_argmax,
         cleanlearning_issue_frame=cleanlearning_issue_frame,
         common_token_issues=common_token_issues,
@@ -998,6 +1020,40 @@ gb AS (
 )
 SELECT k AS class_k, yk AS given_k, gk AS true_k, count(*) AS n
 FROM gb WHERE gk >= 0 GROUP BY 1, 2, 3"""
+    o["multilabel_label_issues"] = f"""
+WITH {pc},
+ml AS (SELECT vec_id, label, p, list_sort([label::INT, ((label + 3) % 10)::INT]) AS ls FROM pp),
+ex AS (
+  SELECT vec_id, r.k::INT AS k,
+         CASE WHEN list_contains(ls, r.k::INT) THEN 1 ELSE 0 END AS yk,
+         p[r.k + 1] AS pk
+  FROM ml CROSS JOIN range(0, {K}) r(k)
+), scb AS (SELECT *, CASE WHEN yk = 1 THEN pk ELSE 1.0 - pk END AS scv FROM ex),
+thb AS (
+  SELECT k,
+         coalesce(max(CASE WHEN yk = 0 THEN t END), 2.0) AS t0,
+         coalesce(max(CASE WHEN yk = 1 THEN t END), 2.0) AS t1
+  FROM (SELECT k, yk, greatest(avg(scv), 2e-6) AS t FROM scb GROUP BY 1, 2)
+  GROUP BY k
+), jb AS (SELECT s.*, thb.t0, thb.t1 FROM scb s JOIN thb USING (k)),
+fl AS (
+  SELECT vec_id,
+         CASE WHEN (
+           CASE WHEN (CASE WHEN 1.0 - pk >= t0 - {FPC} THEN 1 ELSE 0 END)
+                   + (CASE WHEN pk >= t1 - {FPC} THEN 1 ELSE 0 END) > 1
+                THEN CASE WHEN 1.0 - pk >= pk THEN 0 ELSE 1 END
+                WHEN 1.0 - pk >= t0 - {FPC} THEN 0
+                WHEN pk >= t1 - {FPC} THEN 1
+                ELSE -1 END
+         ) NOT IN (-1, yk)
+         AND (CASE WHEN (1.0 - pk + CASE WHEN yk = 0 THEN {FPC} ELSE 0.0 END)
+                     >= (pk + CASE WHEN yk = 1 THEN {FPC} ELSE 0.0 END)
+                   THEN 0 ELSE 1 END) <> yk
+         THEN 1 ELSE 0 END AS iss
+  FROM jb
+)
+SELECT vec_id, (sum(iss) >= 1) AS is_label_issue, sum(iss) AS num_class_issues
+FROM fl GROUP BY vec_id"""
     o["ood_knn_distance"] = """
 WITH pairs AS (
   SELECT a.vec_id AS qid, b.vec_id AS nid,
@@ -1107,6 +1163,34 @@ SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
        round(avg(value), 6) AS avg_value
 FROM events GROUP BY 1, 2"""
 
+    def _spur_prop_sql(idx: int, name: str) -> str:
+        return f"""
+SELECT '{name}' AS property,
+       round(acc, 6) AS classifier_accuracy,
+       round(least(1.0, (1.0 - acc) / greatest(1.0 - base, 1e-12)), 6) AS spurious_score
+FROM (
+  WITH e AS (SELECT vec_id, label, embedding[{idx}]::DOUBLE AS p1 FROM embeddings),
+  tot AS (SELECT count(*)::DOUBLE AS n FROM e),
+  stats AS (SELECT label AS k, avg(p1) AS m, greatest(var_pop(p1), 1e-12) AS v, count(*) AS cn FROM e GROUP BY 1),
+  ll AS (
+    SELECT e.vec_id, e.label AS truth, s.k,
+           -pow(e.p1 - s.m, 2) / (2 * s.v) - 0.5 * ln(2 * pi() * s.v) + ln(s.cn / t.n) AS l
+    FROM e CROSS JOIN tot t CROSS JOIN stats s
+  ), pred AS (
+    SELECT vec_id, truth, k,
+           row_number() OVER (PARTITION BY vec_id ORDER BY l DESC, k ASC) AS rk
+    FROM ll
+  ), accq AS (
+    SELECT avg(CASE WHEN k = truth THEN 1.0 ELSE 0.0 END) AS acc FROM pred WHERE rk = 1
+  ), baseq AS (
+    SELECT max(cnt) / t.n AS base FROM (SELECT count(*)::DOUBLE AS cnt FROM e GROUP BY label) CROSS JOIN tot t GROUP BY t.n
+  )
+  SELECT accq.acc, baseq.base FROM accq CROSS JOIN baseq
+)"""
+
+    o["spurious_correlations"] = (
+        _spur_prop_sql(1, "prop_dim1") + "\nUNION ALL\n" + _spur_prop_sql(33, "prop_dim33")
+    )
     o["confusion_matrix_argmax"] = f"""
 WITH {pc}
 SELECT label::INT AS given_label, (list_position(p, list_max(p)) - 1)::INT AS predicted_label,

@@ -91,6 +91,64 @@ def underperforming_group_issues(
     )
 
 
+def spurious_correlation_scores(
+    df: DataFrame,
+    property_cols: list[str],
+    label_col: str = "label",
+) -> DataFrame:
+    """Per image-property spurious-correlation score
+    (datalab/internal/spurious_correlation.py:13-113 analog).
+
+    For each property: a 1-D Gaussian-per-class classifier (class means/
+    variances from one groupBy) is scored in-sample; the score is the
+    relative room for improvement ``min(1, (1-acc)/(1-acc_base))`` with
+    the majority-class baseline.  Low score ⇒ the property alone
+    predicts the label ⇒ suspicious shortcut.  (The reference uses
+    GaussianNB with 5-fold CV; same estimator family, in-sample here —
+    documented simplification.)
+    """
+    import math
+
+    total = df.count()
+    base_acc = (
+        df.groupBy(label_col).count().agg(F.max("count")).collect()[0][0] / total
+    )
+    rows = []
+    for prop in property_cols:
+        stats = {
+            r[label_col]: (r["_m"], max(r["_v"], 1e-12), r["_n"])
+            for r in df.groupBy(label_col)
+            .agg(
+                F.avg(prop).alias("_m"),
+                F.var_pop(prop).alias("_v"),
+                F.count(F.lit(1)).alias("_n"),
+            )
+            .collect()
+        }
+        # log N(x; m_k, v_k) + log prior_k, argmax over classes
+        pred = None
+        best_ll = None
+        for k, (m, v, n) in sorted(stats.items()):
+            ll = (
+                -F.pow(F.col(prop) - F.lit(float(m)), F.lit(2.0)) / F.lit(2.0 * v)
+                - F.lit(0.5 * math.log(2 * math.pi * v))
+                + F.lit(math.log(n / total))
+            )
+            if pred is None:
+                pred, best_ll = F.lit(int(k)), ll
+            else:
+                pred = F.when(ll > best_ll, F.lit(int(k))).otherwise(pred)
+                best_ll = F.greatest(ll, best_ll)
+        acc = (
+            df.agg(F.avg((pred == F.col(label_col)).cast("double"))).collect()[0][0]
+        )
+        score = min(1.0, (1.0 - acc) / max(1.0 - base_acc, 1e-12))
+        rows.append((prop, float(round(acc, 6)), float(round(score, 6))))
+    return df.sparkSession.createDataFrame(
+        rows, "property: string, classifier_accuracy: double, spurious_score: double"
+    )
+
+
 def find_issues(
     df: DataFrame,
     num_classes: int,

@@ -108,6 +108,74 @@ def compute_confident_joint(
     return cj
 
 
+def _ml_binary_frame(
+    df: DataFrame, num_classes: int, labels_col: str, probs_col: str, id_col: str | None = None
+) -> DataFrame:
+    """Explode each row into its K one-vs-rest binary problems."""
+    k_seq = F.sequence(F.lit(0), F.lit(num_classes - 1))
+    cols = [
+        F.col(labels_col).alias("_ls"),
+        F.col(probs_col).alias("_p"),
+        F.explode(k_seq).alias("_k"),
+    ]
+    if id_col:
+        cols.insert(0, F.col(id_col).alias("_id"))
+    out = df.select(*cols).select(
+        *(["_id"] if id_col else []),
+        "_k",
+        F.array_contains(F.col("_ls"), F.col("_k")).cast("int").alias("_y"),
+        F.element_at("_p", F.col("_k") + 1).cast("double").alias("_pk"),
+    )
+    return out
+
+
+def multilabel_label_issues(
+    df: DataFrame,
+    num_classes: int,
+    id_col: str = "id",
+    labels_col: str = "labels",
+    probs_col: str = "pred_probs",
+) -> DataFrame:
+    """Multilabel find_label_issues, confident_learning variant
+    (filter.py:453-536 / multilabel_classification/filter.py:13): a row
+    is an issue if ANY class's one-vs-rest binary problem confidently
+    lands off-diagonal (guess != given, binary reduce-issues applied).
+    One exploded pass + one groupBy — no K-loop.
+    """
+    ex = _ml_binary_frame(df, num_classes, labels_col, probs_col, id_col=id_col)
+    sc = F.when(F.col("_y") == 1, F.col("_pk")).otherwise(F.lit(1.0) - F.col("_pk"))
+    ex = ex.withColumn("_sc", sc)
+    th = (
+        ex.groupBy("_k", "_y")
+        .agg(F.greatest(F.avg("_sc"), F.lit(2e-6)).alias("_t"))
+        .groupBy("_k")
+        .agg(
+            F.coalesce(F.max(F.when(F.col("_y") == 0, F.col("_t"))), F.lit(2.0)).alias("_t0"),
+            F.coalesce(F.max(F.when(F.col("_y") == 1, F.col("_t"))), F.lit(2.0)).alias("_t1"),
+        )
+    )
+    j = ex.join(F.broadcast(th), "_k")
+    p0 = F.lit(1.0) - F.col("_pk")
+    b0 = p0 >= F.col("_t0") - F.lit(FLOATING_POINT_COMPARISON)
+    b1 = F.col("_pk") >= F.col("_t1") - F.lit(FLOATING_POINT_COMPARISON)
+    n_conf = b0.cast("int") + b1.cast("int")
+    argmax = F.when(p0 >= F.col("_pk"), F.lit(0)).otherwise(F.lit(1))
+    first_bin = F.when(b0, F.lit(0)).otherwise(F.lit(1))
+    guess = F.when(n_conf > 1, argmax).when(n_conf == 1, first_bin).otherwise(F.lit(-1))
+    # binary reduce-issues: boosted argmax equals the given binary label
+    bp0 = p0 + F.when(F.col("_y") == 0, F.lit(FLOATING_POINT_COMPARISON)).otherwise(F.lit(0.0))
+    bp1 = F.col("_pk") + F.when(F.col("_y") == 1, F.lit(FLOATING_POINT_COMPARISON)).otherwise(
+        F.lit(0.0)
+    )
+    boosted = F.when(bp0 >= bp1, F.lit(0)).otherwise(F.lit(1))
+    issue_k = (guess >= 0) & (guess != F.col("_y")) & (boosted != F.col("_y"))
+    return (
+        j.withColumn("_iss", issue_k.cast("int"))
+        .groupBy(F.col("_id").alias(id_col))
+        .agg((F.sum("_iss") >= 1).alias("is_label_issue"), F.sum("_iss").alias("num_class_issues"))
+    )
+
+
 def multilabel_confident_joint_counts(
     df: DataFrame,
     num_classes: int,
@@ -123,16 +191,7 @@ def multilabel_confident_joint_counts(
 
     Returns (class, given_k, true_k, n) with given/true ∈ {0,1}.
     """
-    k_seq = F.sequence(F.lit(0), F.lit(num_classes - 1))
-    exploded = df.select(
-        F.col(labels_col).alias("_ls"),
-        F.col(probs_col).alias("_p"),
-        F.explode(k_seq).alias("_k"),
-    ).select(
-        "_k",
-        F.array_contains(F.col("_ls"), F.col("_k")).cast("int").alias("_y"),
-        F.element_at("_p", F.col("_k") + 1).cast("double").alias("_pk"),
-    )
+    exploded = _ml_binary_frame(df, num_classes, labels_col, probs_col)
     # binary self-confidence: p of the given binary class
     sc = F.when(F.col("_y") == 1, F.col("_pk")).otherwise(F.lit(1.0) - F.col("_pk"))
     exploded = exploded.withColumn("_sc", sc)
