@@ -290,6 +290,132 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "k: int, sample_weight: double",
         )
 
+    def _latent_with_ps(spark, sf):
+        from sparkclean.quality.joint import compute_confident_joint, label_counts
+        from sparkclean.quality.matrix_ops import estimate_latent
+
+        df = _with_probs(_emb(spark, sf))
+        cj = compute_confident_joint(df, K, calibrate=True)
+        counts = label_counts(df, K)
+        py, nm, inv = estimate_latent(cj, counts)
+        import numpy as np
+
+        ps = np.asarray(counts, dtype=float) / max(float(sum(counts)), 1.0)
+        return py, nm, inv, ps
+
+    def pyx_posterior(spark, sf):
+        # latent_algebra.py:259-312 — per-row corrected posterior P(y|x),
+        # returned at the given-label slot.
+        from sparkclean.quality.matrix_ops import compute_pyx_multiplier
+
+        py, nm, inv, _ = _latent_with_ps(spark, sf)
+        mult = [float(v) for v in compute_pyx_multiplier(nm, inv)]
+        df = q_scores.with_pyx_posterior(_with_probs(_emb(spark, sf)), mult)
+        return df.select(
+            "vec_id",
+            F.round(
+                F.element_at(F.col("pyx"), F.col("label").cast("int") + 1), 6
+            ).alias("pyx_given"),
+        )
+
+    def bayes_inv_noise_matrix(spark, sf):
+        # latent_algebra.py:66-113 — inv from (py, nm, ps) via Bayes rule.
+        from sparkclean.quality.matrix_ops import compute_inv_noise_matrix
+
+        py, nm, _, ps = _latent_with_ps(spark, sf)
+        inv2 = compute_inv_noise_matrix(py, nm, ps)
+        rows = [(y, s, float(round(inv2[y, s], 6))) for y in range(K) for s in range(K)]
+        return spark.createDataFrame(rows, "true_label: int, noisy_label: int, p: double")
+
+    def noise_matrix_from_inverse(spark, sf):
+        # latent_algebra.py:116-173 — forward nm from (ps, inv), py implied.
+        from sparkclean.quality.matrix_ops import (
+            compute_noise_matrix_from_inverse as nm_from_inv,
+        )
+
+        _, _, inv, ps = _latent_with_ps(spark, sf)
+        nm2 = nm_from_inv(ps, inv)
+        rows = [(s, y, float(round(nm2[s, y], 6))) for s in range(K) for y in range(K)]
+        return spark.createDataFrame(rows, "noisy_label: int, true_label: int, p: double")
+
+    def converged_latent_prior(spark, sf):
+        # count.py:1331-1404 — 5x3 alternating fixed-point on (py, nm, inv),
+        # then the 1e-5 re-clip of count.py:792-794.
+        from sparkclean.quality.joint import compute_confident_joint, label_counts
+        from sparkclean.quality.matrix_ops import estimate_latent
+
+        df = _with_probs(_emb(spark, sf))
+        cj = compute_confident_joint(df, K, calibrate=True)
+        counts = label_counts(df, K)
+        py, _, _ = estimate_latent(cj, counts, converge_latent_estimates=True)
+        return spark.createDataFrame(
+            [(k, float(round(py[k], 6))) for k in range(K)], "k: int, py: double"
+        )
+
+    def pu_remove_noise(spark, sf):
+        # internal/util.py:15-46 — PU learning: class 1 is noise-free.
+        from sparkclean.quality.matrix_ops import remove_noise_from_class
+
+        _, nm, _, _ = _latent_with_ps(spark, sf)
+        x = remove_noise_from_class(nm, 1)
+        rows = [(s, y, float(round(x[s, y], 6))) for s in range(K) for y in range(K)]
+        return spark.createDataFrame(rows, "noisy_label: int, true_label: int, p: double")
+
+    def pu_f1_estimate(spark, sf):
+        # internal/util.py:251-271 — Claesen PU F1, one distributed agg.
+        from sparkclean.quality.task_scores import pu_f1_agg
+
+        df = _emb(spark, sf)
+        s = (F.col("label").cast("int") == 1).cast("int")
+        # binary P(s=1|x): sigmoid margin on the first two embedding dims
+        margin = F.element_at("embedding", 1).cast("double") - F.element_at(
+            "embedding", 2
+        ).cast("double")
+        prob = F.lit(1.0) / (F.lit(1.0) + F.exp(F.lit(-4.0) * margin))
+        return df.agg(F.round(pu_f1_agg(s, prob), 6).alias("pu_f1"))
+
+    def outre_scores(spark, sf):
+        # regression/rank.py:122-173 — OUTRE: standardized (label, residual)
+        # 2-D features -> avg distance to ceil(0.5N) neighbours ->
+        # exp(-d/median).  Subset keeps the N^2 oracle tractable.
+        from sparkclean.quality.task_scores import outre_features, outre_stats
+
+        ev = _events(spark, sf).where(F.col("event_id") < 300)
+        means = ev.groupBy("event_type").agg(F.avg("value").alias("_mean"))
+        base = ev.join(F.broadcast(means), "event_type").select(
+            "event_id",
+            (F.col("value") / 100.0).alias("_label"),
+            (F.col("_mean") / 100.0).alias("_pred"),
+        )
+        stats = outre_stats(base, "_label", "_pred")
+        lz, rz = outre_features(F.col("_label"), F.col("_pred"), stats)
+        feat = base.select("event_id", lz.alias("_f1"), rz.alias("_f2"))
+        n = feat.count()
+        k_nn = int(-(-n // 2))  # ceil(frac_neighbors=0.5 * N)
+        a = feat.select(
+            F.col("event_id").alias("qid"), F.col("_f1").alias("_a1"), F.col("_f2").alias("_a2")
+        )
+        b = feat.select(
+            F.col("event_id").alias("nid"), F.col("_f1").alias("_b1"), F.col("_f2").alias("_b2")
+        )
+        d = F.sqrt(
+            (F.col("_a1") - F.col("_b1")) * (F.col("_a1") - F.col("_b1"))
+            + (F.col("_a2") - F.col("_b2")) * (F.col("_a2") - F.col("_b2"))
+        )
+        pairs = a.join(b, F.col("qid") != F.col("nid")).withColumn("_d", d)
+        w = Window.partitionBy("qid").orderBy(F.col("_d").asc(), F.col("nid").asc())
+        avg_d = (
+            pairs.withColumn("_rk", F.row_number().over(w))
+            .where(F.col("_rk") <= k_nn)
+            .groupBy("qid")
+            .agg(F.avg("_d").alias("avg_dist"))
+        )
+        med = avg_d.agg(F.expr("percentile(avg_dist, 0.5)")).collect()[0][0]
+        return avg_d.select(
+            F.col("qid").alias("event_id"),
+            F.round(F.exp(-F.col("avg_dist") / F.lit(float(med))), 6).alias("score"),
+        )
+
     def ensemble_accuracy_weighted(spark, sf):
         # rank.py:158-366 weight_ensemble_members_by="accuracy":
         # weight_m ∝ avg(argmax(P_m) == label)
@@ -755,6 +881,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         noise_matrix_estimate=noise_matrix_estimate,
         inv_noise_matrix_estimate=inv_noise_matrix_estimate,
         latent_prior=latent_prior,
+        pyx_posterior=pyx_posterior,
+        bayes_inv_noise_matrix=bayes_inv_noise_matrix,
+        noise_matrix_from_inverse=noise_matrix_from_inverse,
+        converged_latent_prior=converged_latent_prior,
+        pu_remove_noise=pu_remove_noise,
+        pu_f1_estimate=pu_f1_estimate,
+        outre_scores=outre_scores,
         cleanlearning_class_weights=cleanlearning_class_weights,
         ensemble_accuracy_weighted=ensemble_accuracy_weighted,
         ensemble_logloss_weighted=ensemble_logloss_weighted,
@@ -908,22 +1041,22 @@ rowsums AS (SELECT s, sum(n)::DOUBLE AS rw FROM cal GROUP BY 1),
 nm0 AS (SELECT c.s, c.y, c.n::DOUBLE / greatest(cs.cs, 1e-100) AS v FROM cal c JOIN colsums cs USING (y)),
 inv0 AS (SELECT c.y, c.s, c.n::DOUBLE / greatest(rw.rw, 1e-100) AS v FROM cal c JOIN rowsums rw USING (s)),
 nmc0 AS (
-  SELECT s, y, v,
-         CASE WHEN s = y THEN least(greatest(v, 1e-5), 1.0)
+  SELECT s, y,
+         CASE WHEN s = y THEN v
               ELSE least(greatest(v, 0.0), 0.9999) END AS v2
   FROM nm0
-), nmt AS (SELECT y, sum(v) AS t0, sum(v2) AS t1 FROM nmc0 GROUP BY 1),
+), nmt AS (SELECT y, sum(v2) AS t1 FROM nmc0 GROUP BY 1),
 nm AS (
-  SELECT s, y, CASE WHEN t1 > 0 AND t0 > 0 THEN v2 * (t0 / t1) ELSE v2 END AS v
+  SELECT s, y, v2 / greatest(t1, 1e-100) AS v
   FROM nmc0 JOIN nmt USING (y)
 ), invc0 AS (
-  SELECT y, s, v,
-         CASE WHEN s = y THEN least(greatest(v, 1e-5), 1.0)
+  SELECT y, s,
+         CASE WHEN s = y THEN v
               ELSE least(greatest(v, 0.0), 0.9999) END AS v2
   FROM inv0
-), invt AS (SELECT s, sum(v) AS t0, sum(v2) AS t1 FROM invc0 GROUP BY 1),
+), invt AS (SELECT s, sum(v2) AS t1 FROM invc0 GROUP BY 1),
 inv AS (
-  SELECT y, s, CASE WHEN t1 > 0 AND t0 > 0 THEN v2 * (t0 / t1) ELSE v2 END AS v
+  SELECT y, s, v2 / greatest(t1, 1e-100) AS v
   FROM invc0 JOIN invt USING (s)
 ), py0 AS (
   SELECT l.k,
@@ -935,7 +1068,7 @@ inv AS (
   JOIN rowsums rw ON rw.s = l.k
   JOIN colsums cs ON cs.y = l.k
   CROSS JOIN ntot nt
-), pyc AS (SELECT k, least(greatest(v, 1e-5), 1.0) AS v FROM py0),
+), pyc AS (SELECT k, least(greatest(v, 1e-6), 1.0) AS v FROM py0),
 pys AS (SELECT sum(v) AS t FROM pyc),
 py AS (SELECT k, pyc.v * (1.0 / pys.t) AS v FROM pyc CROSS JOIN pys)"""
     _FULL_CHAIN = f"WITH {pc}, {_TH_CTE}, {_BIN_CTE}, {_CAL_CTE.lstrip()}, {_LATENT_CTE.lstrip()}"
@@ -951,6 +1084,155 @@ SELECT k, round(v, 6) AS py FROM py"""
     o["cleanlearning_class_weights"] = f"""
 {_FULL_CHAIN}
 SELECT s AS k, round(1.0 / greatest(v, 0.001), 6) AS sample_weight FROM nm WHERE s = y"""
+
+    # ---- latent-algebra kernels (latent_algebra.py:18-312, count.py:1331-1404)
+    # Matrices as (r, c, v) relations with columns `c` summing to 1:
+    # nm is (r=noisy s, c=true y); inv is (r=true y, c=noisy s).
+    _ALG_BASE = """
+psv AS MATERIALIZED (SELECT l.k, l.cnt / nt.n AS v FROM lcnt l CROSS JOIN ntot nt),
+nm_b AS MATERIALIZED (SELECT s AS r, y AS c, v FROM nm),
+inv_b AS MATERIALIZED (SELECT y AS r, s AS c, v FROM inv),
+py_b AS MATERIALIZED (SELECT k, v FROM py)"""
+
+    def _clipnr(src: str, out: str) -> str:
+        # clip_noise_rates (internal/util.py:49-75): off-diag -> [0, 0.9999],
+        # diagonal untouched, columns renormalised to sum 1.
+        return f"""
+{out}_c AS MATERIALIZED (SELECT r, c, CASE WHEN r = c THEN v ELSE least(greatest(v, 0.0), 0.9999) END AS v FROM {src}),
+{out}_s AS MATERIALIZED (SELECT c, sum(v) AS cs FROM {out}_c GROUP BY 1),
+{out} AS MATERIALIZED (SELECT r, c, v / greatest(cs, 1e-100) AS v FROM {out}_c JOIN {out}_s USING (c))"""
+
+    def _inv_step(nm_rel: str, py_rel: str, out: str) -> str:
+        # compute_inv_noise_matrix: joint = nm*py; inv = joint.T / ps; clip.
+        return f"""
+{out}_r AS MATERIALIZED (
+  SELECT n.c AS r, n.r AS c, (n.v * p.v) / greatest(s.v, 1e-100) AS v
+  FROM {nm_rel} n JOIN {py_rel} p ON p.k = n.c JOIN psv s ON s.k = n.r
+),{_clipnr(f"{out}_r", out)}"""
+
+    def _py_step(nm_rel: str, inv_rel: str, out: str, low: str = "1e-6") -> str:
+        # compute_py (cnt): py = inv.diag / nm.diag * ps; clip_values(low,1,1).
+        return f"""
+{out}_r AS MATERIALIZED (
+  SELECT i.r AS k, i.v / greatest(n.v, 1e-100) * s.v AS v
+  FROM {inv_rel} i JOIN {nm_rel} n ON n.r = i.r AND n.c = i.c AND i.r = i.c
+  JOIN psv s ON s.k = i.r
+),
+{out}_cv AS MATERIALIZED (SELECT k, least(greatest(v, {low}), 1.0) AS v FROM {out}_r),
+{out}_t AS MATERIALIZED (SELECT sum(v) AS t FROM {out}_cv),
+{out} AS MATERIALIZED (SELECT k, v * (1.0 / greatest(t, 1e-100)) AS v FROM {out}_cv CROSS JOIN {out}_t)"""
+
+    def _nm_from_inv_step(inv_rel: str, py_rel: str, out: str) -> str:
+        # compute_noise_matrix_from_inverse: joint = (inv*ps).T; nm = joint/py.
+        return f"""
+{out}_r AS MATERIALIZED (
+  SELECT i.c AS r, i.r AS c, (i.v * s.v) / greatest(p.v, 1e-100) AS v
+  FROM {inv_rel} i JOIN psv s ON s.k = i.c JOIN {py_rel} p ON p.k = i.r
+),{_clipnr(f"{out}_r", out)}"""
+
+    o["pyx_posterior"] = f"""
+{_FULL_CHAIN}, {_ALG_BASE.lstrip()},
+dv AS (
+  SELECT list(i.v / greatest(n.v, 1e-100) ORDER BY n.r) AS d
+  FROM nm_b n JOIN inv_b i ON i.r = n.r AND i.c = n.c AND n.r = n.c
+),
+pyxr AS (
+  SELECT pp.vec_id, pp.label,
+         list_transform(range(1, {K + 1}),
+             i -> least(greatest(pp.p[i] * dv.d[i], 0.0), 1.0)) AS raw
+  FROM pp CROSS JOIN dv
+)
+SELECT vec_id,
+       round(raw[label + 1] / greatest(list_aggregate(raw, 'sum'), 1e-100), 6) AS pyx_given
+FROM pyxr"""
+
+    o["bayes_inv_noise_matrix"] = f"""
+{_FULL_CHAIN}, {_ALG_BASE.lstrip()},{_inv_step("nm_b", "py_b", "binv")}
+SELECT r AS true_label, c AS noisy_label, round(v, 6) AS p FROM binv"""
+
+    o["noise_matrix_from_inverse"] = f"""
+{_FULL_CHAIN}, {_ALG_BASE.lstrip()},
+jnt AS (
+  SELECT i.c AS r, i.r AS c, i.v * s.v AS v FROM inv_b i JOIN psv s ON s.k = i.c
+),
+py2 AS (SELECT c AS k, sum(v) AS v FROM jnt GROUP BY 1),
+nmr_r AS (
+  SELECT j.r, j.c, j.v / greatest(p.v, 1e-100) AS v FROM jnt j JOIN py2 p ON p.k = j.c
+),{_clipnr("nmr_r", "nmr")}
+SELECT r AS noisy_label, c AS true_label, round(v, 6) AS p FROM nmr"""
+
+    # converged latent prior: unroll the 3x(5 inner + 1 nm) fixed point.
+    _conv_parts = []
+    cur_nm, cur_inv, cur_py = "nm_b", "inv_b", "py_b"
+    for j in range(3):
+        for i in range(5):
+            inv_t, py_t = f"cinv_{j}_{i}", f"cpy_{j}_{i}"
+            _conv_parts.append(_inv_step(cur_nm, cur_py, inv_t))
+            _conv_parts.append(_py_step(cur_nm, inv_t, py_t))
+            cur_inv, cur_py = inv_t, py_t
+        nm_t = f"cnm_{j}"
+        _conv_parts.append(_nm_from_inv_step(cur_inv, cur_py, nm_t))
+        cur_nm = nm_t
+    # final re-clip of py at 1e-5 (count.py:792-794)
+    _conv_parts.append(
+        f"""
+pyf_c AS MATERIALIZED (SELECT k, least(greatest(v, 1e-5), 1.0) AS v FROM {cur_py}),
+pyf_t AS (SELECT sum(v) AS t FROM pyf_c),
+pyf AS (SELECT k, v * (1.0 / greatest(t, 1e-100)) AS v FROM pyf_c CROSS JOIN pyf_t)"""
+    )
+    o["converged_latent_prior"] = f"""
+{_FULL_CHAIN}, {_ALG_BASE.lstrip()},{",".join(_conv_parts)}
+SELECT k::INT AS k, round(v, 6) AS py FROM pyf"""
+
+    o["pu_remove_noise"] = f"""
+{_FULL_CHAIN},
+zeroed AS (
+  SELECT s, y, CASE WHEN s = 1 AND y <> 1 THEN 0.0 ELSE v END AS v FROM nm
+),
+zcol AS (SELECT y, sum(v) AS cs FROM zeroed GROUP BY 1),
+zdiag AS (SELECT y, v AS dv FROM zeroed WHERE s = y)
+SELECT z.s AS noisy_label, z.y AS true_label,
+       round(CASE WHEN z.s = z.y THEN 1.0 - (c.cs - d.dv) ELSE z.v END, 6) AS p
+FROM zeroed z JOIN zcol c USING (y) JOIN zdiag d ON d.y = z.y"""
+
+    from sparkclean.quality.task_scores import pu_f1_sql
+
+    o["pu_f1_estimate"] = pu_f1_sql(
+        "embeddings",
+        "CASE WHEN label = 1 THEN 1 ELSE 0 END",
+        "1.0 / (1.0 + exp(-4.0 * (embedding[1]::DOUBLE - embedding[2]::DOUBLE)))",
+    )
+
+    o["outre_scores"] = """
+WITH ev_o AS (
+  SELECT e.event_id, e.value / 100.0 AS lab, m._mean / 100.0 AS pred
+  FROM events e
+  JOIN (SELECT event_type, avg(value) AS _mean FROM events WHERE event_id < 300 GROUP BY 1) m
+    USING (event_type)
+  WHERE e.event_id < 300
+), st AS (
+  SELECT avg(lab) AS lm, stddev_pop(lab) AS ls,
+         avg(pred - lab) AS rm, stddev_pop(pred - lab) AS rs,
+         count(*) AS n
+  FROM ev_o
+), feat AS (
+  SELECT event_id,
+         (lab - st.lm) / (st.ls + 1e-100) AS f1,
+         5.0 * ((pred - lab - st.rm) / (st.rs + 1e-100)) AS f2,
+         ceil(st.n / 2.0) AS k_nn
+  FROM ev_o CROSS JOIN st
+), prs AS (
+  SELECT a.event_id AS qid, b.event_id AS nid, a.k_nn,
+         sqrt((a.f1 - b.f1) * (a.f1 - b.f1) + (a.f2 - b.f2) * (a.f2 - b.f2)) AS d
+  FROM feat a JOIN feat b ON a.event_id <> b.event_id
+), rk AS (
+  SELECT qid, k_nn, d, row_number() OVER (PARTITION BY qid ORDER BY d ASC, nid ASC) AS r
+  FROM prs
+), avgd_o AS (
+  SELECT qid, avg(d) AS avg_dist FROM rk WHERE r <= k_nn GROUP BY 1
+), med_o AS (SELECT quantile_cont(avg_dist, 0.5) AS m FROM avgd_o)
+SELECT qid AS event_id, round(exp(-avg_dist / med_o.m), 6) AS score
+FROM avgd_o CROSS JOIN med_o"""
 
     pc2e = _probs_cte(lo=11, sfx="2")
     o["ensemble_accuracy_weighted"] = f"""

@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..constants import TINY_VALUE
+from ..constants import CLIPPING_LOWER_BOUND, TINY_VALUE
 
 
 def round_preserving_sum(values: np.ndarray) -> np.ndarray:
@@ -68,38 +68,24 @@ def estimate_joint_from_cj(calibrated_cj: np.ndarray) -> np.ndarray:
 
 
 def clip_noise_rates(noise_matrix: np.ndarray) -> np.ndarray:
-    """Clip a K×K column-stochastic matrix into valid probability range,
-    preserving column sums (internal/util.py:49-75 semantics).
-
-    Diagonal entries are clipped to [1e-5, 1.0], off-diagonal to [0, 0.9999],
-    then each column is rescaled to keep its original total.
-    """
-    nm = np.asarray(noise_matrix, dtype=float).copy()
-
-    def _clip_column(col: np.ndarray, diag_idx: int) -> np.ndarray:
-        total = col.sum()
-        clipped = col.copy()
-        off = np.ones(len(col), dtype=bool)
-        off[diag_idx] = False
-        clipped[off] = np.clip(clipped[off], 0.0, 0.9999)
-        clipped[diag_idx] = np.clip(clipped[diag_idx], 1e-5, 1.0)
-        new_total = clipped.sum()
-        if new_total > 0 and total > 0:
-            clipped = clipped * (total / new_total)
-        return clipped
-
-    for k in range(nm.shape[1]):
-        nm[:, k] = _clip_column(nm[:, k], k)
-    return nm
+    """Clip off-diagonal noise rates of a column-stochastic K×K matrix to
+    [0, 0.9999], keep diagonal entries untouched, then renormalise every
+    column to sum to 1 (internal/util.py:49-75 semantics)."""
+    nm = np.asarray(noise_matrix, dtype=float)
+    diagonal = np.diagonal(nm)
+    nm = np.clip(nm, 0.0, 0.9999)
+    np.fill_diagonal(nm, diagonal)
+    return nm / np.clip(nm.sum(axis=0), TINY_VALUE, None)
 
 
 def clip_values(vec: np.ndarray, low: float, high: float, new_sum: float | None = None) -> np.ndarray:
-    """Clip a vector elementwise then rescale to ``new_sum``
-    (internal/util.py:78-110)."""
-    v = np.clip(np.asarray(vec, dtype=float), low, high)
-    if new_sum is not None and v.sum() > 0:
-        v = v * (new_sum / v.sum())
-    return v
+    """Clip a vector elementwise, then rescale so it sums to ``new_sum``
+    (or to the pre-clip total when ``new_sum`` is None) —
+    internal/util.py:78-110."""
+    v = np.asarray(vec, dtype=float)
+    target = v.sum() if new_sum is None else new_sum
+    v = np.clip(v, low, high)
+    return v * (target / np.clip(v.sum(), TINY_VALUE, None))
 
 
 def compute_py(
@@ -114,27 +100,120 @@ def compute_py(
     * ``cnt``       — ratio of confident-count marginals times ps (robust default)
     * ``eqn``       — linear-system solve ``inv(noise_matrix) @ ps``
     * ``marginal``  — confident-count column marginal / total
-    * ``marginal_ps`` — alias of marginal computed against ps normalisation
+    * ``marginal_ps`` — ``inv_noise_matrix @ ps``
     """
     ps = np.asarray(ps, dtype=float)
     if py_method == "cnt":
         # diagonal trick: py_k ~ ps_k * inv[k,k] / nm[k,k]
         py = inv_noise_matrix.diagonal() / np.clip(noise_matrix.diagonal(), TINY_VALUE, None) * ps
     elif py_method == "eqn":
-        py = np.linalg.lstsq(noise_matrix, ps, rcond=None)[0]
-    elif py_method in ("marginal", "marginal_ps"):
+        py = np.linalg.inv(noise_matrix).dot(ps)
+    elif py_method == "marginal":
         if true_labels_class_counts is None:
             raise ValueError("marginal py_method needs true_labels_class_counts")
         tc = np.asarray(true_labels_class_counts, dtype=float)
         py = tc / np.clip(tc.sum(), TINY_VALUE, None)
+    elif py_method == "marginal_ps":
+        py = np.dot(inv_noise_matrix, ps)
     else:
         raise ValueError(f"unknown py_method {py_method!r}")
-    py = clip_values(py, low=1e-5, high=1.0, new_sum=1.0)
+    py = clip_values(py, low=CLIPPING_LOWER_BOUND, high=1.0, new_sum=1.0)
     return py
 
 
+def compute_inv_noise_matrix(
+    py: np.ndarray, noise_matrix: np.ndarray, ps: np.ndarray | None = None
+) -> np.ndarray:
+    """Bayes-rule inverse noise matrix P(true=y|noisy=s) from the latent
+    prior and the forward noise matrix (internal/latent_algebra.py:66-113):
+    ``joint = nm * py; inv = joint.T / ps`` then off-diagonal clip."""
+    joint = np.asarray(noise_matrix, dtype=float) * np.asarray(py, dtype=float)
+    ps = joint.sum(axis=1) if ps is None else np.asarray(ps, dtype=float)
+    inv = joint.T / np.clip(ps, TINY_VALUE, None)
+    return clip_noise_rates(inv)
+
+
+def compute_noise_matrix_from_inverse(
+    ps: np.ndarray, inv_noise_matrix: np.ndarray, py: np.ndarray | None = None
+) -> np.ndarray:
+    """Forward noise matrix P(noisy=s|true=y) from the inverse matrix
+    (internal/latent_algebra.py:116-173): ``joint = (inv * ps).T;
+    nm = joint / py`` then off-diagonal clip."""
+    joint = (np.asarray(inv_noise_matrix, dtype=float) * np.asarray(ps, dtype=float)).T
+    py = joint.sum(axis=0) if py is None else np.asarray(py, dtype=float)
+    nm = joint / np.clip(py, TINY_VALUE, None)
+    return clip_noise_rates(nm)
+
+
+def compute_py_inv_noise_matrix(
+    ps: np.ndarray, noise_matrix: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Solve ``py = inv(nm) @ ps`` (clipped to a valid prior) and derive the
+    inverse noise matrix (internal/latent_algebra.py:39-63)."""
+    ps = np.asarray(ps, dtype=float)
+    py = np.linalg.inv(np.asarray(noise_matrix, dtype=float)).dot(ps)
+    py = clip_values(py, low=CLIPPING_LOWER_BOUND, high=1.0, new_sum=1.0)
+    return py, compute_inv_noise_matrix(py, noise_matrix, ps)
+
+
+def compute_ps_py_inv_noise_matrix(
+    label_counts: np.ndarray, noise_matrix: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(ps, py, inv_noise_matrix) from distributed per-class label counts
+    (internal/latent_algebra.py:18-36; `labels` replaced by the counts a
+    ``groupBy(label).count()`` already produced)."""
+    label_counts = np.asarray(label_counts, dtype=float)
+    ps = label_counts / np.clip(label_counts.sum(), TINY_VALUE, None)
+    py, inv = compute_py_inv_noise_matrix(ps, noise_matrix)
+    return ps, py, inv
+
+
+def converge_estimates(
+    ps: np.ndarray,
+    py: np.ndarray,
+    noise_matrix: np.ndarray,
+    inv_noise_matrix: np.ndarray,
+    inv_noise_matrix_iterations: int = 5,
+    noise_matrix_iterations: int = 3,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Alternating fixed-point pass making (py, nm, inv) mutually consistent
+    (count.py:1331-1404): 5 inner (inv, py) updates per each of 3 outer
+    noise-matrix updates."""
+    for _ in range(noise_matrix_iterations):
+        for _ in range(inv_noise_matrix_iterations):
+            inv_noise_matrix = compute_inv_noise_matrix(py, noise_matrix, ps)
+            py = compute_py(ps, noise_matrix, inv_noise_matrix)
+        noise_matrix = compute_noise_matrix_from_inverse(ps, inv_noise_matrix, py)
+    return py, noise_matrix, inv_noise_matrix
+
+
+def compute_pyx_multiplier(
+    noise_matrix: np.ndarray, inv_noise_matrix: np.ndarray
+) -> np.ndarray:
+    """Per-class multiplier ``inv.diag / nm.diag`` used by the per-row
+    posterior correction P(true=k|x) (internal/latent_algebra.py:259-312).
+    The row-level ``clip + renormalise`` happens in Spark (scores.pyx_posterior)."""
+    return np.asarray(inv_noise_matrix, dtype=float).diagonal() / np.clip(
+        np.asarray(noise_matrix, dtype=float).diagonal(), TINY_VALUE, None
+    )
+
+
+def remove_noise_from_class(noise_matrix: np.ndarray, class_without_noise: int) -> np.ndarray:
+    """PU-learning helper (internal/util.py:15-46): zero the row
+    P(noisy=cwn | true≠cwn), then raise every diagonal entry so each column
+    sums to 1 again."""
+    x = np.array(noise_matrix, dtype=float)
+    k_all = np.arange(len(x))
+    x[class_without_noise, k_all[k_all != class_without_noise]] = 0.0
+    np.fill_diagonal(x, 1.0 - (x.sum(axis=0) - np.diag(x)))
+    return x
+
+
 def estimate_latent(
-    cj: np.ndarray, label_counts: np.ndarray, py_method: str = "cnt"
+    cj: np.ndarray,
+    label_counts: np.ndarray,
+    py_method: str = "cnt",
+    converge_latent_estimates: bool = False,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """(py, noise_matrix, inv_noise_matrix) from a confident joint
     (count.py:715-796)."""
@@ -147,7 +226,17 @@ def estimate_latent(
     noise_matrix = cj / np.clip(true_counts, TINY_VALUE, None)
     inv_noise_matrix = cj.T / np.clip(noisy_counts, TINY_VALUE, None)
     py = compute_py(ps, noise_matrix, inv_noise_matrix, py_method, true_counts)
-    return py, clip_noise_rates(noise_matrix), clip_noise_rates(inv_noise_matrix)
+    noise_matrix = clip_noise_rates(noise_matrix)
+    inv_noise_matrix = clip_noise_rates(inv_noise_matrix)
+    if converge_latent_estimates:
+        py, noise_matrix, inv_noise_matrix = converge_estimates(
+            ps, py, noise_matrix, inv_noise_matrix
+        )
+        # count.py:792-794 re-clips with the looser 1e-5 bound after converging
+        py = clip_values(py, low=1e-5, high=1.0, new_sum=1.0)
+        noise_matrix = clip_noise_rates(noise_matrix)
+        inv_noise_matrix = clip_noise_rates(inv_noise_matrix)
+    return py, noise_matrix, inv_noise_matrix
 
 
 def keep_at_least_n_per_class(prune_count_matrix: np.ndarray, n: int, frac_noise: float = 1.0) -> np.ndarray:

@@ -106,3 +106,298 @@ def consensus_quality(
             "consensus_quality_score", F.col("agreement") * F.col("model_confidence")
         )
     )
+
+
+# ------------------------------------------------------------------ CROWDLAB
+# Full CROWDLAB ensemble (multiannotator.py:1394-1527) re-expressed as
+# distributed aggregations: every scalar (consensus likelihood, most-likely-
+# class error, model weight) is one small agg collected to the driver;
+# per-annotator weights are an M-row collect; the posterior itself is a
+# single Catalyst projection with the weights inlined.
+
+_CLIP = 1e-6  # CLIPPING_LOWER_BOUND (internal/constants.py:2)
+_SMALL = 1e-30  # SMALL_CONST (internal/multiannotator_utils.py:16)
+
+
+def crowdlab_posterior(
+    long_df: DataFrame,
+    probs_df: DataFrame,
+    num_classes: int,
+    probs_col: str = "pred_probs",
+) -> tuple[DataFrame, dict]:
+    """CROWDLAB posterior label distribution per example
+    (multiannotator.py:1394-1527) plus the consensus-quality score
+    (:1641-1699, self-confidence of the consensus under the posterior).
+
+    Returns ``(df, info)``: df has example_id, consensus_label,
+    num_annotations, annotator_agreement, post_pred_probs,
+    consensus_quality_score; info carries model_weight and the
+    per-annotator weights.
+    """
+    probs = probs_df.select("example_id", F.col(probs_col).alias("_prior"))
+    cons = majority_vote_label(long_df, probs_df, probs_col)
+    nann = long_df.groupBy("example_id").agg(F.count(F.lit(1)).alias("num_annotations"))
+    base = (
+        cons.join(nann, "example_id")
+        .join(probs, "example_id")
+        .withColumn(
+            "annotator_agreement",
+            F.col("n_votes").cast("double") / F.col("num_annotations"),
+        )
+    )
+    base = base.persist()
+
+    # scalar pass 1: consensus likelihood over multi-annotated subset +
+    # mean annotation count over ALL examples (multiannotator.py:1454-1456, 1490)
+    row = base.agg(
+        F.avg(
+            F.when(F.col("num_annotations") != 1, F.col("annotator_agreement"))
+        ).alias("cl"),
+        F.avg(F.col("num_annotations").cast("double")).alias("mean_n"),
+    ).first()
+    consensus_likelihood = float(row["cl"])
+    non_consensus_likelihood = (1.0 - consensus_likelihood) / (num_classes - 1)
+    mean_n = float(row["mean_n"])
+
+    # most likely (modal) consensus class on the multi-annotated subset;
+    # np.argmax(bincount) tie-break = smallest label
+    mode_row = (
+        base.where(F.col("num_annotations") != 1)
+        .groupBy("consensus_label")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .orderBy(F.col("_c").desc(), F.col("consensus_label").asc())
+        .first()
+    )
+    mode_label = int(mode_row["consensus_label"])
+
+    # scalar pass 2: most-likely-class error + model error (argmax of prior
+    # vs consensus), both over the multi-annotated subset
+    from .scores import predicted_label
+
+    row2 = (
+        base.where(F.col("num_annotations") != 1)
+        .agg(
+            F.avg((F.col("consensus_label") != F.lit(mode_label)).cast("double")).alias("mlce"),
+            F.avg(
+                (predicted_label(F.col("_prior")) != F.col("consensus_label")).cast("double")
+            ).alias("me"),
+        )
+        .first()
+    )
+    mlce = max(float(row2["mlce"]), _CLIP)
+    model_error = float(row2["me"])
+    model_weight = max(1.0 - model_error / mlce, _CLIP) * (mean_n ** 0.5)
+
+    # per-annotator agreement with co-annotators: every (a, b) co-annotation
+    # pair contributes one Bernoulli(match) sample; the reference's
+    # (n-1)-weighted average over examples equals the plain pair average
+    # (multiannotator.py:1304-1393)
+    l1 = long_df.select(
+        "example_id", F.col("annotator_id").alias("_a"), F.col("label").alias("_la")
+    )
+    l2 = long_df.select(
+        "example_id", F.col("annotator_id").alias("_b"), F.col("label").alias("_lb")
+    )
+    pair_agree = (
+        l1.join(l2, "example_id")
+        .where(F.col("_a") != F.col("_b"))
+        .groupBy("_a")
+        .agg(F.avg((F.col("_la") == F.col("_lb")).cast("double")).alias("agree"))
+        .collect()
+    )
+    agree_by_annot = {r["_a"]: float(r["agree"]) for r in pair_agree}
+    all_annotators = [r[0] for r in long_df.select("annotator_id").distinct().collect()]
+    if agree_by_annot:
+        impute = sum(agree_by_annot.values()) / len(agree_by_annot)
+    else:
+        impute = 1.0
+    weights = {
+        a: max(1.0 - (1.0 - agree_by_annot.get(a, impute)) / mlce, _CLIP)
+        for a in all_annotators
+    }
+
+    # posterior projection: for each example, W = sum of weights of its
+    # annotators; W_c = weight mass voting class c; posterior_c =
+    # (prior_c * mw + ncl * W + (cl - ncl) * W_c) / (mw + W)
+    w_map = F.create_map(
+        *[x for a, w in sorted(weights.items()) for x in (F.lit(a), F.lit(float(w)))]
+    )
+    wl = long_df.withColumn("_w", F.element_at(w_map, F.col("annotator_id")))
+    per_class = wl.groupBy("example_id", "label").agg(F.sum("_w").alias("_wc"))
+    class_mass = per_class.groupBy("example_id").agg(
+        F.sum("_wc").alias("_W"),
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("label").cast("int").alias("k"), F.col("_wc").alias("v")))
+        ).alias("_wmap"),
+    )
+    cl, ncl, mw = consensus_likelihood, non_consensus_likelihood, model_weight
+    out = base.join(class_mass, "example_id")
+    post = F.transform(
+        F.col("_prior"),
+        lambda p, i: (
+            p.cast("double") * F.lit(mw)
+            + F.lit(ncl) * F.col("_W")
+            + F.lit(cl - ncl) * F.coalesce(F.element_at(F.col("_wmap"), i), F.lit(0.0))
+        )
+        / (F.lit(mw) + F.col("_W")),
+    )
+    out = out.withColumn("post_pred_probs", post).withColumn(
+        "consensus_quality_score",
+        F.element_at(F.col("post_pred_probs"), F.col("consensus_label").cast("int") + 1),
+    )
+    info = {
+        "model_weight": model_weight,
+        "annotator_weights": weights,
+        "consensus_likelihood": consensus_likelihood,
+        "most_likely_class_error": mlce,
+    }
+    return (
+        out.select(
+            "example_id",
+            "consensus_label",
+            "num_annotations",
+            "annotator_agreement",
+            "post_pred_probs",
+            "consensus_quality_score",
+        ),
+        info,
+    )
+
+
+def _with_soft_ce_cols(df: DataFrame, temps: list[float], num_classes: int) -> DataFrame:
+    """Append one soft-cross-entropy column ``_ce{i}`` per temperature
+    (internal/multiannotator_utils.py:255-305): scaled_c = p_c^(1/t) / sum,
+    CE = -sum_c emp_c * ln(clip(scaled_c, 1e-30)) / ln K.  All temps share
+    one projection so the temp search is a single distributed pass; the
+    per-temp softmax denominator is materialised as its own column first
+    (interpreted HOFs re-evaluate referenced subexpressions per element)."""
+    import math
+
+    for i, t in enumerate(temps):
+        powed = F.transform(F.col("_p"), lambda x, _t=t: F.pow(x.cast("double"), F.lit(1.0 / _t)))
+        df = df.withColumn(f"_s{i}", F.aggregate(powed, F.lit(0.0), lambda a, x: a + x))
+    for i, t in enumerate(temps):
+        ce = -F.aggregate(
+            F.col("_emp"),
+            F.lit(0.0),
+            lambda acc, e, _t=t, _i=i: acc
+            + e["frac"]
+            * F.log(
+                F.greatest(
+                    F.pow(F.element_at(F.col("_p"), e["k"] + 1).cast("double"), F.lit(1.0 / _t))
+                    / F.col(f"_s{_i}"),
+                    F.lit(_SMALL),
+                )
+            ),
+        ) / F.lit(math.log(num_classes))
+        df = df.withColumn(f"_ce{i}", ce)
+    return df
+
+
+def find_best_temp(
+    long_df: DataFrame,
+    probs_df: DataFrame,
+    num_classes: int,
+    probs_col: str = "pred_probs",
+    coarse_search_range=(0.1, 0.2, 0.5, 0.8, 1, 2, 3, 5, 8),
+    fine_search_size: int = 4,
+) -> float:
+    """Temperature minimising mean soft cross-entropy between annotators'
+    empirical label distribution and scaled pred_probs
+    (internal/multiannotator_utils.py:277-337). Coarse pass + fine pass =
+    two distributed aggregations total."""
+    emp = (
+        long_df.groupBy("example_id", "label")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .groupBy("example_id")
+        .agg(
+            F.collect_list(
+                F.struct(F.col("label").cast("int").alias("k"), F.col("_c").alias("c"))
+            ).alias("_raw"),
+            F.sum("_c").alias("_n"),
+        )
+        .select(
+            "example_id",
+            F.transform(
+                F.col("_raw"),
+                lambda e: F.struct(
+                    e["k"].alias("k"), (e["c"].cast("double") / F.col("_n")).alias("frac")
+                ),
+            ).alias("_emp"),
+        )
+    )
+    joined = emp.join(
+        probs_df.select("example_id", F.col(probs_col).alias("_p")), "example_id"
+    ).persist()
+
+    def _mean_ces(temps: list[float]) -> list[float]:
+        ced = _with_soft_ce_cols(joined, temps, num_classes)
+        row = ced.agg(
+            *[F.avg(F.col(f"_ce{i}")).alias(f"t{i}") for i in range(len(temps))]
+        ).first()
+        return [float(row[f"t{i}"]) for i in range(len(temps))]
+
+    coarse = list(coarse_search_range)
+    ces = _mean_ces(coarse)
+    idx = min(range(len(coarse)), key=lambda i: (ces[i], i))
+    fine: list[float] = []
+    if idx != 0:
+        lo, hi = coarse[idx - 1], coarse[idx]
+        fine += [lo + j * (hi - lo) / fine_search_size for j in range(fine_search_size)]
+    if idx != len(coarse) - 1:
+        lo, hi = coarse[idx], coarse[idx + 1]
+        fine += [lo + j * (hi - lo) / fine_search_size for j in range(fine_search_size + 1)]
+    fces = _mean_ces(fine)
+    best = min(range(len(fine)), key=lambda i: (fces[i], i))
+    joined.unpersist()
+    return float(fine[best])
+
+
+def temp_scale_probs(
+    probs_df: DataFrame, temp: float, probs_col: str = "pred_probs"
+) -> DataFrame:
+    """Apply temperature scaling (multiannotator_utils.py:337-352):
+    clip at 1e-30, renormalise, raise to 1/t, renormalise."""
+    clipped = F.transform(F.col(probs_col), lambda x: F.greatest(x.cast("double"), F.lit(_SMALL)))
+    df = probs_df.withColumn("_pc", clipped)
+    s1 = F.aggregate(F.col("_pc"), F.lit(0.0), lambda a, x: a + x)
+    df = df.withColumn("_s1", s1).withColumn(
+        "_pt", F.transform(F.col("_pc"), lambda x: F.pow(x / F.col("_s1"), F.lit(1.0 / temp)))
+    )
+    s2 = F.aggregate(F.col("_pt"), F.lit(0.0), lambda a, x: a + x)
+    df = df.withColumn("_s2", s2).withColumn(
+        probs_col, F.transform(F.col("_pt"), lambda x: x / F.col("_s2"))
+    )
+    return df.drop("_pc", "_s1", "_pt", "_s2")
+
+
+def active_learning_scores(
+    long_df: DataFrame,
+    probs_df: DataFrame,
+    num_classes: int,
+    probs_col: str = "pred_probs",
+) -> DataFrame:
+    """ActiveLab scores for labeled examples (multiannotator.py:564-694):
+    temp-scale pred_probs, run CROWDLAB, then blend the consensus quality
+    with the 1/K prior using (annotation weight + model weight) vs the
+    average annotator weight."""
+    temp = find_best_temp(long_df, probs_df, num_classes, probs_col)
+    scaled = temp_scale_probs(probs_df, temp, probs_col)
+    df, info = crowdlab_posterior(long_df, scaled, num_classes, probs_col)
+    weights = info["annotator_weights"]
+    mw = info["model_weight"]
+    avg_w = sum(weights.values()) / len(weights)
+    w_map = F.create_map(
+        *[x for a, w in sorted(weights.items()) for x in (F.lit(a), F.lit(float(w)))]
+    )
+    ann_w = (
+        long_df.withColumn("_w", F.element_at(w_map, F.col("annotator_id")))
+        .groupBy("example_id")
+        .agg(F.sum("_w").alias("_W"))
+    )
+    out = df.join(ann_w, "example_id")
+    labeled_w = F.col("_W") + F.lit(mw)
+    score = (
+        F.col("consensus_quality_score") * labeled_w + F.lit((1.0 / num_classes) * avg_w)
+    ) / (labeled_w + F.lit(avg_w))
+    return out.select("example_id", score.alias("active_learning_score"))

@@ -128,3 +128,28 @@ def with_label_quality_scores(
             raise ValueError("adjust=True requires precomputed thresholds")
         probs = adjust_pred_probs(probs, thresholds)
     return df.withColumn(out_col, label_quality_score(label, probs, num_classes, method))
+
+
+def with_pyx_posterior(
+    df: DataFrame,
+    multiplier: list[float],
+    probs_col: str = "pred_probs",
+    out_col: str = "pyx",
+) -> DataFrame:
+    """Per-row corrected posterior P(true=k|x) (latent_algebra.py:259-312):
+    ``clip(p_k * inv.diag_k / nm.diag_k, 0, 1)`` renormalised to sum 1.
+
+    ``multiplier`` is the driver-computed K-vector
+    (matrix_ops.compute_pyx_multiplier), inlined as a literal array. The raw
+    product is materialised as its own column first so the normalising sum is
+    not re-evaluated per element (interpreted-HOF O(K^2) hazard)."""
+    m = _arr(multiplier)
+    raw = F.zip_with(
+        F.col(probs_col), m, lambda p, mult: F.least(F.greatest(p.cast("double") * mult, F.lit(0.0)), F.lit(1.0))
+    )
+    out = df.withColumn("_pyx_raw", raw)
+    total = F.aggregate(F.col("_pyx_raw"), F.lit(0.0), lambda a, x: a + x)
+    out = out.withColumn("_pyx_sum", F.greatest(total, F.lit(1e-100)))
+    return out.withColumn(
+        out_col, F.transform(F.col("_pyx_raw"), lambda x: x / F.col("_pyx_sum"))
+    ).drop("_pyx_raw", "_pyx_sum")

@@ -67,3 +67,111 @@ def test_scrub_never_leaves_email_or_ssn(text):
 def test_scrub_idempotent(text):
     once = scrub_py(text)
     assert scrub_py(once) == once
+
+
+@given(st.integers(min_value=2, max_value=6), st.integers(min_value=0, max_value=5000))
+@settings(max_examples=100, deadline=None)
+def test_clip_noise_rates_reference_semantics(k, seed):
+    rng = np.random.RandomState(seed)
+    nm = rng.dirichlet(np.ones(k), size=k).T  # columns sum to 1
+    out = matrix_ops.clip_noise_rates(nm)
+    # columns renormalised to 1 (internal/util.py:49-75)
+    assert np.allclose(out.sum(axis=0), 1.0)
+    off = ~np.eye(k, dtype=bool)
+    assert (out[off] <= 0.9999 / out.sum(axis=0).min() + 1e-12).all()
+    # when nothing needs clipping the matrix is unchanged
+    if (nm[off] <= 0.9999).all():
+        assert np.allclose(out, nm)
+
+
+@given(
+    st.lists(
+        st.floats(min_value=-5, max_value=5, allow_nan=False, width=32).map(
+            lambda x: 0.0 if abs(x) < 1e-6 else x
+        ),
+        min_size=2,
+        max_size=12,
+    ),
+    st.integers(min_value=0, max_value=1),
+)
+@settings(max_examples=200, deadline=None)
+def test_clip_values_preserves_requested_sum(vals, use_new_sum):
+    # values below the 1e-100 TINY_VALUE guard excluded: the reference
+    # divides by clip(sum, 1e-100) too, so denormal sums are not preserved
+    v = np.array(vals)
+    if np.clip(v, 0, 1).sum() <= 1e-12:
+        return
+    if use_new_sum:
+        out = matrix_ops.clip_values(v, 0.0, 1.0, new_sum=1.0)
+        assert abs(out.sum() - 1.0) < 1e-9
+    else:
+        # new_sum=None preserves the PRE-clip total (internal/util.py:104)
+        out = matrix_ops.clip_values(v, 0.0, 1.0)
+        assert abs(out.sum() - v.sum()) < 1e-9
+
+
+@given(st.integers(min_value=2, max_value=6), st.integers(min_value=0, max_value=5000))
+@settings(max_examples=100, deadline=None)
+def test_latent_algebra_round_trip(k, seed):
+    """inv from (py, nm) and nm back from (ps, inv) stay column-stochastic,
+    and the Bayes joint is consistent: nm*py == (inv*ps).T pre-clip."""
+    rng = np.random.RandomState(seed)
+    nm = rng.dirichlet(np.ones(k) + 3 * np.eye(k)[0], size=k).T
+    nm = matrix_ops.clip_noise_rates(nm)
+    py = rng.dirichlet(np.ones(k))
+    ps = nm @ py
+    inv = matrix_ops.compute_inv_noise_matrix(py, nm, ps)
+    assert np.allclose(inv.sum(axis=0), 1.0)
+    nm2 = matrix_ops.compute_noise_matrix_from_inverse(ps, inv, py)
+    assert np.allclose(nm2.sum(axis=0), 1.0)
+    # exact round-trip when no entry hits the 0.9999 clip
+    if (nm[~np.eye(k, dtype=bool)] <= 0.9999).all() and (
+        inv[~np.eye(k, dtype=bool)] <= 0.9999
+    ).all():
+        assert np.allclose(nm2, nm, atol=1e-9)
+
+
+@given(st.integers(min_value=2, max_value=6), st.integers(min_value=0, max_value=5000))
+@settings(max_examples=50, deadline=None)
+def test_converge_estimates_stays_stochastic(k, seed):
+    rng = np.random.RandomState(seed)
+    cj = rng.randint(0, 40, size=(k, k))
+    np.fill_diagonal(cj, np.diagonal(cj) + 5)
+    counts = cj.sum(axis=1)
+    py, nm, inv = matrix_ops.estimate_latent(cj, counts, converge_latent_estimates=True)
+    assert abs(py.sum() - 1.0) < 1e-9
+    assert (py >= 1e-5 - 1e-12).all()
+    assert np.allclose(nm.sum(axis=0), 1.0)
+    assert np.allclose(inv.sum(axis=0), 1.0)
+
+
+@given(st.integers(min_value=2, max_value=6), st.integers(min_value=0, max_value=5000))
+@settings(max_examples=100, deadline=None)
+def test_remove_noise_from_class_columns_sum_to_one(k, seed):
+    rng = np.random.RandomState(seed)
+    nm = rng.dirichlet(np.ones(k) + 5 * np.eye(k)[0], size=k).T
+    cwn = int(rng.randint(0, k))
+    out = matrix_ops.remove_noise_from_class(nm, cwn)
+    assert np.allclose(out.sum(axis=0), 1.0)
+    # the cwn row is zero everywhere except its own column
+    mask = np.ones(k, dtype=bool)
+    mask[cwn] = False
+    assert (out[cwn, mask] == 0.0).all()
+
+
+def test_compute_py_methods_agree_on_clean_matrix():
+    """With a noise-free nm (identity), every py_method returns ps."""
+    k = 4
+    ps = np.array([0.1, 0.2, 0.3, 0.4])
+    nm = np.eye(k)
+    inv = np.eye(k)
+    tc = ps * 100
+    for m in ("cnt", "eqn", "marginal", "marginal_ps"):
+        py = matrix_ops.compute_py(ps, nm, inv, py_method=m, true_labels_class_counts=tc)
+        assert np.allclose(py, ps, atol=1e-9), m
+
+
+def test_compute_pyx_multiplier_identity():
+    assert np.allclose(
+        matrix_ops.compute_pyx_multiplier(np.eye(3), np.eye(3)), np.ones(3)
+    )
