@@ -723,6 +723,74 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "stack(3, 'a1', a1, 'a2', a2, 'a3', a3) AS (annotator_id, label)",
         )
 
+    def _annotator_sparse(spark, sf):
+        # sparse 3-annotator fixture: a1 labels everything, a2 only even
+        # example ids, a3 only ids not divisible by 3 -> num_annotations
+        # spans {1, 2, 3}, exercising CROWDLAB's single-annotation masks
+        df = _with_probs(_with_probs(_emb(spark, sf)).withColumnRenamed("pred_probs", "_pa"), lo=11)
+        df = df.withColumnRenamed("pred_probs", "_pb")
+        from sparkclean.quality.scores import predicted_label as _am
+
+        wide = df.select(
+            F.col("vec_id").alias("example_id"),
+            F.col("label").cast("int").alias("a1"),
+            _am(F.col("_pa")).alias("a2"),
+            _am(F.col("_pb")).alias("a3"),
+        )
+        a1 = wide.select(
+            "example_id", F.lit("a1").alias("annotator_id"), F.col("a1").alias("label")
+        )
+        a2 = wide.where(F.col("example_id") % 2 == 0).select(
+            "example_id", F.lit("a2").alias("annotator_id"), F.col("a2").alias("label")
+        )
+        a3 = wide.where(F.col("example_id") % 3 != 0).select(
+            "example_id", F.lit("a3").alias("annotator_id"), F.col("a3").alias("label")
+        )
+        return a1.unionByName(a2).unionByName(a3)
+
+    def _crowdlab_inputs(spark, sf):
+        long_df = _annotator_sparse(spark, sf)
+        probs = _with_probs(_emb(spark, sf)).select(
+            F.col("vec_id").alias("example_id"), "pred_probs"
+        )
+        return long_df, probs
+
+    def crowdlab_consensus_quality(spark, sf):
+        # multiannotator.py:1394-1527 + 1641-1699 (quality_method=crowdlab)
+        from sparkclean.quality.multiannotator import crowdlab_posterior
+
+        long_df, probs = _crowdlab_inputs(spark, sf)
+        df, _ = crowdlab_posterior(long_df, probs, K)
+        return df.select(
+            "example_id",
+            "consensus_label",
+            "num_annotations",
+            F.round("annotator_agreement", 6).alias("agreement"),
+            F.round("consensus_quality_score", 6).alias("consensus_quality"),
+        )
+
+    def crowdlab_weights(spark, sf):
+        from sparkclean.quality.multiannotator import crowdlab_posterior
+
+        long_df, probs = _crowdlab_inputs(spark, sf)
+        _, info = crowdlab_posterior(long_df, probs, K)
+        rows = sorted(info["annotator_weights"].items()) + [
+            ("__model__", info["model_weight"])
+        ]
+        return spark.createDataFrame(
+            [(n, float(round(w, 6))) for n, w in rows], "name: string, weight: double"
+        )
+
+    def activelab_scores(spark, sf):
+        # multiannotator.py:564-694 incl. the coarse+fine temperature search
+        from sparkclean.quality.multiannotator import active_learning_scores
+
+        long_df, probs = _crowdlab_inputs(spark, sf)
+        return active_learning_scores(long_df, probs, K).select(
+            "example_id",
+            F.round("active_learning_score", 6).alias("active_learning_score"),
+        )
+
     def majority_vote(spark, sf):
         from sparkclean.quality.multiannotator import majority_vote_label
 
@@ -930,6 +998,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         regression_residual=regression_residual,
         majority_vote=majority_vote,
         annotator_agreement=annotator_agreement,
+        crowdlab_consensus_quality=crowdlab_consensus_quality,
+        crowdlab_weights=crowdlab_weights,
+        activelab_scores=activelab_scores,
         underperforming_group=underperforming_group,
         datalab_issue_summary=datalab_issue_summary,
     )
@@ -1570,6 +1641,168 @@ wide AS (
 ), consensus AS (
   SELECT example_id, label AS consensus_label, n_votes FROM ranked WHERE rk = 1
 )"""
+    # ---- CROWDLAB (multiannotator.py:1394-1527) on the sparse 3-annotator
+    # fixture: a1 labels all, a2 even ids, a3 ids % 3 != 0.
+    _SPARSE_LONG = """
+swide AS (
+  SELECT pp.vec_id AS example_id, pp.label::INT AS a1,
+         (list_position(pp.p, list_max(pp.p)) - 1)::INT AS a2,
+         (list_position(pp2.p, list_max(pp2.p)) - 1)::INT AS a3
+  FROM pp JOIN pp2 USING (vec_id)
+), slong AS (
+  SELECT example_id, 'a1' AS annotator_id, a1 AS label FROM swide
+  UNION ALL SELECT example_id, 'a2', a2 FROM swide WHERE example_id % 2 = 0
+  UNION ALL SELECT example_id, 'a3', a3 FROM swide WHERE example_id % 3 <> 0
+)"""
+
+    def _crowdlab_cte(prel: str, x: str) -> str:
+        # prel must expose (vec_id, p); x is a unique CTE-name suffix.
+        # Final relations: spost{x} (example_id, consensus_label, n, agree,
+        # q, W), smw{x} (mw), swann{x} (annotator_id, w).
+        return f"""
+sv{x} AS (SELECT example_id, label, count(*) AS n_votes FROM slong GROUP BY 1, 2),
+sf{x} AS (SELECT label, count(*) AS class_freq FROM slong GROUP BY 1),
+sr{x} AS (
+  SELECT v.example_id, v.label, v.n_votes,
+         row_number() OVER (
+           PARTITION BY v.example_id
+           ORDER BY v.n_votes DESC, P.p[v.label + 1] DESC, f.class_freq ASC, v.label ASC
+         ) AS rk
+  FROM sv{x} v JOIN sf{x} f USING (label) JOIN {prel} P ON P.vec_id = v.example_id
+),
+scons{x} AS (SELECT example_id, label AS consensus_label, n_votes FROM sr{x} WHERE rk = 1),
+snann{x} AS (SELECT example_id, count(*) AS n FROM slong GROUP BY 1),
+sbase{x} AS (
+  SELECT c.example_id, c.consensus_label, a.n,
+         c.n_votes::DOUBLE / a.n AS agree, P.p
+  FROM scons{x} c JOIN snann{x} a USING (example_id)
+  JOIN {prel} P ON P.vec_id = c.example_id
+),
+ssc1{x} AS (
+  SELECT avg(CASE WHEN n <> 1 THEN agree END) AS cl, avg(n::DOUBLE) AS mean_n
+  FROM sbase{x}
+),
+smode{x} AS (
+  SELECT consensus_label AS m FROM sbase{x} WHERE n <> 1
+  GROUP BY 1 ORDER BY count(*) DESC, consensus_label ASC LIMIT 1
+),
+ssc2{x} AS (
+  SELECT greatest(avg(CASE WHEN b.consensus_label <> sm.m THEN 1.0 ELSE 0.0 END), 1e-6) AS mlce,
+         avg(CASE WHEN (list_position(b.p, list_max(b.p)) - 1) <> b.consensus_label
+                  THEN 1.0 ELSE 0.0 END) AS me
+  FROM sbase{x} b CROSS JOIN smode{x} sm WHERE b.n <> 1
+),
+smw{x} AS (
+  SELECT greatest(1.0 - s2.me / s2.mlce, 1e-6) * sqrt(s1.mean_n) AS mw
+  FROM ssc2{x} s2 CROSS JOIN ssc1{x} s1
+),
+spair{x} AS (
+  SELECT l1.annotator_id AS a,
+         avg(CASE WHEN l1.label = l2.label THEN 1.0 ELSE 0.0 END) AS agree
+  FROM slong l1 JOIN slong l2
+    ON l1.example_id = l2.example_id AND l1.annotator_id <> l2.annotator_id
+  GROUP BY 1
+),
+swann{x} AS (
+  SELECT p.a AS annotator_id, greatest(1.0 - (1.0 - p.agree) / s.mlce, 1e-6) AS w
+  FROM spair{x} p CROSS JOIN ssc2{x} s
+),
+swlong{x} AS (SELECT l.example_id, l.label, w.w FROM slong l JOIN swann{x} w USING (annotator_id)),
+swex{x} AS (SELECT example_id, sum(w) AS W FROM swlong{x} GROUP BY 1),
+swexc{x} AS (SELECT example_id, label, sum(w) AS wc FROM swlong{x} GROUP BY 1, 2),
+spost{x} AS (
+  SELECT b.example_id, b.consensus_label, b.n, b.agree, W.W,
+         (b.p[b.consensus_label + 1] * m.mw
+          + ((1.0 - s1.cl) / {K - 1}) * W.W
+          + (s1.cl - (1.0 - s1.cl) / {K - 1}) * coalesce(wc.wc, 0.0))
+         / (m.mw + W.W) AS q
+  FROM sbase{x} b JOIN swex{x} W USING (example_id)
+  LEFT JOIN swexc{x} wc
+    ON wc.example_id = b.example_id AND wc.label = b.consensus_label
+  CROSS JOIN smw{x} m CROSS JOIN ssc1{x} s1
+)"""
+
+    o["crowdlab_consensus_quality"] = f"""
+WITH {pc}, {pc2.lstrip()}, {_SPARSE_LONG.lstrip()},{_crowdlab_cte("pp", "c")}
+SELECT example_id, consensus_label, n AS num_annotations,
+       round(agree, 6) AS agreement, round(q, 6) AS consensus_quality
+FROM spostc"""
+
+    o["crowdlab_weights"] = f"""
+WITH {pc}, {pc2.lstrip()}, {_SPARSE_LONG.lstrip()},{_crowdlab_cte("pp", "c")}
+SELECT annotator_id AS name, round(w, 6) AS weight FROM swannc
+UNION ALL SELECT '__model__', round(mw, 6) FROM smwc"""
+
+    # ActiveLab (multiannotator.py:564-694): temperature search (coarse grid
+    # of 9 + data-dependent fine linspace, multiannotator_utils.py:277-337)
+    # -> temp-scaled probs -> CROWDLAB -> blend with the 1/K prior.
+    _TEMP_SEARCH = f"""
+semp AS (SELECT example_id, label, count(*) AS c FROM slong GROUP BY 1, 2),
+sempn AS (SELECT example_id, sum(c) AS n FROM semp GROUP BY 1),
+clst AS (SELECT [0.1, 0.2, 0.5, 0.8, 1.0, 2.0, 3.0, 5.0, 8.0] AS c),
+cgrid AS (SELECT r.i::INT + 1 AS i, (cl.c)[r.i::INT + 1] AS t FROM range(0, 9) r(i) CROSS JOIN clst cl),
+cst AS MATERIALIZED (
+  SELECT g.i, g.t, P.vec_id, P.p,
+         list_aggregate(list_transform(P.p, x -> pow(x, 1.0 / g.t)), 'sum') AS st
+  FROM pp P CROSS JOIN cgrid g
+),
+cce AS (
+  SELECT i, avg(ce) AS ce FROM (
+    SELECT s.i, s.vec_id,
+           -sum((e.c::DOUBLE / en.n)
+                * ln(greatest(pow(s.p[e.label + 1], 1.0 / s.t) / s.st, 1e-30))) / ln({K}) AS ce
+    FROM cst s
+    JOIN semp e ON e.example_id = s.vec_id
+    JOIN sempn en ON en.example_id = s.vec_id
+    GROUP BY 1, 2
+  ) GROUP BY 1
+),
+cbest AS MATERIALIZED (SELECT i FROM cce ORDER BY ce ASC, i ASC LIMIT 1),
+fgrid AS MATERIALIZED (
+  SELECT 0 AS part, r.j::INT AS j,
+         (cl.c)[b.i - 1] + r.j * ((cl.c)[b.i] - (cl.c)[b.i - 1]) / 4.0 AS t
+  FROM range(0, 4) r(j) CROSS JOIN cbest b CROSS JOIN clst cl WHERE b.i > 1
+  UNION ALL
+  SELECT 1, r.j::INT,
+         (cl.c)[b.i] + r.j * ((cl.c)[b.i + 1] - (cl.c)[b.i]) / 4.0
+  FROM range(0, 5) r(j) CROSS JOIN cbest b CROSS JOIN clst cl WHERE b.i < 9
+),
+fst AS MATERIALIZED (
+  SELECT g.part, g.j, g.t, P.vec_id, P.p,
+         list_aggregate(list_transform(P.p, x -> pow(x, 1.0 / g.t)), 'sum') AS st
+  FROM pp P CROSS JOIN fgrid g
+),
+fce AS (
+  SELECT part, j, any_value(t) AS t, avg(ce) AS ce FROM (
+    SELECT s.part, s.j, s.t, s.vec_id,
+           -sum((e.c::DOUBLE / en.n)
+                * ln(greatest(pow(s.p[e.label + 1], 1.0 / s.t) / s.st, 1e-30))) / ln({K}) AS ce
+    FROM fst s
+    JOIN semp e ON e.example_id = s.vec_id
+    JOIN sempn en ON en.example_id = s.vec_id
+    GROUP BY 1, 2, 3, 4
+  ) GROUP BY 1, 2
+),
+fbest AS MATERIALIZED (SELECT t FROM fce ORDER BY ce ASC, part ASC, j ASC LIMIT 1),
+tsc0 AS (SELECT vec_id, list_transform(p, x -> greatest(x, 1e-30)) AS p0 FROM pp),
+tsc1 AS (SELECT vec_id, list_transform(p0, x -> x / list_aggregate(p0, 'sum')) AS p1 FROM tsc0),
+tsc2 AS MATERIALIZED (
+  SELECT vec_id, list_transform(p1, x -> pow(x, 1.0 / fb.t)) AS p2
+  FROM tsc1 CROSS JOIN fbest fb
+),
+ppt AS MATERIALIZED (
+  SELECT vec_id, list_transform(p2, x -> x / list_aggregate(p2, 'sum')) AS p FROM tsc2
+)"""
+
+    o["activelab_scores"] = f"""
+WITH {pc}, {pc2.lstrip()}, {_SPARSE_LONG.lstrip()},
+{_TEMP_SEARCH.lstrip()},{_crowdlab_cte("ppt", "t")},
+savgw AS (SELECT avg(w) AS aw FROM swannt)
+SELECT sp.example_id,
+       round((sp.q * (sp.W + m.mw) + (1.0 / {K}) * a.aw) / (sp.W + m.mw + a.aw), 6)
+         AS active_learning_score
+FROM spostt sp CROSS JOIN smwt m CROSS JOIN savgw a"""
+
     o["majority_vote"] = f"""
 WITH {pc}, {pc2.lstrip()}, {_ANNOT_CTE}
 SELECT example_id, consensus_label, n_votes FROM consensus"""

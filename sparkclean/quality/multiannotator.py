@@ -273,23 +273,31 @@ def _with_soft_ce_cols(df: DataFrame, temps: list[float], num_classes: int) -> D
     (interpreted HOFs re-evaluate referenced subexpressions per element)."""
     import math
 
-    for i, t in enumerate(temps):
-        powed = F.transform(F.col("_p"), lambda x, _t=t: F.pow(x.cast("double"), F.lit(1.0 / _t)))
-        df = df.withColumn(f"_s{i}", F.aggregate(powed, F.lit(0.0), lambda a, x: a + x))
-    for i, t in enumerate(temps):
-        ce = -F.aggregate(
-            F.col("_emp"),
-            F.lit(0.0),
-            lambda acc, e, _t=t, _i=i: acc
-            + e["frac"]
-            * F.log(
+    def _pow_fn(t):
+        def fn(x):
+            return F.pow(x.cast("double"), F.lit(1.0 / t))
+
+        return fn
+
+    def _ce_fn(t, i):
+        def fn(acc, e):
+            return acc + e["frac"] * F.log(
                 F.greatest(
-                    F.pow(F.element_at(F.col("_p"), e["k"] + 1).cast("double"), F.lit(1.0 / _t))
-                    / F.col(f"_s{_i}"),
+                    F.pow(F.element_at(F.col("_p"), e["k"] + 1).cast("double"), F.lit(1.0 / t))
+                    / F.col(f"_s{i}"),
                     F.lit(_SMALL),
                 )
-            ),
-        ) / F.lit(math.log(num_classes))
+            )
+
+        return fn
+
+    for i, t in enumerate(temps):
+        powed = F.transform(F.col("_p"), _pow_fn(t))
+        df = df.withColumn(f"_s{i}", F.aggregate(powed, F.lit(0.0), lambda a, x: a + x))
+    for i, t in enumerate(temps):
+        ce = -F.aggregate(F.col("_emp"), F.lit(0.0), _ce_fn(t, i)) / F.lit(
+            math.log(num_classes)
+        )
         df = df.withColumn(f"_ce{i}", ce)
     return df
 
