@@ -416,6 +416,84 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round(F.exp(-F.col("avg_dist") / F.lit(float(med))), 6).alias("score"),
         )
 
+    def _pixel_scores():
+        # synthetic 12-pixel segmentation fixture: pixel j of image vec_id
+        # has label (vec_id + j) % 4 and a 4-class softmax over embedding
+        # dims [j+1, j+4]; pixel score = prob at the given pixel label
+        def px(j):
+            idx = ((F.col("vec_id") + j) % 4).cast("int")
+            terms = [
+                F.exp(F.element_at("embedding", (j + F.lit(1 + o)).cast("int")).cast("double") * 2.0)
+                for o in range(4)
+            ]
+            tot = terms[0] + terms[1] + terms[2] + terms[3]
+            num = F.exp(
+                F.element_at("embedding", (j + 1 + idx).cast("int")).cast("double") * 2.0
+            )
+            return num / tot
+
+        return F.transform(F.sequence(F.lit(0), F.lit(11)), px)
+
+    def segmentation_image_scores(spark, sf):
+        # segmentation/rank.py:14-130: softmin(T=0.1) over per-pixel scores
+        from sparkclean.quality.task_scores import segmentation_image_score
+
+        df = _emb(spark, sf).withColumn("_pix", _pixel_scores())
+        return df.select(
+            "vec_id",
+            F.round(segmentation_image_score(F.col("_pix")), 6).alias("image_score"),
+        )
+
+    def segmentation_pixel_issues(spark, sf):
+        # segmentation/rank.py:133-187: issue mask = pixel_score < threshold
+        from sparkclean.quality.task_scores import segmentation_pixel_issue_count
+
+        df = _emb(spark, sf).withColumn("_pix", _pixel_scores())
+        return df.select(
+            "vec_id",
+            segmentation_pixel_issue_count(F.col("_pix"), 0.1).alias("n_pixel_issues"),
+        )
+
+    def objectlab_scores(spark, sf):
+        # object_detection/rank.py:1017-1115: per-subtype softmin pooling +
+        # weighted geometric combine; boxes = events grouped by user_id % 50
+        from sparkclean.quality.task_scores import objectlab_image_scores
+
+        ev = _events(spark, sf)
+        box = ev.select(
+            (F.col("user_id") % 50).alias("image_id"),
+            F.when(
+                F.col("event_id") % 5 != 0,
+                F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("value") / 50.0)),
+            ).alias("over"),
+            F.when(F.col("event_id") % 5 != 1, ((F.col("event_id") * 7) % 97) / 96.0).alias(
+                "badloc"
+            ),
+            F.when(F.col("event_id") % 5 != 2, ((F.col("event_id") * 13) % 89) / 88.0).alias(
+                "swap"
+            ),
+        )
+        scores = objectlab_image_scores(
+            box,
+            "image_id",
+            {"over": F.col("over"), "badloc": F.col("badloc"), "swap": F.col("swap")},
+        )
+        return scores.select(
+            "image_id", F.round("label_quality_score", 6).alias("label_quality_score")
+        )
+
+    def ngram_jaccard_pairs(spark, sf):
+        # exact word-3gram Jaccard near-dup pairs (the oracle-exact
+        # complement of the probabilistic minhash_near_duplicates path)
+        docs = _docs(spark, sf).where(F.col("doc_id") < 200)
+        sh = docs.select("doc_id", dedup_minhash.shingles_col(F.col("text")).alias("_sh"))
+        a = sh.select(F.col("doc_id").alias("id_a"), F.col("_sh").alias("_sa"))
+        b = sh.select(F.col("doc_id").alias("id_b"), F.col("_sh").alias("_sb"))
+        pairs = a.join(b, F.col("id_a") < F.col("id_b")).withColumn(
+            "jaccard", F.round(dedup_minhash.jaccard_col(F.col("_sa"), F.col("_sb")), 6)
+        )
+        return pairs.where(F.col("jaccard") >= 0.2).select("id_a", "id_b", "jaccard")
+
     def ensemble_accuracy_weighted(spark, sf):
         # rank.py:158-366 weight_ensemble_members_by="accuracy":
         # weight_m ∝ avg(argmax(P_m) == label)
@@ -996,6 +1074,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         softmin_token_scores=softmin_token_scores,
         multilabel_ema_scores=multilabel_ema_scores,
         regression_residual=regression_residual,
+        segmentation_image_scores=segmentation_image_scores,
+        segmentation_pixel_issues=segmentation_pixel_issues,
+        objectlab_scores=objectlab_scores,
+        ngram_jaccard_pairs=ngram_jaccard_pairs,
         majority_vote=majority_vote,
         annotator_agreement=annotator_agreement,
         crowdlab_consensus_quality=crowdlab_consensus_quality,
@@ -1273,6 +1355,56 @@ FROM zeroed z JOIN zcol c USING (y) JOIN zdiag d ON d.y = z.y"""
         "CASE WHEN label = 1 THEN 1 ELSE 0 END",
         "1.0 / (1.0 + exp(-4.0 * (embedding[1]::DOUBLE - embedding[2]::DOUBLE)))",
     )
+
+    from sparkclean.dedup.minhash import shingles_sql as _shingles_sql
+    from sparkclean.quality.task_scores import (
+        objectlab_image_scores_sql,
+        segmentation_image_score_sql,
+        segmentation_pixel_issue_count_sql,
+    )
+
+    _PIX_SQL = """
+list_transform(range(0, 12), j ->
+  exp(2.0 * embedding[j + 1 + ((vec_id + j) % 4)]::DOUBLE)
+  / (exp(2.0 * embedding[j + 1]::DOUBLE) + exp(2.0 * embedding[j + 2]::DOUBLE)
+     + exp(2.0 * embedding[j + 3]::DOUBLE) + exp(2.0 * embedding[j + 4]::DOUBLE)))"""
+
+    o["segmentation_image_scores"] = f"""
+WITH pix AS (SELECT vec_id, {_PIX_SQL} AS ps FROM embeddings)
+SELECT vec_id, round({segmentation_image_score_sql("ps")}, 6) AS image_score FROM pix"""
+
+    o["segmentation_pixel_issues"] = f"""
+WITH pix AS (SELECT vec_id, {_PIX_SQL} AS ps FROM embeddings)
+SELECT vec_id, {segmentation_pixel_issue_count_sql("ps", 0.1)} AS n_pixel_issues FROM pix"""
+
+    _BOX_CTE = """
+boxes AS (
+  SELECT user_id % 50 AS image_id,
+         CASE WHEN event_id % 5 <> 0 THEN 1.0 / (1.0 + exp(-value / 50.0)) END AS over,
+         CASE WHEN event_id % 5 <> 1 THEN ((event_id * 7) % 97) / 96.0 END AS badloc,
+         CASE WHEN event_id % 5 <> 2 THEN ((event_id * 13) % 89) / 88.0 END AS swap
+  FROM events
+)"""
+    _obj_inner = objectlab_image_scores_sql(
+        "boxes", "image_id", {"over": "over", "badloc": "badloc", "swap": "swap"}
+    )
+    o["objectlab_scores"] = f"""
+WITH {_BOX_CTE.lstrip()}
+SELECT image_id, round(label_quality_score, 6) AS label_quality_score
+FROM ({_obj_inner})"""
+
+    o["ngram_jaccard_pairs"] = f"""
+WITH dsh AS (
+  SELECT doc_id, {_shingles_sql("text")} AS sh FROM documents WHERE doc_id < 200
+),
+jp AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         round(CASE WHEN len(list_distinct(a.sh || b.sh)) > 0
+               THEN len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(a.sh || b.sh))
+               ELSE 0.0 END, 6) AS jaccard
+  FROM dsh a JOIN dsh b ON a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, jaccard FROM jp WHERE jaccard >= 0.2"""
 
     o["outre_scores"] = """
 WITH ev_o AS (

@@ -112,3 +112,96 @@ def outre_stats(df, label_col: str, pred_col: str) -> dict:
         "resid_mean": float(row["rm"]),
         "resid_std": float(row["rs"]),
     }
+
+
+# ------------------------------------------------------- segmentation
+
+
+def segmentation_image_score(pixel_scores: Column, temperature: float = 0.1) -> Column:
+    """Per-image label-quality score: softmin over per-pixel self-confidence
+    (segmentation/rank.py:14-130; default temperature 0.1)."""
+    from .pooling import softmin_col
+
+    return softmin_col(pixel_scores, temperature)
+
+
+def segmentation_image_score_sql(pixel_scores: str, temperature: float = 0.1) -> str:
+    from .pooling import softmin_sql
+
+    return softmin_sql(pixel_scores, temperature)
+
+
+def segmentation_pixel_issue_count(pixel_scores: Column, threshold: float = 0.1) -> Column:
+    """#pixels flagged by issues_from_scores (segmentation/rank.py:133-187):
+    the issue mask is ``pixel_scores < threshold``."""
+    return F.size(F.filter(pixel_scores, lambda s: s < F.lit(float(threshold))))
+
+
+def segmentation_pixel_issue_count_sql(pixel_scores: str, threshold: float = 0.1) -> str:
+    return f"len(list_filter({pixel_scores}, s -> s < {float(threshold)}))"
+
+
+# ------------------------------------------------------ object detection
+
+OBJECTLAB_TEMPERATURE = 0.1  # internal/constants.py:24
+_TINY = 1e-100
+
+
+def objectlab_image_scores(
+    df,
+    image_col: str,
+    subtype_cols: dict,
+    temperature: float = OBJECTLAB_TEMPERATURE,
+    weights: dict | None = None,
+):
+    """Pool per-box subtype scores into one image score
+    (object_detection/rank.py:1017-1115): per subtype softmin over the
+    image's non-null box scores (empty -> 1.0, rank.py:513-520), then the
+    weighted geometric combine ``exp(sum_w w_s ln(tiny + pooled_s))`` with
+    default weights 1/3 each (internal/constants.py:28-38)."""
+    from .pooling import softmin_col
+
+    names = list(subtype_cols)
+    if weights is None:
+        weights = {n: 1.0 / len(names) for n in names}
+    aggs = [
+        F.collect_list(subtype_cols[n]).alias(f"_sub_{n}") for n in names
+    ]  # collect_list drops nulls = the reference's NaN filter
+    g = df.groupBy(image_col).agg(*aggs)
+    combined = None
+    for n in names:
+        pooled = F.when(
+            F.size(F.col(f"_sub_{n}")) > 0, softmin_col(F.col(f"_sub_{n}"), temperature)
+        ).otherwise(F.lit(1.0))
+        term = F.lit(float(weights[n])) * F.log(F.lit(_TINY) + pooled)
+        combined = term if combined is None else combined + term
+    return g.select(image_col, F.exp(combined).alias("label_quality_score"))
+
+
+def objectlab_image_scores_sql(
+    box_rel: str,
+    image_col: str,
+    subtype_exprs: dict,
+    temperature: float = OBJECTLAB_TEMPERATURE,
+    weights: dict | None = None,
+) -> str:
+    """DuckDB twin of :func:`objectlab_image_scores` (keep in sync).
+    Returns a full SELECT over ``box_rel``."""
+    from .pooling import softmin_sql
+
+    names = list(subtype_exprs)
+    if weights is None:
+        weights = {n: 1.0 / len(names) for n in names}
+    lists = ", ".join(
+        f"list({subtype_exprs[n]}) FILTER (({subtype_exprs[n]}) IS NOT NULL) AS _sub_{n}"
+        for n in names
+    )
+    terms = " + ".join(
+        f"{float(weights[n])} * ln({_TINY} + CASE WHEN len(_sub_{n}) > 0 THEN "
+        f"{softmin_sql(f'_sub_{n}', temperature)} ELSE 1.0 END)"
+        for n in names
+    )
+    return (
+        f"SELECT {image_col}, exp({terms}) AS label_quality_score "
+        f"FROM (SELECT {image_col}, {lists} FROM {box_rel} GROUP BY 1)"
+    )

@@ -153,3 +153,106 @@ def test_task_scores(spark):
     np.testing.assert_allclose(out[0][0], [0.9, 0.8, 0.7])
     np.testing.assert_allclose(out[1][0], [0.9, 0.8, 0.7])
     assert abs(out[0][1] - _ema_ref([0.9, 0.8, 0.7])) < 1e-12
+
+
+def test_objectlab_pooling_matches_numpy(spark):
+    """Weighted geometric combine of per-subtype softmin pools
+    (object_detection/rank.py:1017-1115) vs direct NumPy."""
+    import numpy as np
+
+    from sparkclean.quality.task_scores import objectlab_image_scores
+
+    rows = []
+    rng = np.random.RandomState(3)
+    for img in range(6):
+        for b in range(rng.randint(1, 5)):
+            rows.append(
+                (
+                    img,
+                    float(rng.rand()) if rng.rand() > 0.3 else None,
+                    float(rng.rand()) if rng.rand() > 0.3 else None,
+                    float(rng.rand()) if rng.rand() > 0.3 else None,
+                )
+            )
+    df = spark.createDataFrame(
+        rows, "image_id: int, over: double, badloc: double, swap: double"
+    )
+    from pyspark.sql import functions as F
+
+    got = {
+        r["image_id"]: r["label_quality_score"]
+        for r in objectlab_image_scores(
+            df, "image_id", {"over": F.col("over"), "badloc": F.col("badloc"), "swap": F.col("swap")}
+        ).collect()
+    }
+
+    def softmin(a, t=0.1):
+        a = np.asarray(a, dtype=float)
+        w = np.exp((1 - a) / t - ((1 - a) / t).max())
+        return float((a * w).sum() / w.sum())
+
+    by_img = {}
+    for img, o, b, s in rows:
+        by_img.setdefault(img, {"over": [], "badloc": [], "swap": []})
+        for k, v in (("over", o), ("badloc", b), ("swap", s)):
+            if v is not None:
+                by_img[img][k].append(v)
+    for img, subs in by_img.items():
+        acc = 0.0
+        for k in ("over", "badloc", "swap"):
+            pooled = softmin(subs[k]) if subs[k] else 1.0
+            acc += (1.0 / 3.0) * np.log(1e-100 + pooled)
+        assert abs(got[img] - np.exp(acc)) < 1e-9
+
+
+def test_segmentation_softmin_tends_to_min_at_low_temperature(spark):
+    from pyspark.sql import functions as F
+
+    from sparkclean.quality.task_scores import (
+        segmentation_image_score,
+        segmentation_pixel_issue_count,
+    )
+
+    df = spark.createDataFrame(
+        [(0, [0.9, 0.8, 0.05, 0.95]), (1, [0.5, 0.5, 0.5, 0.5])],
+        "id: int, pix: array<double>",
+    )
+    rows = {
+        r["id"]: (r["s"], r["n"])
+        for r in df.select(
+            "id",
+            segmentation_image_score(F.col("pix"), temperature=0.01).alias("s"),
+            segmentation_pixel_issue_count(F.col("pix"), 0.1).alias("n"),
+        ).collect()
+    }
+    assert abs(rows[0][0] - 0.05) < 1e-6  # T->0 converges to min pixel score
+    assert rows[0][1] == 1 and rows[1][1] == 0
+    assert abs(rows[1][0] - 0.5) < 1e-12
+
+
+def test_ngram_jaccard_exact(spark):
+    from pyspark.sql import functions as F
+
+    from sparkclean.dedup.minhash import jaccard_col, shingles_col
+
+    df = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog"),
+            (1, "the quick brown fox jumps over the sleepy dog"),
+            (2, "completely different text with no overlap at all here"),
+        ],
+        "doc_id: long, text: string",
+    )
+    sh = df.select("doc_id", shingles_col(F.col("text")).alias("sh"))
+    a = sh.select(F.col("doc_id").alias("ia"), F.col("sh").alias("sa"))
+    b = sh.select(F.col("doc_id").alias("ib"), F.col("sh").alias("sb"))
+    pairs = {
+        (r["ia"], r["ib"]): r["j"]
+        for r in a.join(b, F.col("ia") < F.col("ib"))
+        .select("ia", "ib", jaccard_col(F.col("sa"), F.col("sb")).alias("j"))
+        .collect()
+    }
+    # 9 words -> 7 word-3grams each; the single differing word appears in 2
+    # trigrams -> 5 shared, union 9 -> J = 5/9
+    assert abs(pairs[(0, 1)] - 5.0 / 9.0) < 1e-12
+    assert pairs[(0, 2)] == 0.0 and pairs[(1, 2)] == 0.0
