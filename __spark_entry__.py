@@ -416,6 +416,110 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round(F.exp(-F.col("avg_dist") / F.lit(float(med))), 6).alias("score"),
         )
 
+    def estimate_joint(spark, sf):
+        # count.py:329-399 — calibrated confident joint normalised to a
+        # probability matrix
+        from sparkclean.quality.joint import compute_confident_joint
+
+        df = _with_probs(_emb(spark, sf))
+        cj = compute_confident_joint(df, K, calibrate=True)
+        tot = max(float(cj.sum()), 1e-100)
+        rows = [
+            (s, y, float(round(cj[s, y] / tot, 6))) for s in range(K) for y in range(K)
+        ]
+        return spark.createDataFrame(rows, "given_label: int, true_label: int, p: double")
+
+    def num_label_issues_calibrated(spark, sf):
+        # count.py:50-173 estimation_method="off_diagonal_calibrated"
+        df = _with_probs(_emb(spark, sf))
+        n = q_issues.num_label_issues(df, K, estimation_method="off_diagonal_calibrated")
+        return spark.createDataFrame([(int(n),)], "n_issues: long")
+
+    def ood_entropy_adjusted(spark, sf):
+        # outlier.py:482-581 with adjust_pred_probs=True: subtract confident
+        # thresholds, shift, renormalise, then 1 - normalised entropy
+        from sparkclean.quality.ood import with_ood_scores
+
+        df = _with_probs(_emb(spark, sf))
+        t = q_thresholds.get_confident_thresholds(df, K)
+        out = with_ood_scores(df, K, method="entropy", adjust=True, thresholds=t)
+        return out.select("vec_id", F.round("ood_score", 6).alias("score"))
+
+    def null_issue_rows(spark, sf):
+        # datalab null manager (null.py:15-210): per-row fraction of
+        # non-null fields; issue iff every tracked field is null
+        from sparkclean.quality.datalab import null_issues
+
+        ev = _events(spark, sf).select(
+            "event_id",
+            F.when(F.col("value") >= 2.0, F.col("value")).alias("_v"),
+            F.when(F.col("event_type") != "click", F.col("props")).alias("_p"),
+        )
+        out = null_issues(ev, ["_v", "_p"])
+        return out.select(
+            "event_id",
+            F.round("null_score", 6).alias("null_score"),
+            "is_null_issue",
+        )
+
+    def null_issue_patterns(spark, sf):
+        # most-common null pattern (null.py:36-47): groupBy the boolean
+        # null mask across tracked columns
+        ev = _events(spark, sf).select(
+            F.when(F.col("value") >= 2.0, F.col("value")).alias("_v"),
+            F.when(F.col("event_type") != "click", F.col("props")).alias("_p"),
+        )
+        return (
+            ev.groupBy(
+                F.col("_v").isNull().alias("value_null"),
+                F.col("_p").isNull().alias("props_null"),
+            )
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    def token_issues_from_scores(spark, sf):
+        # token_classification/rank.py:135-230: tokens with quality score
+        # below threshold, reported as (sentence, token_idx, score)
+        from sparkclean.text.shared import hash60_col, words_col
+
+        docs = _docs(spark, sf).where(F.length(F.trim("text")) > 0)
+        tok_scores = F.transform(
+            words_col(F.lower(F.col("text"))),
+            lambda t: (hash60_col(t) % F.lit(1000)).cast("double") / F.lit(1000.0)
+            * F.lit(0.8)
+            + F.lit(0.1),
+        )
+        ex = docs.select("doc_id", F.posexplode(tok_scores).alias("token_idx", "_s"))
+        return ex.where(F.col("_s") < 0.3).select(
+            "doc_id", "token_idx", F.round("_s", 6).alias("token_score")
+        )
+
+    def common_multilabel_issues_q(spark, sf):
+        # multilabel_classification/dataset.py:18 per-class issue summary
+        from sparkclean.quality.joint import common_multilabel_issues
+
+        df = _with_probs(_emb(spark, sf)).withColumn(
+            "labels",
+            F.array_sort(F.array(F.col("label").cast("int"), (F.col("label") + 3) % 10)),
+        )
+        return common_multilabel_issues(df, K, id_col="vec_id")
+
+    def multilabel_py_q(spark, sf):
+        # internal/multilabel_scorer.py:559 — per-class binary prior (K, 2)
+        df = _with_probs(_emb(spark, sf)).withColumn(
+            "labels",
+            F.array_sort(F.array(F.col("label").cast("int"), (F.col("label") + 3) % 10)),
+        )
+        n = df.count()
+        k_seq = F.explode(F.sequence(F.lit(0), F.lit(K - 1))).alias("k")
+        ex = df.select(F.col("labels"), k_seq).select(
+            "k", F.array_contains("labels", F.col("k")).cast("int").alias("_y")
+        )
+        return ex.groupBy("k").agg(
+            F.round(F.sum(F.lit(1) - F.col("_y")).cast("double") / F.lit(float(n)), 6).alias("p0"),
+            F.round(F.sum("_y").cast("double") / F.lit(float(n)), 6).alias("p1"),
+        )
+
     def _pixel_scores():
         # synthetic 12-pixel segmentation fixture: pixel j of image vec_id
         # has label (vec_id + j) % 4 and a 4-class softmax over embedding
@@ -619,6 +723,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             df, K, id_col="vec_id", filter_by="prune_by_noise_rate"
         )
         return out.select("vec_id", "is_label_issue")
+
+    def issues_prune_both(spark, sf):
+        # filter.py:399-423 — AND of prune_by_class & prune_by_noise_rate
+        df = _with_probs(_emb(spark, sf))
+        out = q_issues.find_label_issues(df, K, id_col="vec_id", filter_by="both")
+        return out.select("vec_id", "is_label_issue")
+
+    def label_value_counts(spark, sf):
+        # internal/util.py:113-177 value_counts_fill_missing_classes:
+        # groupBy count with zero-fill over the broadcast class range
+        df = _emb(spark, sf)
+        counts = df.groupBy(F.col("label").cast("int").alias("k")).agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        classes = spark.range(K).select(F.col("id").cast("int").alias("k"))
+        return classes.join(counts, "k", "left").select(
+            "k", F.coalesce("n", F.lit(0)).alias("n")
+        )
 
     def top_issues_ranked(spark, sf):
         # find_top_issues / order_label_issues (rank.py:369-461): lowest
@@ -1040,6 +1162,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         format_labels=format_labels_q,
         multilabel_confident_joint=multilabel_confident_joint,
         multilabel_label_issues=multilabel_label_issues_q,
+        estimate_joint=estimate_joint,
+        num_label_issues_calibrated=num_label_issues_calibrated,
+        ood_entropy_adjusted=ood_entropy_adjusted,
+        null_issue_rows=null_issue_rows,
+        null_issue_patterns=null_issue_patterns,
+        token_issues_from_scores=token_issues_from_scores,
+        common_multilabel_issues=common_multilabel_issues_q,
+        multilabel_py=multilabel_py_q,
         ood_knn_distance=ood_knn_distance,
         num_label_issues=num_label_issues_q,
         issues_low_self_confidence=issues_low_self_confidence,
@@ -1047,6 +1177,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         issues_confident_learning=issues_confident_learning,
         issues_prune_by_class=issues_prune_by_class,
         issues_prune_by_noise_rate=issues_prune_by_noise_rate,
+        issues_prune_both=issues_prune_both,
+        label_value_counts=label_value_counts,
         top_issues_ranked=top_issues_ranked,
         class_imbalance=class_imbalance,
         ood_entropy=ood_entropy,
@@ -1996,4 +2128,118 @@ UNION ALL SELECT 'outlier', n, round(s, 6) FROM outl
 UNION ALL SELECT 'class_imbalance', n, round(s, 6) FROM imb
 UNION ALL SELECT 'null', n, round(s, 6) FROM nul
 UNION ALL SELECT 'underperforming_group', n, round(s, 6) FROM upg"""
+
+    # ---- batch: estimate_joint / calibrated count / adjusted OOD / null
+    # manager / token issues / multilabel summary + prior
+    o["estimate_joint"] = f"""
+WITH {pc}, {_TH_CTE}, {_BIN_CTE}, {_CAL_CTE.lstrip()},
+tj AS (SELECT sum(n)::DOUBLE AS total FROM cal)
+SELECT s AS given_label, y AS true_label, round(n / tj.total, 6) AS p
+FROM cal CROSS JOIN tj"""
+
+    o["num_label_issues_calibrated"] = f"""
+WITH {pc}, {_TH_CTE}, {_BIN_CTE}, {_CAL_CTE.lstrip()}
+SELECT round_even((1.0 - sum(CASE WHEN s = y THEN n ELSE 0 END)::DOUBLE / sum(n))
+                  * sum(n), 0)::BIGINT AS n_issues
+FROM cal"""
+
+    o["ood_entropy_adjusted"] = f"""
+WITH {pc}, {_TH_CTE},
+adj0 AS (
+  SELECT s.vec_id,
+         list_transform(range(1, {K + 1}),
+             i -> s.p[i] - t.tvec[i] + list_max(t.tvec)) AS q
+  FROM sc s CROSS JOIN tv t
+),
+adj AS (
+  SELECT vec_id, list_transform(q, x -> x / list_aggregate(q, 'sum')) AS p FROM adj0
+)
+SELECT vec_id, round(1.0 - {_ENT_SQL}, 6) AS score FROM adj"""
+
+    _NULL_CTE = """
+evn AS (
+  SELECT event_id,
+         CASE WHEN value >= 2.0 THEN value END AS v,
+         CASE WHEN event_type <> 'click' THEN props END AS p
+  FROM events
+)"""
+    o["null_issue_rows"] = f"""
+WITH {_NULL_CTE.lstrip()}
+SELECT event_id,
+       round(((CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END)
+            + (CASE WHEN p IS NOT NULL THEN 1 ELSE 0 END))::DOUBLE / 2.0, 6) AS null_score,
+       ((CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END)
+      + (CASE WHEN p IS NOT NULL THEN 1 ELSE 0 END)) = 0 AS is_null_issue
+FROM evn"""
+    o["null_issue_patterns"] = f"""
+WITH {_NULL_CTE.lstrip()}
+SELECT v IS NULL AS value_null, p IS NULL AS props_null, count(*) AS n
+FROM evn GROUP BY 1, 2"""
+
+    o["token_issues_from_scores"] = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({tok_scores}) AS token_score,
+         unnest(range(0, len({tok_scores}))) AS token_idx
+  FROM documents WHERE length(trim(text)) > 0
+)
+SELECT doc_id, token_idx::INT AS token_idx, round(token_score, 6) AS token_score
+FROM toks WHERE token_score < 0.3"""
+
+    _ML_CELLS = f"""
+ml AS (SELECT vec_id, label, p, list_sort([label::INT, ((label + 3) % 10)::INT]) AS ls FROM pp),
+ex AS (
+  SELECT vec_id, r.k::INT AS k,
+         CASE WHEN list_contains(ls, r.k::INT) THEN 1 ELSE 0 END AS yk,
+         p[r.k + 1] AS pk
+  FROM ml CROSS JOIN range(0, {K}) r(k)
+), scb AS (SELECT *, CASE WHEN yk = 1 THEN pk ELSE 1.0 - pk END AS scv FROM ex),
+thb AS (
+  SELECT k,
+         coalesce(max(CASE WHEN yk = 0 THEN t END), 2.0) AS t0,
+         coalesce(max(CASE WHEN yk = 1 THEN t END), 2.0) AS t1
+  FROM (SELECT k, yk, greatest(avg(scv), 2e-6) AS t FROM scb GROUP BY 1, 2)
+  GROUP BY k
+), jb AS (SELECT s.*, thb.t0, thb.t1 FROM scb s JOIN thb USING (k)),
+cells AS (
+  SELECT vec_id, k, yk,
+         CASE WHEN (
+           CASE WHEN (CASE WHEN 1.0 - pk >= t0 - {FPC} THEN 1 ELSE 0 END)
+                   + (CASE WHEN pk >= t1 - {FPC} THEN 1 ELSE 0 END) > 1
+                THEN CASE WHEN 1.0 - pk >= pk THEN 0 ELSE 1 END
+                WHEN 1.0 - pk >= t0 - {FPC} THEN 0
+                WHEN pk >= t1 - {FPC} THEN 1
+                ELSE -1 END
+         ) NOT IN (-1, yk)
+         AND (CASE WHEN (1.0 - pk + CASE WHEN yk = 0 THEN {FPC} ELSE 0.0 END)
+                     >= (pk + CASE WHEN yk = 1 THEN {FPC} ELSE 0.0 END)
+                   THEN 0 ELSE 1 END) <> yk
+         THEN 1 ELSE 0 END AS iss
+  FROM jb
+)"""
+    o["common_multilabel_issues"] = f"""
+WITH {pc}, {_ML_CELLS.lstrip()},
+nn AS (SELECT count(*)::DOUBLE AS n FROM embeddings)
+SELECT k AS class_index, yk = 1 AS in_given_label, yk = 0 AS in_suggested_label,
+       count(*) AS num_examples,
+       round(count(*) / nn.n, 6) AS issue_probability
+FROM cells CROSS JOIN nn WHERE iss = 1
+GROUP BY 1, 2, 3, nn.n"""
+
+    o["label_value_counts"] = f"""
+SELECT r.k::INT AS k, coalesce(t.n, 0) AS n
+FROM range(0, {K}) r(k)
+LEFT JOIN (SELECT label AS k, count(*) AS n FROM embeddings GROUP BY 1) t ON t.k = r.k"""
+
+    o["multilabel_py"] = f"""
+WITH lsx AS (
+  SELECT list_sort([label::INT, ((label + 3) % 10)::INT]) AS ls FROM embeddings
+),
+exp AS (
+  SELECT r.k::INT AS k,
+         CASE WHEN list_contains(ls, r.k::INT) THEN 1 ELSE 0 END AS yk
+  FROM lsx CROSS JOIN range(0, {K}) r(k)
+),
+nn AS (SELECT count(*)::DOUBLE AS n FROM embeddings)
+SELECT k, round(sum(1 - yk) / nn.n, 6) AS p0, round(sum(yk) / nn.n, 6) AS p1
+FROM exp CROSS JOIN nn GROUP BY k, nn.n"""
     return o

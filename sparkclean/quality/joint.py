@@ -129,19 +129,16 @@ def _ml_binary_frame(
     return out
 
 
-def multilabel_label_issues(
+def _ml_issue_cells(
     df: DataFrame,
     num_classes: int,
-    id_col: str = "id",
     labels_col: str = "labels",
     probs_col: str = "pred_probs",
+    id_col: str = "id",
 ) -> DataFrame:
-    """Multilabel find_label_issues, confident_learning variant
-    (filter.py:453-536 / multilabel_classification/filter.py:13): a row
-    is an issue if ANY class's one-vs-rest binary problem confidently
-    lands off-diagonal (guess != given, binary reduce-issues applied).
-    One exploded pass + one groupBy — no K-loop.
-    """
+    """Per-(example, class) one-vs-rest issue cells: the shared core of
+    multilabel find_label_issues and common_multilabel_issues — binary
+    confident thresholds, confident bins, binary reduce-issues."""
     ex = _ml_binary_frame(df, num_classes, labels_col, probs_col, id_col=id_col)
     sc = F.when(F.col("_y") == 1, F.col("_pk")).otherwise(F.lit(1.0) - F.col("_pk"))
     ex = ex.withColumn("_sc", sc)
@@ -169,10 +166,55 @@ def multilabel_label_issues(
     )
     boosted = F.when(bp0 >= bp1, F.lit(0)).otherwise(F.lit(1))
     issue_k = (guess >= 0) & (guess != F.col("_y")) & (boosted != F.col("_y"))
+    return j.withColumn("_iss", issue_k.cast("int"))
+
+
+def multilabel_label_issues(
+    df: DataFrame,
+    num_classes: int,
+    id_col: str = "id",
+    labels_col: str = "labels",
+    probs_col: str = "pred_probs",
+) -> DataFrame:
+    """Multilabel find_label_issues, confident_learning variant
+    (filter.py:453-536 / multilabel_classification/filter.py:13): a row
+    is an issue if ANY class's one-vs-rest binary problem confidently
+    lands off-diagonal (guess != given, binary reduce-issues applied).
+    One exploded pass + one groupBy — no K-loop.
+    """
+    cells = _ml_issue_cells(df, num_classes, labels_col, probs_col, id_col)
+    return cells.groupBy(F.col("_id").alias(id_col)).agg(
+        (F.sum("_iss") >= 1).alias("is_label_issue"),
+        F.sum("_iss").alias("num_class_issues"),
+    )
+
+
+def common_multilabel_issues(
+    df: DataFrame,
+    num_classes: int,
+    id_col: str = "id",
+    labels_col: str = "labels",
+    probs_col: str = "pred_probs",
+) -> DataFrame:
+    """Per-class issue summary (multilabel_classification/dataset.py:18):
+    for each class, how many flagged examples had the class given as
+    True vs False (suggested label is the flip), plus the relative
+    frequency over the whole dataset."""
+    n = df.count()
+    cells = _ml_issue_cells(df, num_classes, labels_col, probs_col, id_col)
     return (
-        j.withColumn("_iss", issue_k.cast("int"))
-        .groupBy(F.col("_id").alias(id_col))
-        .agg((F.sum("_iss") >= 1).alias("is_label_issue"), F.sum("_iss").alias("num_class_issues"))
+        cells.where(F.col("_iss") == 1)
+        .groupBy(F.col("_k").alias("class_index"), F.col("_y").alias("_given"))
+        .agg(F.count(F.lit(1)).alias("num_examples"))
+        .select(
+            "class_index",
+            (F.col("_given") == 1).alias("in_given_label"),
+            (F.col("_given") == 0).alias("in_suggested_label"),
+            "num_examples",
+            F.round(F.col("num_examples").cast("double") / F.lit(float(n)), 6).alias(
+                "issue_probability"
+            ),
+        )
     )
 
 
