@@ -589,8 +589,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def ngram_jaccard_pairs(spark, sf):
         # exact word-3gram Jaccard near-dup pairs (the oracle-exact
         # complement of the probabilistic minhash_near_duplicates path)
+        from sparkclean.text.shared import words_col
+
         docs = _docs(spark, sf).where(F.col("doc_id") < 200)
-        sh = docs.select("doc_id", dedup_minhash.shingles_col(F.col("text")).alias("_sh"))
+        sh = docs.withColumn("_w", words_col(F.lower(F.col("text")))).select(
+            "doc_id", dedup_minhash.shingles_from_words(F.col("_w")).alias("_sh")
+        )
         a = sh.select(F.col("doc_id").alias("id_a"), F.col("_sh").alias("_sa"))
         b = sh.select(F.col("doc_id").alias("id_b"), F.col("_sh").alias("_sb"))
         pairs = a.join(b, F.col("id_a") < F.col("id_b")).withColumn(

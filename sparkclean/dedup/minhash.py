@@ -34,9 +34,13 @@ COEF_A = [int(x) for x in _RNG.randint(1, 1 << 31, size=NUM_HASHES)]
 COEF_B = [int(x) for x in _RNG.randint(0, 1 << 31, size=NUM_HASHES)]
 
 
-def shingles_col(text: Column, n: int = 3) -> Column:
-    """Distinct hashed word n-gram shingles (array<long>)."""
-    w = words_col(F.lower(text))
+def shingles_from_words(w: Column, n: int = 3) -> Column:
+    """Distinct hashed word n-gram shingles from a MATERIALISED words
+    column (array<string>).  Callers on the hot path must materialise the
+    words array first (``withColumn("_w", words_col(...))``): passing the
+    split expression directly re-evaluates the whole tokenisation once per
+    shingle under interpreted higher-order functions — O(len²) per doc
+    (this cost 12s of a 14s run at sf0.1 before being hoisted)."""
     cnt = F.size(w)
     starts = F.sequence(F.lit(1), cnt - (n - 1))
     grams = F.transform(
@@ -48,6 +52,13 @@ def shingles_col(text: Column, n: int = 3) -> Column:
     return F.when(cnt >= n, F.array_distinct(grams)).otherwise(
         F.array().cast("array<bigint>")
     )
+
+
+def shingles_col(text: Column, n: int = 3) -> Column:
+    """Distinct hashed word n-gram shingles (array<long>).  Convenience
+    form for small inputs / oracle parity; hot paths should materialise
+    the words column and call :func:`shingles_from_words`."""
+    return shingles_from_words(words_col(F.lower(text)), n)
 
 
 def shingles_sql(text: str, n: int = 3) -> str:
@@ -128,30 +139,41 @@ def near_duplicate_pairs(
     id_col: str = "doc_id",
     threshold: float = 0.8,
 ) -> DataFrame:
-    """(id_a, id_b, jaccard) for near-duplicate pairs above threshold."""
+    """(id_a, id_b, jaccard) for near-duplicate pairs above threshold.
+
+    Scale shape: the LSH band self-join carries ONLY (id, bucket) — the
+    multi-hundred-element shingle arrays never enter the candidate
+    shuffle or the pair dedup; they are joined back just for the final
+    (tiny) candidate set's exact-Jaccard check.  At 100 TB the band join
+    shuffles ~16 bytes/row/band instead of ~2 KB/row/band."""
     from ..skew import ensure_parallelism
 
-    base = ensure_parallelism(df).select(
-        F.col(id_col).alias("_id"), shingles_col(F.col(text_col)).alias("_sh")
-    ).where(F.size("_sh") > 0)
+    # Filter on the word count, NOT on size(_sh) > 0: an equivalent
+    # predicate on the shingle array gets pushed below the exchange and
+    # re-inlines the whole O(len^2) shingle expression over raw text.
+    base = (
+        ensure_parallelism(df)
+        .withColumn("_w", words_col(F.lower(F.col(text_col))))
+        .where(F.size("_w") >= 3)
+        .select(F.col(id_col).alias("_id"), shingles_from_words(F.col("_w")).alias("_sh"))
+    )
     sig = base.withColumn("_sig", minhash_signature_col(F.col("_sh")))
     buckets = sig.select(
-        "_id", "_sh", F.explode(band_buckets_col(F.col("_sig"))).alias("_bucket")
+        "_id", F.explode(band_buckets_col(F.col("_sig"))).alias("_bucket")
     )
-    left = buckets.select(
-        F.col("_id").alias("id_a"), F.col("_sh").alias("_sh_a"), "_bucket"
-    )
-    right = buckets.select(
-        F.col("_id").alias("id_b"), F.col("_sh").alias("_sh_b"), "_bucket"
-    )
-    pairs = (
-        left.join(right, "_bucket")
+    cand = (
+        buckets.select(F.col("_id").alias("id_a"), "_bucket")
+        .join(buckets.select(F.col("_id").alias("id_b"), "_bucket"), "_bucket")
         .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "_sh_a", "_sh_b")
-        .dropDuplicates(["id_a", "id_b"])
+        .select("id_a", "id_b")
+        .distinct()
     )
+    a = base.select(F.col("_id").alias("id_a"), F.col("_sh").alias("_sh_a"))
+    b = base.select(F.col("_id").alias("id_b"), F.col("_sh").alias("_sh_b"))
     return (
-        pairs.withColumn("jaccard", jaccard_col(F.col("_sh_a"), F.col("_sh_b")))
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("jaccard", jaccard_col(F.col("_sh_a"), F.col("_sh_b")))
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )

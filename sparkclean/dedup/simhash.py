@@ -28,8 +28,11 @@ def _bit_vote(j: int):
     return fold
 
 
-def simhash_col(text: Column) -> Column:
-    hs = token_hashes_col(text)
+def simhash_from_hashes(hs: Column) -> Column:
+    """Simhash from a MATERIALISED token-hash column (array<long>).  The 32
+    per-bit folds each re-evaluate their input expression, so callers must
+    hoist the tokenisation into its own column first — otherwise the text
+    is split+hashed 32x per row."""
     out = F.lit(0).cast("long")
     # shiftright needs a Python-int bit count, so unroll the 32 bit votes
     # into one wide projection (still a single codegen stage).
@@ -37,6 +40,12 @@ def simhash_col(text: Column) -> Column:
         vote = F.aggregate(hs, F.lit(0).cast("long"), _bit_vote(j))
         out = out + F.when(vote > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
     return out
+
+
+def simhash_col(text: Column) -> Column:
+    """Convenience form for small inputs / oracle parity; hot paths go
+    through :func:`with_simhash`, which materialises the token hashes."""
+    return simhash_from_hashes(token_hashes_col(text))
 
 
 def simhash_sql(text: str) -> str:
@@ -52,7 +61,11 @@ def simhash_sql(text: str) -> str:
 
 
 def with_simhash(df: DataFrame, text_col: str = "text", out_col: str = "simhash") -> DataFrame:
-    return df.withColumn(out_col, simhash_col(F.col(text_col)))
+    return (
+        df.withColumn("_hs", token_hashes_col(F.col(text_col)))
+        .withColumn(out_col, simhash_from_hashes(F.col("_hs")))
+        .drop("_hs")
+    )
 
 
 def simhash_candidate_pairs(
