@@ -188,10 +188,12 @@ def run_image_caption_quality_from_path(
     in one vectorized Python stage, keep/drop + scrub in Catalyst.
     """
     from .images.decode import decode_scan, with_image_issues
-    from .skew import ensure_parallelism
 
+    # decode_scan already sizes its task count to the cluster; an extra
+    # ensure_parallelism here costs a ~3 s .rdd partition probe on the
+    # python-source plan and never changes the layout.
     scanned = decode_scan(spark, path, with_caption_features=fast_captions)
-    projected = with_image_issues(ensure_parallelism(scanned))
+    projected = with_image_issues(scanned)
     joined = caption_scores(projected, id_col=id_col, text_col=text_col)
     return _finalize_image_output(joined, id_col)
 
