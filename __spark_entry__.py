@@ -690,6 +690,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round(F.exp(-F.col("avg_dist") / F.lit(float(med))), 6).alias("score"),
         )
 
+    def near_duplicate_issues_q(spark, sf):
+        # datalab near-duplicate manager (issue_manager/duplicate.py:20-228)
+        from sparkclean.quality.datalab import near_duplicate_issues
+
+        df = _emb(spark, sf).select("vec_id", "embedding")
+        out = near_duplicate_issues(df)
+        return out.select(
+            "vec_id",
+            F.round("nn_dist", 6).alias("nn_dist"),
+            F.round("near_duplicate_score", 6).alias("near_duplicate_score"),
+            "is_near_duplicate_issue",
+        )
+
     def num_label_issues_q(spark, sf):
         df = _with_probs(_emb(spark, sf))
         n = q_issues.num_label_issues(df, K)
@@ -1175,6 +1188,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         common_multilabel_issues=common_multilabel_issues_q,
         multilabel_py=multilabel_py_q,
         ood_knn_distance=ood_knn_distance,
+        near_duplicate_issues=near_duplicate_issues_q,
         num_label_issues=num_label_issues_q,
         issues_low_self_confidence=issues_low_self_confidence,
         issues_predicted_neq_given=issues_predicted_neq_given,
@@ -1689,6 +1703,10 @@ WITH pairs AS (
 ), med AS (SELECT quantile_cont(avg_dist, 0.5) AS m FROM avgd)
 SELECT qid AS vec_id, round(exp(-avg_dist / med.m), 6) AS score
 FROM avgd CROSS JOIN med"""
+    from sparkclean.quality.datalab import near_duplicate_issues_sql
+
+    o["near_duplicate_issues"] = near_duplicate_issues_sql("embeddings")
+
     o["num_label_issues"] = f"""
 WITH {pc}, {_TH_CTE}, {_BIN_CTE}
 SELECT count(*) FILTER (

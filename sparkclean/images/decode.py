@@ -195,6 +195,7 @@ def decode_scan(
     # small: target >= ~512 rows per task, measured from one parquet
     # footer (uniform-ish corpora; retries/AQE keep per-file granularity
     # at the 100 TB end where files are row-group sized anyway).
+    par = spark.sparkContext.defaultParallelism
     rows0 = max(int(_pq.read_metadata(files[0]).num_rows), 1)
     fpt = max(files_per_task, -(-512 // rows0)) if rows0 < 512 else files_per_task
     n_tasks = max(len(files) // fpt, 1)
@@ -218,7 +219,17 @@ def decode_scan(
                     out["pred_probs"] = list(probs)
                 yield pd.DataFrame(out)
 
-    return fdf.mapInPandas(run, schema)
+    out = fdf.mapInPandas(run, schema)
+    # The decode stage wants many tasks (balance), but every downstream
+    # job (persist, thresholds agg, issue count, quantile, cutoff, write)
+    # pays serial driver task-launch per partition per job — 256-task x
+    # 7-job runs at local[4] spent ~40 s scheduling.  Shuffle the narrow
+    # post-decode columns down to ~2x parallelism when the scan fans out
+    # far wider than the cluster.  n_tasks is known at build time, so no
+    # .rdd partition probe is needed.
+    if n_tasks > 4 * par:
+        out = out.repartition(2 * par)
+    return out
 
 
 def with_image_issues(stats: DataFrame) -> DataFrame:

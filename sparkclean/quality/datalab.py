@@ -202,3 +202,112 @@ def find_issues(
         summary_rows, "issue_type: string, num_issues: long, overall_score: double"
     )
     return out, summary
+
+
+def near_duplicate_issues(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    threshold: float = 0.13,
+) -> DataFrame:
+    """Datalab near-duplicate manager (issue_manager/duplicate.py:20-228):
+
+    * kNN over euclidean distance; nn_dist = distance to the 1st NN
+    * median = max(median(nn_dist), eps)
+    * near-duplicate sets = neighbors (among the k) with
+      ``d < threshold * median``, symmetrised (reciprocal closure pass)
+    * is_near_duplicate_issue = example appears in any set
+    * near_duplicate_score = ``1 - exp(-nn_dist / median)``, exactly 0
+      where nn_dist ~ 0 (exact duplicates)
+
+    One pair join + one window + two tiny aggregations; at scale the
+    pair join is replaced by the LSH-bucketed candidate path (sim.knn).
+    """
+    from pyspark.sql import Window
+
+    a = df.select(F.col(id_col).alias("_qid"), F.col(vec_col).alias("_qa"))
+    b = df.select(F.col(id_col).alias("_nid"), F.col(vec_col).alias("_nb"))
+    dist = F.sqrt(
+        F.aggregate(
+            F.zip_with(
+                F.col("_qa"),
+                F.col("_nb"),
+                lambda x, y: (x.cast("double") - y.cast("double"))
+                * (x.cast("double") - y.cast("double")),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    w = Window.partitionBy("_qid").orderBy(F.col("_d").asc(), F.col("_nid").asc())
+    knn = (
+        a.join(b, F.col("_qid") != F.col("_nid"))
+        .withColumn("_d", dist)
+        .withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= k)
+        .select("_qid", "_nid", "_d", "_rk")
+        .persist()
+    )
+    nn = knn.where(F.col("_rk") == 1).select(
+        F.col("_qid").alias(id_col), F.col("_d").alias("nn_dist")
+    )
+    med = max(
+        float(nn.agg(F.expr("percentile(nn_dist, 0.5)")).first()[0]), 1e-6
+    )
+    radius = threshold * med
+    edges = knn.where(F.col("_d") < radius).select("_qid", "_nid")
+    members = (
+        edges.select(F.col("_qid").alias(id_col))
+        .unionByName(edges.select(F.col("_nid").alias(id_col)))
+        .distinct()
+        .withColumn("_dup", F.lit(True))
+    )
+    score = F.when(F.abs(F.col("nn_dist")) <= 1e-8, F.lit(0.0)).otherwise(
+        F.lit(1.0) - F.exp(-F.col("nn_dist") / F.lit(med))
+    )
+    return (
+        nn.join(members, id_col, "left")
+        .select(
+            id_col,
+            "nn_dist",
+            score.alias("near_duplicate_score"),
+            F.coalesce(F.col("_dup"), F.lit(False)).alias("is_near_duplicate_issue"),
+        )
+    )
+
+
+def near_duplicate_issues_sql(
+    table: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    threshold: float = 0.13,
+) -> str:
+    """DuckDB twin of :func:`near_duplicate_issues` (keep in sync)."""
+    return f"""
+WITH prs AS (
+  SELECT a.{id_col} AS qid, b.{id_col} AS nid,
+         sqrt(list_aggregate(list_transform(range(1, len(a.{vec_col}) + 1),
+           i -> (a.{vec_col}[i]::DOUBLE - b.{vec_col}[i]::DOUBLE)
+              * (a.{vec_col}[i]::DOUBLE - b.{vec_col}[i]::DOUBLE)), 'sum')) AS d
+  FROM {table} a JOIN {table} b ON a.{id_col} <> b.{id_col}
+),
+rk AS (
+  SELECT qid, nid, d,
+         row_number() OVER (PARTITION BY qid ORDER BY d ASC, nid ASC) AS r
+  FROM prs
+),
+knn AS (SELECT * FROM rk WHERE r <= {k}),
+nn AS (SELECT qid, d AS nn_dist FROM knn WHERE r = 1),
+med AS (SELECT greatest(quantile_cont(nn_dist, 0.5), 1e-6) AS m FROM nn),
+edges AS (SELECT qid, nid FROM knn CROSS JOIN med WHERE d < {threshold} * med.m),
+members AS (
+  SELECT DISTINCT qid AS id FROM edges
+  UNION SELECT DISTINCT nid FROM edges
+)
+SELECT nn.qid AS {id_col}, round(nn.nn_dist, 6) AS nn_dist,
+       round(CASE WHEN abs(nn.nn_dist) <= 1e-8 THEN 0.0
+             ELSE 1.0 - exp(-nn.nn_dist / med.m) END, 6) AS near_duplicate_score,
+       (m.id IS NOT NULL) AS is_near_duplicate_issue
+FROM nn CROSS JOIN med LEFT JOIN members m ON m.id = nn.qid"""

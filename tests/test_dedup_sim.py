@@ -110,3 +110,42 @@ def test_embedding_near_duplicates(spark, vectors):
     assert len(got) > 0
     for r in got:
         assert r["cosine"] >= 0.995
+
+
+def test_near_duplicate_issues_matches_numpy(spark):
+    """Datalab near-duplicate manager (duplicate.py:20-228) vs direct
+    NumPy: kNN radius sets, reciprocal membership, exp-transform scores."""
+    import numpy as np
+    from sparkclean.quality.datalab import near_duplicate_issues
+
+    rng = np.random.RandomState(11)
+    pts = rng.rand(40, 4) * 10
+    pts[5] = pts[3] + 1e-4          # near-duplicate pair
+    pts[9] = pts[3] + 2e-4          # chain: close to 3 (and to 5)
+    pts[20] = pts[17]               # exact duplicate
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in p]) for i, p in enumerate(pts)],
+        "vec_id: long, embedding: array<double>",
+    )
+    got = {r["vec_id"]: r for r in near_duplicate_issues(df, k=10).collect()}
+
+    # NumPy oracle
+    d = np.sqrt(((pts[:, None, :] - pts[None, :, :]) ** 2).sum(-1))
+    np.fill_diagonal(d, np.inf)
+    order = np.argsort(d, axis=1, kind="stable")
+    knn_idx = order[:, :10]
+    knn_d = np.take_along_axis(d, knn_idx, axis=1)
+    nn_dist = knn_d[:, 0]
+    med = max(np.median(nn_dist), 1e-6)
+    radius = 0.13 * med
+    sets = [set(knn_idx[i][knn_d[i] < radius]) for i in range(len(pts))]
+    for i in range(len(pts)):       # reciprocal closure
+        for j in list(sets[i]):
+            sets[j].add(i)
+    flagged = {i for i, s in enumerate(sets) if s}
+    for i in range(len(pts)):
+        assert abs(got[i]["nn_dist"] - nn_dist[i]) < 1e-9
+        assert got[i]["is_near_duplicate_issue"] == (i in flagged), i
+        exp_score = 0.0 if abs(nn_dist[i]) <= 1e-8 else 1 - np.exp(-nn_dist[i] / med)
+        assert abs(got[i]["near_duplicate_score"] - exp_score) < 1e-9
+    assert 20 in flagged and 17 in flagged and 3 in flagged and 5 in flagged
