@@ -998,6 +998,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             [(n, float(round(w, 6))) for n, w in rows], "name: string, weight: double"
         )
 
+    def crowdlab_ensemble(spark, sf):
+        # multiannotator.py:351-560 — ensemble CROWDLAB with per-model
+        # temperature scaling + per-model weights
+        from sparkclean.quality.multiannotator import crowdlab_ensemble_posterior
+
+        long_df = _annotator_sparse(spark, sf)
+        pa = _with_probs(_emb(spark, sf)).select(
+            F.col("vec_id").alias("example_id"), "pred_probs"
+        )
+        pb = _with_probs(_emb(spark, sf), lo=11).select(
+            F.col("vec_id").alias("example_id"), "pred_probs"
+        )
+        df, _ = crowdlab_ensemble_posterior(long_df, [pa, pb], K)
+        return df.select(
+            "example_id",
+            "consensus_label",
+            "num_annotations",
+            F.round("annotator_agreement", 6).alias("agreement"),
+            F.round("consensus_quality_score", 6).alias("consensus_quality"),
+        )
+
     def activelab_scores(spark, sf):
         # multiannotator.py:564-694 incl. the coarse+fine temperature search
         from sparkclean.quality.multiannotator import active_learning_scores
@@ -1232,6 +1253,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         annotator_agreement=annotator_agreement,
         crowdlab_consensus_quality=crowdlab_consensus_quality,
         crowdlab_weights=crowdlab_weights,
+        crowdlab_ensemble=crowdlab_ensemble,
         activelab_scores=activelab_scores,
         underperforming_group=underperforming_group,
         datalab_issue_summary=datalab_issue_summary,
@@ -1927,8 +1949,11 @@ wide AS (
 ), consensus AS (
   SELECT example_id, label AS consensus_label, n_votes FROM ranked WHERE rk = 1
 )"""
-    # ---- CROWDLAB (multiannotator.py:1394-1527) on the sparse 3-annotator
-    # fixture: a1 labels all, a2 even ids, a3 ids % 3 != 0.
+    # ---- CROWDLAB (multiannotator.py:46-560, 1394-1640) on the sparse
+    # 3-annotator fixture: a1 labels all, a2 even ids, a3 ids % 3 != 0.
+    # Faithful two-round flow: majority-vote consensus -> posterior ->
+    # refined consensus (posterior argmax, exact tie -> MV) -> every
+    # statistic recomputed against the refined consensus.
     _SPARSE_LONG = """
 swide AS (
   SELECT pp.vec_id AS example_id, pp.label::INT AS a1,
@@ -1941,28 +1966,65 @@ swide AS (
   UNION ALL SELECT example_id, 'a3', a3 FROM swide WHERE example_id % 3 <> 0
 )"""
 
-    def _crowdlab_cte(prel: str, x: str) -> str:
-        # prel must expose (vec_id, p); x is a unique CTE-name suffix.
-        # Final relations: spost{x} (example_id, consensus_label, n, agree,
-        # q, W), smw{x} (mw), swann{x} (annotator_id, w).
+    _CL_SHARED = """
+snn AS (SELECT example_id, count(*) AS n FROM slong GROUP BY 1),
+spaira AS (
+  SELECT l1.annotator_id AS a,
+         avg(CASE WHEN l1.label = l2.label THEN 1.0 ELSE 0.0 END) AS agree
+  FROM slong l1 JOIN slong l2
+    ON l1.example_id = l2.example_id AND l1.annotator_id <> l2.annotator_id
+  GROUP BY 1
+)"""
+
+    def _mv_cte(prel: str, out: str) -> str:
+        # get_majority_vote_label (multiannotator.py:897-1010): mode with
+        # pred_prob -> lowest class frequency -> smallest label tie chain.
         return f"""
-sv{x} AS (SELECT example_id, label, count(*) AS n_votes FROM slong GROUP BY 1, 2),
-sf{x} AS (SELECT label, count(*) AS class_freq FROM slong GROUP BY 1),
-sr{x} AS (
-  SELECT v.example_id, v.label, v.n_votes,
+sv{out} AS (SELECT example_id, label, count(*) AS n_votes FROM slong GROUP BY 1, 2),
+sf{out} AS (SELECT label, count(*) AS class_freq FROM slong GROUP BY 1),
+sr{out} AS (
+  SELECT v.example_id, v.label,
          row_number() OVER (
            PARTITION BY v.example_id
            ORDER BY v.n_votes DESC, P.p[v.label + 1] DESC, f.class_freq ASC, v.label ASC
          ) AS rk
-  FROM sv{x} v JOIN sf{x} f USING (label) JOIN {prel} P ON P.vec_id = v.example_id
+  FROM sv{out} v JOIN sf{out} f USING (label) JOIN {prel} P ON P.vec_id = v.example_id
 ),
-scons{x} AS (SELECT example_id, label AS consensus_label, n_votes FROM sr{x} WHERE rk = 1),
-snann{x} AS (SELECT example_id, count(*) AS n FROM slong GROUP BY 1),
-sbase{x} AS (
-  SELECT c.example_id, c.consensus_label, a.n,
-         c.n_votes::DOUBLE / a.n AS agree, P.p
-  FROM scons{x} c JOIN snann{x} a USING (example_id)
-  JOIN {prel} P ON P.vec_id = c.example_id
+{out} AS (SELECT example_id, label AS consensus_label FROM sr{out} WHERE rk = 1)"""
+
+    def _cl_round(prels: list, cons: str, x: str) -> str:
+        # One CROWDLAB round (multiannotator.py:1394-1640) for consensus
+        # relation {cons}; emits squal{x} (example_id, consensus_label, n,
+        # agree, W, q), spostf{x} (full posterior), swann{x}, smw{x}_{i}.
+        n_m = len(prels)
+        me_cols = ",\n         ".join(
+            f"avg(CASE WHEN (list_position(P{i}.p, list_max(P{i}.p)) - 1) "
+            f"<> b.consensus_label THEN 1.0 ELSE 0.0 END) AS me_{i}"
+            for i in range(n_m)
+        )
+        pjoin = "\n  ".join(
+            f"JOIN {prels[i]} P{i} ON P{i}.vec_id = b.example_id" for i in range(n_m)
+        )
+        mw_ctes = ",".join(
+            f"""
+smw{x}_{i} AS (
+  SELECT greatest(1.0 - s2.me_{i} / s2.mlce, 1e-6) * sqrt(s1.mean_n) AS mw
+  FROM ssc2{x} s2 CROSS JOIN ssc1{x} s1
+)"""
+            for i in range(n_m)
+        )
+        num_terms = " + ".join(f"P{i}.p[r.k + 1] * mw{i}.mw" for i in range(n_m))
+        mw_sum = " + ".join(f"mw{i}.mw" for i in range(n_m))
+        mw_cross = " ".join(f"CROSS JOIN smw{x}_{i} mw{i}" for i in range(n_m))
+        return f"""
+sagree{x} AS (
+  SELECT l.example_id,
+         avg(CASE WHEN l.label = c.consensus_label THEN 1.0 ELSE 0.0 END) AS agree
+  FROM slong l JOIN {cons} c USING (example_id) GROUP BY 1
+),
+sbase{x} AS MATERIALIZED (
+  SELECT c.example_id, c.consensus_label, nn.n, a.agree
+  FROM {cons} c JOIN snn nn USING (example_id) JOIN sagree{x} a USING (example_id)
 ),
 ssc1{x} AS (
   SELECT avg(CASE WHEN n <> 1 THEN agree END) AS cl, avg(n::DOUBLE) AS mean_n
@@ -1974,120 +2036,151 @@ smode{x} AS (
 ),
 ssc2{x} AS (
   SELECT greatest(avg(CASE WHEN b.consensus_label <> sm.m THEN 1.0 ELSE 0.0 END), 1e-6) AS mlce,
-         avg(CASE WHEN (list_position(b.p, list_max(b.p)) - 1) <> b.consensus_label
-                  THEN 1.0 ELSE 0.0 END) AS me
-  FROM sbase{x} b CROSS JOIN smode{x} sm WHERE b.n <> 1
-),
-smw{x} AS (
-  SELECT greatest(1.0 - s2.me / s2.mlce, 1e-6) * sqrt(s1.mean_n) AS mw
-  FROM ssc2{x} s2 CROSS JOIN ssc1{x} s1
-),
-spair{x} AS (
-  SELECT l1.annotator_id AS a,
-         avg(CASE WHEN l1.label = l2.label THEN 1.0 ELSE 0.0 END) AS agree
-  FROM slong l1 JOIN slong l2
-    ON l1.example_id = l2.example_id AND l1.annotator_id <> l2.annotator_id
-  GROUP BY 1
-),
+         {me_cols}
+  FROM sbase{x} b
+  {pjoin}
+  CROSS JOIN smode{x} sm WHERE b.n <> 1
+),{mw_ctes},
 swann{x} AS (
   SELECT p.a AS annotator_id, greatest(1.0 - (1.0 - p.agree) / s.mlce, 1e-6) AS w
-  FROM spair{x} p CROSS JOIN ssc2{x} s
+  FROM spaira p CROSS JOIN ssc2{x} s
 ),
 swlong{x} AS (SELECT l.example_id, l.label, w.w FROM slong l JOIN swann{x} w USING (annotator_id)),
 swex{x} AS (SELECT example_id, sum(w) AS W FROM swlong{x} GROUP BY 1),
 swexc{x} AS (SELECT example_id, label, sum(w) AS wc FROM swlong{x} GROUP BY 1, 2),
-spost{x} AS (
-  SELECT b.example_id, b.consensus_label, b.n, b.agree, W.W,
-         (b.p[b.consensus_label + 1] * m.mw
+spostf{x} AS MATERIALIZED (
+  SELECT b.example_id, r.k::INT AS c,
+         ({num_terms}
           + ((1.0 - s1.cl) / {K - 1}) * W.W
           + (s1.cl - (1.0 - s1.cl) / {K - 1}) * coalesce(wc.wc, 0.0))
-         / (m.mw + W.W) AS q
+         / (({mw_sum}) + W.W) AS post
+  FROM sbase{x} b CROSS JOIN range(0, {K}) r(k)
+  {pjoin}
+  JOIN swex{x} W USING (example_id)
+  LEFT JOIN swexc{x} wc ON wc.example_id = b.example_id AND wc.label = r.k
+  CROSS JOIN ssc1{x} s1 {mw_cross}
+),
+squal{x} AS (
+  SELECT b.example_id, b.consensus_label, b.n, b.agree, W.W, pf.post AS q
   FROM sbase{x} b JOIN swex{x} W USING (example_id)
-  LEFT JOIN swexc{x} wc
-    ON wc.example_id = b.example_id AND wc.label = b.consensus_label
-  CROSS JOIN smw{x} m CROSS JOIN ssc1{x} s1
+  JOIN spostf{x} pf ON pf.example_id = b.example_id AND pf.c = b.consensus_label
 )"""
 
-    o["crowdlab_consensus_quality"] = f"""
-WITH {pc}, {pc2.lstrip()}, {_SPARSE_LONG.lstrip()},{_crowdlab_cte("pp", "c")}
+    def _cl_refine(postrel: str, mvrel: str, out: str) -> str:
+        # multiannotator.py:225-236 — argmax posterior; exact tie -> MV.
+        return f"""
+{out}_mx AS (SELECT example_id, max(post) AS mx FROM {postrel} GROUP BY 1),
+{out}_t AS (
+  SELECT p.example_id, count(*) AS ct, min(p.c) AS am
+  FROM {postrel} p JOIN {out}_mx m ON m.example_id = p.example_id AND p.post = m.mx
+  GROUP BY 1
+),
+{out} AS (
+  SELECT t.example_id,
+         CASE WHEN t.ct = 1 THEN t.am ELSE mv.consensus_label END AS consensus_label
+  FROM {out}_t t JOIN {mvrel} mv USING (example_id)
+)"""
+
+    _CL_FULL = (
+        f"WITH {pc}, {pc2.lstrip()}, {_SPARSE_LONG.lstrip()},{_mv_cte('pp', 'consmv')},\n"
+        f"{_CL_SHARED.lstrip()},{_cl_round(['pp'], 'consmv', 'a')},"
+        f"{_cl_refine('spostfa', 'consmv', 'consrf')},{_cl_round(['pp'], 'consrf', 'b')}"
+    )
+    o["crowdlab_consensus_quality"] = f"""{_CL_FULL}
 SELECT example_id, consensus_label, n AS num_annotations,
        round(agree, 6) AS agreement, round(q, 6) AS consensus_quality
-FROM spostc"""
+FROM squalb"""
 
-    o["crowdlab_weights"] = f"""
-WITH {pc}, {pc2.lstrip()}, {_SPARSE_LONG.lstrip()},{_crowdlab_cte("pp", "c")}
-SELECT annotator_id AS name, round(w, 6) AS weight FROM swannc
-UNION ALL SELECT '__model__', round(mw, 6) FROM smwc"""
+    o["crowdlab_weights"] = f"""{_CL_FULL}
+SELECT annotator_id AS name, round(w, 6) AS weight FROM swannb
+UNION ALL SELECT '__model__', round(mw, 6) FROM smwb_0"""
 
     # ActiveLab (multiannotator.py:564-694): temperature search (coarse grid
     # of 9 + data-dependent fine linspace, multiannotator_utils.py:277-337)
-    # -> temp-scaled probs -> CROWDLAB -> blend with the 1/K prior.
-    _TEMP_SEARCH = f"""
-semp AS (SELECT example_id, label, count(*) AS c FROM slong GROUP BY 1, 2),
-sempn AS (SELECT example_id, sum(c) AS n FROM semp GROUP BY 1),
-clst AS (SELECT [0.1, 0.2, 0.5, 0.8, 1.0, 2.0, 3.0, 5.0, 8.0] AS c),
-cgrid AS (SELECT r.i::INT + 1 AS i, (cl.c)[r.i::INT + 1] AS t FROM range(0, 9) r(i) CROSS JOIN clst cl),
-cst AS MATERIALIZED (
+    # -> temp-scaled probs -> two CROWDLAB rounds -> blend with 1/K prior.
+    def _temp_cte(prel: str, s: str) -> str:
+        return f"""
+semp{s} AS (SELECT example_id, label, count(*) AS c FROM slong GROUP BY 1, 2),
+sempn{s} AS (SELECT example_id, sum(c) AS n FROM semp{s} GROUP BY 1),
+clst{s} AS (SELECT [0.1, 0.2, 0.5, 0.8, 1.0, 2.0, 3.0, 5.0, 8.0] AS c),
+cgrid{s} AS (SELECT r.i::INT + 1 AS i, (cl.c)[r.i::INT + 1] AS t FROM range(0, 9) r(i) CROSS JOIN clst{s} cl),
+cst{s} AS MATERIALIZED (
   SELECT g.i, g.t, P.vec_id, P.p,
          list_aggregate(list_transform(P.p, x -> pow(x, 1.0 / g.t)), 'sum') AS st
-  FROM pp P CROSS JOIN cgrid g
+  FROM {prel} P CROSS JOIN cgrid{s} g
 ),
-cce AS (
+cce{s} AS (
   SELECT i, avg(ce) AS ce FROM (
-    SELECT s.i, s.vec_id,
+    SELECT sx.i, sx.vec_id,
            -sum((e.c::DOUBLE / en.n)
-                * ln(greatest(pow(s.p[e.label + 1], 1.0 / s.t) / s.st, 1e-30))) / ln({K}) AS ce
-    FROM cst s
-    JOIN semp e ON e.example_id = s.vec_id
-    JOIN sempn en ON en.example_id = s.vec_id
+                * ln(greatest(pow(sx.p[e.label + 1], 1.0 / sx.t) / sx.st, 1e-30))) / ln({K}) AS ce
+    FROM cst{s} sx
+    JOIN semp{s} e ON e.example_id = sx.vec_id
+    JOIN sempn{s} en ON en.example_id = sx.vec_id
     GROUP BY 1, 2
   ) GROUP BY 1
 ),
-cbest AS MATERIALIZED (SELECT i FROM cce ORDER BY ce ASC, i ASC LIMIT 1),
-fgrid AS MATERIALIZED (
+cbest{s} AS MATERIALIZED (SELECT i FROM cce{s} ORDER BY ce ASC, i ASC LIMIT 1),
+fgrid{s} AS MATERIALIZED (
   SELECT 0 AS part, r.j::INT AS j,
          (cl.c)[b.i - 1] + r.j * ((cl.c)[b.i] - (cl.c)[b.i - 1]) / 4.0 AS t
-  FROM range(0, 4) r(j) CROSS JOIN cbest b CROSS JOIN clst cl WHERE b.i > 1
+  FROM range(0, 4) r(j) CROSS JOIN cbest{s} b CROSS JOIN clst{s} cl WHERE b.i > 1
   UNION ALL
   SELECT 1, r.j::INT,
          (cl.c)[b.i] + r.j * ((cl.c)[b.i + 1] - (cl.c)[b.i]) / 4.0
-  FROM range(0, 5) r(j) CROSS JOIN cbest b CROSS JOIN clst cl WHERE b.i < 9
+  FROM range(0, 5) r(j) CROSS JOIN cbest{s} b CROSS JOIN clst{s} cl WHERE b.i < 9
 ),
-fst AS MATERIALIZED (
+fst{s} AS MATERIALIZED (
   SELECT g.part, g.j, g.t, P.vec_id, P.p,
          list_aggregate(list_transform(P.p, x -> pow(x, 1.0 / g.t)), 'sum') AS st
-  FROM pp P CROSS JOIN fgrid g
+  FROM {prel} P CROSS JOIN fgrid{s} g
 ),
-fce AS (
+fce{s} AS (
   SELECT part, j, any_value(t) AS t, avg(ce) AS ce FROM (
-    SELECT s.part, s.j, s.t, s.vec_id,
+    SELECT sx.part, sx.j, sx.t, sx.vec_id,
            -sum((e.c::DOUBLE / en.n)
-                * ln(greatest(pow(s.p[e.label + 1], 1.0 / s.t) / s.st, 1e-30))) / ln({K}) AS ce
-    FROM fst s
-    JOIN semp e ON e.example_id = s.vec_id
-    JOIN sempn en ON en.example_id = s.vec_id
+                * ln(greatest(pow(sx.p[e.label + 1], 1.0 / sx.t) / sx.st, 1e-30))) / ln({K}) AS ce
+    FROM fst{s} sx
+    JOIN semp{s} e ON e.example_id = sx.vec_id
+    JOIN sempn{s} en ON en.example_id = sx.vec_id
     GROUP BY 1, 2, 3, 4
   ) GROUP BY 1, 2
 ),
-fbest AS MATERIALIZED (SELECT t FROM fce ORDER BY ce ASC, part ASC, j ASC LIMIT 1),
-tsc0 AS (SELECT vec_id, list_transform(p, x -> greatest(x, 1e-30)) AS p0 FROM pp),
-tsc1 AS (SELECT vec_id, list_transform(p0, x -> x / list_aggregate(p0, 'sum')) AS p1 FROM tsc0),
-tsc2 AS MATERIALIZED (
+fbest{s} AS MATERIALIZED (SELECT t FROM fce{s} ORDER BY ce ASC, part ASC, j ASC LIMIT 1),
+tsa{s} AS (SELECT vec_id, list_transform(p, x -> greatest(x, 1e-30)) AS p0 FROM {prel}),
+tsb{s} AS (SELECT vec_id, list_transform(p0, x -> x / list_aggregate(p0, 'sum')) AS p1 FROM tsa{s}),
+tsc{s} AS MATERIALIZED (
   SELECT vec_id, list_transform(p1, x -> pow(x, 1.0 / fb.t)) AS p2
-  FROM tsc1 CROSS JOIN fbest fb
+  FROM tsb{s} CROSS JOIN fbest{s} fb
 ),
-ppt AS MATERIALIZED (
-  SELECT vec_id, list_transform(p2, x -> x / list_aggregate(p2, 'sum')) AS p FROM tsc2
+ppt{s} AS MATERIALIZED (
+  SELECT vec_id, list_transform(p2, x -> x / list_aggregate(p2, 'sum')) AS p FROM tsc{s}
 )"""
 
     o["activelab_scores"] = f"""
 WITH {pc}, {pc2.lstrip()}, {_SPARSE_LONG.lstrip()},
-{_TEMP_SEARCH.lstrip()},{_crowdlab_cte("ppt", "t")},
-savgw AS (SELECT avg(w) AS aw FROM swannt)
-SELECT sp.example_id,
-       round((sp.q * (sp.W + m.mw) + (1.0 / {K}) * a.aw) / (sp.W + m.mw + a.aw), 6)
+{_temp_cte("pp", "1").lstrip()},{_mv_cte("ppt1", "consmvt")},
+{_CL_SHARED.lstrip()},{_cl_round(["ppt1"], "consmvt", "ta")},{_cl_refine("spostfta", "consmvt", "consrft")},{_cl_round(["ppt1"], "consrft", "tb")},
+savgw AS (SELECT avg(w) AS aw FROM swanntb)
+SELECT sq.example_id,
+       round((sq.q * (sq.W + mw0.mw) + (1.0 / {K}) * a.aw) / (sq.W + mw0.mw + a.aw), 6)
          AS active_learning_score
-FROM spostt sp CROSS JOIN smwt m CROSS JOIN savgw a"""
+FROM squaltb sq CROSS JOIN smwtb_0 mw0 CROSS JOIN savgw a"""
+
+    # CROWDLAB ensemble (multiannotator.py:351-560): per-model temperature
+    # scaling, majority vote on the model-average probs, per-model weights.
+    _PPAVG = f"""
+ppavg AS (
+  SELECT a.vec_id, list_transform(range(1, {K + 1}), i -> (a.p[i] + b.p[i]) / 2.0) AS p
+  FROM ppt1 a JOIN ppt2 b USING (vec_id)
+)"""
+    o["crowdlab_ensemble"] = f"""
+WITH {pc}, {pc2.lstrip()}, {_SPARSE_LONG.lstrip()},
+{_temp_cte("pp", "1").lstrip()},{_temp_cte("pp2", "2")},{_PPAVG.lstrip()},{_mv_cte("ppavg", "consmve")},
+{_CL_SHARED.lstrip()},{_cl_round(["ppt1", "ppt2"], "consmve", "ea")},{_cl_refine("spostfea", "consmve", "consrfe")},{_cl_round(["ppt1", "ppt2"], "consrfe", "eb")}
+SELECT example_id, consensus_label, n AS num_annotations,
+       round(agree, 6) AS agreement, round(q, 6) AS consensus_quality
+FROM squaleb"""
 
     o["majority_vote"] = f"""
 WITH {pc}, {pc2.lstrip()}, {_ANNOT_CTE}

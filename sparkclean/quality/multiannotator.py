@@ -119,36 +119,43 @@ _CLIP = 1e-6  # CLIPPING_LOWER_BOUND (internal/constants.py:2)
 _SMALL = 1e-30  # SMALL_CONST (internal/multiannotator_utils.py:16)
 
 
-def crowdlab_posterior(
+def _crowdlab_round(
     long_df: DataFrame,
-    probs_df: DataFrame,
+    priors: list[DataFrame],
+    cons: DataFrame,
     num_classes: int,
-    probs_col: str = "pred_probs",
 ) -> tuple[DataFrame, dict]:
-    """CROWDLAB posterior label distribution per example
-    (multiannotator.py:1394-1527) plus the consensus-quality score
-    (:1641-1699, self-confidence of the consensus under the posterior).
+    """One CROWDLAB estimation round for a GIVEN consensus labelling
+    (multiannotator.py:1394-1640, single- and multi-model): scalar stats
+    (consensus likelihood, most-likely-class error, per-model weight),
+    per-annotator co-annotation weights, and the full posterior
+    distribution per example.
 
-    Returns ``(df, info)``: df has example_id, consensus_label,
-    num_annotations, annotator_agreement, post_pred_probs,
-    consensus_quality_score; info carries model_weight and the
-    per-annotator weights.
-    """
-    probs = probs_df.select("example_id", F.col(probs_col).alias("_prior"))
-    cons = majority_vote_label(long_df, probs_df, probs_col)
+    ``priors`` is a list of (example_id, _prior ARRAY<DOUBLE>) frames —
+    one per ensemble member (P=1 for the single-model path); the
+    posterior numerator is ``sum_p mw_p * prior_p[c]`` plus the
+    annotator-vote mass (multiannotator.py:1598-1636)."""
+    from .scores import predicted_label
+
     nann = long_df.groupBy("example_id").agg(F.count(F.lit(1)).alias("num_annotations"))
-    base = (
-        cons.join(nann, "example_id")
-        .join(probs, "example_id")
-        .withColumn(
-            "annotator_agreement",
-            F.col("n_votes").cast("double") / F.col("num_annotations"),
+    agree = (
+        long_df.join(cons.select("example_id", "consensus_label"), "example_id")
+        .groupBy("example_id")
+        .agg(
+            F.avg((F.col("label") == F.col("consensus_label")).cast("double")).alias(
+                "annotator_agreement"
+            )
         )
     )
+    base = cons.select("example_id", "consensus_label").join(nann, "example_id").join(
+        agree, "example_id"
+    )
+    for i, p in enumerate(priors):
+        base = base.join(p.withColumnRenamed("_prior", f"_prior_{i}"), "example_id")
     base = base.persist()
 
     # scalar pass 1: consensus likelihood over multi-annotated subset +
-    # mean annotation count over ALL examples (multiannotator.py:1454-1456, 1490)
+    # mean annotation count over ALL examples (multiannotator.py:1454-1456)
     row = base.agg(
         F.avg(
             F.when(F.col("num_annotations") != 1, F.col("annotator_agreement"))
@@ -159,8 +166,8 @@ def crowdlab_posterior(
     non_consensus_likelihood = (1.0 - consensus_likelihood) / (num_classes - 1)
     mean_n = float(row["mean_n"])
 
-    # most likely (modal) consensus class on the multi-annotated subset;
-    # np.argmax(bincount) tie-break = smallest label
+    # modal consensus class on the multi-annotated subset
+    # (np.argmax(bincount) tie-break = smallest label)
     mode_row = (
         base.where(F.col("num_annotations") != 1)
         .groupBy("consensus_label")
@@ -170,23 +177,21 @@ def crowdlab_posterior(
     )
     mode_label = int(mode_row["consensus_label"])
 
-    # scalar pass 2: most-likely-class error + model error (argmax of prior
-    # vs consensus), both over the multi-annotated subset
-    from .scores import predicted_label
-
-    row2 = (
-        base.where(F.col("num_annotations") != 1)
-        .agg(
-            F.avg((F.col("consensus_label") != F.lit(mode_label)).cast("double")).alias("mlce"),
-            F.avg(
-                (predicted_label(F.col("_prior")) != F.col("consensus_label")).cast("double")
-            ).alias("me"),
-        )
-        .first()
-    )
+    # scalar pass 2: most-likely-class error + per-model argmax error
+    aggs = [
+        F.avg((F.col("consensus_label") != F.lit(mode_label)).cast("double")).alias("mlce")
+    ] + [
+        F.avg(
+            (predicted_label(F.col(f"_prior_{i}")) != F.col("consensus_label")).cast("double")
+        ).alias(f"me_{i}")
+        for i in range(len(priors))
+    ]
+    row2 = base.where(F.col("num_annotations") != 1).agg(*aggs).first()
     mlce = max(float(row2["mlce"]), _CLIP)
-    model_error = float(row2["me"])
-    model_weight = max(1.0 - model_error / mlce, _CLIP) * (mean_n ** 0.5)
+    model_weights = [
+        max(1.0 - float(row2[f"me_{i}"]) / mlce, _CLIP) * (mean_n ** 0.5)
+        for i in range(len(priors))
+    ]
 
     # per-annotator agreement with co-annotators: every (a, b) co-annotation
     # pair contributes one Bernoulli(match) sample; the reference's
@@ -216,9 +221,9 @@ def crowdlab_posterior(
         for a in all_annotators
     }
 
-    # posterior projection: for each example, W = sum of weights of its
-    # annotators; W_c = weight mass voting class c; posterior_c =
-    # (prior_c * mw + ncl * W + (cl - ncl) * W_c) / (mw + W)
+    # posterior projection: W = annotator weight mass on the example,
+    # W_c = weight mass voting class c; posterior_c =
+    # (sum_p mw_p * prior_p[c] + ncl * W + (cl - ncl) * W_c) / (sum mw + W)
     w_map = F.create_map(
         *[x for a, w in sorted(weights.items()) for x in (F.lit(a), F.lit(float(w)))]
     )
@@ -230,23 +235,31 @@ def crowdlab_posterior(
             F.collect_list(F.struct(F.col("label").cast("int").alias("k"), F.col("_wc").alias("v")))
         ).alias("_wmap"),
     )
-    cl, ncl, mw = consensus_likelihood, non_consensus_likelihood, model_weight
+    cl, ncl = consensus_likelihood, non_consensus_likelihood
+    mw_total = sum(model_weights)
     out = base.join(class_mass, "example_id")
-    post = F.transform(
-        F.col("_prior"),
-        lambda p, i: (
-            p.cast("double") * F.lit(mw)
+
+    def _post(p0, i):
+        num = p0.cast("double") * F.lit(model_weights[0])
+        for m in range(1, len(priors)):
+            num = num + F.element_at(F.col(f"_prior_{m}"), i + 1).cast("double") * F.lit(
+                model_weights[m]
+            )
+        num = (
+            num
             + F.lit(ncl) * F.col("_W")
             + F.lit(cl - ncl) * F.coalesce(F.element_at(F.col("_wmap"), i), F.lit(0.0))
         )
-        / (F.lit(mw) + F.col("_W")),
-    )
+        return num / (F.lit(mw_total) + F.col("_W"))
+
+    post = F.transform(F.col("_prior_0"), lambda p, i: _post(p, i))
     out = out.withColumn("post_pred_probs", post).withColumn(
         "consensus_quality_score",
         F.element_at(F.col("post_pred_probs"), F.col("consensus_label").cast("int") + 1),
     )
     info = {
-        "model_weight": model_weight,
+        "model_weight": model_weights[0] if len(priors) == 1 else model_weights,
+        "model_weights": model_weights,
         "annotator_weights": weights,
         "consensus_likelihood": consensus_likelihood,
         "most_likely_class_error": mlce,
@@ -262,6 +275,91 @@ def crowdlab_posterior(
         ),
         info,
     )
+
+
+def _refine_consensus(round_df: DataFrame, mv: DataFrame) -> DataFrame:
+    """Consensus refinement (multiannotator.py:225-236 / :466-473):
+    argmax of the round-1 posterior; exact-tie falls back to the
+    majority-vote label."""
+    mx = F.array_max(F.col("post_pred_probs"))
+    n_ties = F.size(F.filter(F.col("post_pred_probs"), lambda x: x == mx))
+    argmx = (F.array_position(F.col("post_pred_probs"), mx) - F.lit(1)).cast("int")
+    refined = round_df.select(
+        "example_id",
+        F.when(n_ties == 1, argmx).alias("_ref"),
+    )
+    return (
+        refined.join(
+            mv.select("example_id", F.col("consensus_label").alias("_mv")), "example_id"
+        )
+        .select(
+            "example_id",
+            F.coalesce(F.col("_ref"), F.col("_mv")).cast("int").alias("consensus_label"),
+        )
+    )
+
+
+def crowdlab_posterior(
+    long_df: DataFrame,
+    probs_df: DataFrame,
+    num_classes: int,
+    probs_col: str = "pred_probs",
+    refine_consensus: bool = True,
+) -> tuple[DataFrame, dict]:
+    """get_label_quality_multiannotator, quality_method=crowdlab
+    (multiannotator.py:46-348): round 1 with the majority-vote consensus,
+    then the consensus is refined to the posterior argmax (tie -> MV) and
+    every statistic is recomputed in round 2 (multiannotator.py:225-260).
+
+    Returns ``(df, info)``: df has example_id, consensus_label,
+    num_annotations, annotator_agreement, post_pred_probs,
+    consensus_quality_score; info carries model_weight and the
+    per-annotator weights (final round)."""
+    probs = probs_df.select("example_id", F.col(probs_col).alias("_prior"))
+    mv = majority_vote_label(long_df, probs_df, probs_col)
+    r1, info1 = _crowdlab_round(long_df, [probs], mv, num_classes)
+    if not refine_consensus:
+        return r1, info1
+    cons2 = _refine_consensus(r1, mv)
+    return _crowdlab_round(long_df, [probs], cons2, num_classes)
+
+
+def crowdlab_ensemble_posterior(
+    long_df: DataFrame,
+    probs_dfs: list[DataFrame],
+    num_classes: int,
+    probs_col: str = "pred_probs",
+) -> tuple[DataFrame, dict]:
+    """get_label_quality_multiannotator_ensemble (multiannotator.py:351-560):
+    per-model temperature scaling, majority vote over the model-averaged
+    probs, CROWDLAB round with per-model weights, consensus refinement,
+    round 2."""
+    scaled = []
+    for p in probs_dfs:
+        t = find_best_temp(long_df, p, num_classes, probs_col)
+        scaled.append(
+            temp_scale_probs(p, t, probs_col).select(
+                "example_id", F.col(probs_col).alias("_prior")
+            )
+        )
+    # model-average probs drive the majority-vote tie-break (:441-447)
+    avg = scaled[0].select("example_id", F.col("_prior").alias("_p0"))
+    for i, s in enumerate(scaled[1:], start=1):
+        avg = avg.join(s.select("example_id", F.col("_prior").alias(f"_p{i}")), "example_id")
+    n_models = len(scaled)
+    avg_expr = F.transform(
+        F.col("_p0"),
+        lambda x, i: sum(
+            [x.cast("double")]
+            + [F.element_at(F.col(f"_p{m}"), i + 1).cast("double") for m in range(1, n_models)]
+        )
+        / F.lit(float(n_models)),
+    )
+    avg_probs = avg.select("example_id", avg_expr.alias("pred_probs"))
+    mv = majority_vote_label(long_df, avg_probs, "pred_probs")
+    r1, _ = _crowdlab_round(long_df, scaled, mv, num_classes)
+    cons2 = _refine_consensus(r1, mv)
+    return _crowdlab_round(long_df, scaled, cons2, num_classes)
 
 
 def _with_soft_ce_cols(df: DataFrame, temps: list[float], num_classes: int) -> DataFrame:

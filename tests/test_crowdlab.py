@@ -57,9 +57,8 @@ def _np_majority(lab, probs):
     return cons
 
 
-def _np_crowdlab(lab, probs):
+def _np_round(lab, probs, cons):
     n, m = lab.shape
-    cons = _np_majority(lab, probs)
     nann = (~np.isnan(lab)).sum(axis=1)
     agree = (lab == cons[:, None]).sum(axis=1) / nann
     multi = nann != 1
@@ -90,6 +89,22 @@ def _np_crowdlab(lab, probs):
             post[i, c] = (probs[i, c] * mw + ncl * W + (cl - ncl) * wc) / (mw + W)
     q = post[np.arange(n), cons]
     return cons, nann, agree, post, q, w, mw
+
+
+def _np_crowdlab(lab, probs):
+    """Two-round reference flow (multiannotator.py:46-348): MV consensus,
+    posterior, refined consensus (argmax, tie -> MV), recompute."""
+    mv = _np_majority(lab, probs)
+    _, _, _, post1, _, _, _ = _np_round(lab, probs, mv)
+    refined = np.array(
+        [
+            int(np.where(post1[i] == post1[i].max())[0][0])
+            if (post1[i] == post1[i].max()).sum() == 1
+            else mv[i]
+            for i in range(lab.shape[0])
+        ]
+    )
+    return _np_round(lab, probs, refined)
 
 
 def _long_df(spark, lab):
