@@ -261,6 +261,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         counts = label_counts(df, K)
         return estimate_latent(cj, counts)
 
+    def health_summary(spark, sf):
+        # dataset.py:361-488 — per-class noise/quality + overall health
+        from sparkclean.quality.matrix_ops import (
+            overall_label_health_score,
+            rank_classes_by_label_quality,
+        )
+
+        joint, n = _joint_and_n(spark, sf)
+        overall = overall_label_health_score(joint)
+        rows = [
+            (
+                int(r["class_index"]),
+                float(round(r["label_noise"], 6)),
+                float(round(r["label_quality_score"], 6)),
+                float(round(overall, 6)),
+            )
+            for r in rank_classes_by_label_quality(joint, n)
+        ]
+        return spark.createDataFrame(
+            rows,
+            "class_index: int, label_noise: double, label_quality_score: double, "
+            "overall_health_score: double",
+        )
+
+    def token_label_issues(spark, sf):
+        # token_classification/filter.find_label_issues (filter.py:15):
+        # per-token confident learning over the exploded token table with
+        # binary pseudo-probs; issues reported as (sentence, token) pairs
+        from sparkclean.text.shared import hash60_col, words_col
+
+        docs = _docs(spark, sf).where(F.length(F.trim("text")) > 0)
+        toks = docs.select(
+            "doc_id", F.posexplode(words_col(F.lower(F.col("text")))).alias("token_idx", "_t")
+        )
+        s = (hash60_col(F.col("_t")) % F.lit(1000)).cast("double") / F.lit(1000.0)
+        toks = toks.select(
+            "doc_id",
+            "token_idx",
+            (hash60_col(F.concat(F.col("_t"), F.lit("#lbl"))) % F.lit(2)).cast("int").alias("label"),
+            F.array(F.lit(1.0) - s, s).alias("pred_probs"),
+        ).withColumn("_tid", F.col("doc_id") * 10000 + F.col("token_idx"))
+        out = q_issues.find_label_issues(
+            toks, 2, id_col="_tid", filter_by="confident_learning"
+        )
+        return out.where(F.col("is_label_issue")).select("doc_id", "token_idx")
+
     def noise_matrix_estimate(spark, sf):
         _, nm, _ = _latent(spark, sf)
         rows = [
@@ -1186,6 +1232,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         overlapping_classes=overlapping_classes,
         noise_matrix_estimate=noise_matrix_estimate,
         inv_noise_matrix_estimate=inv_noise_matrix_estimate,
+        health_summary=health_summary,
+        token_label_issues=token_label_issues,
         latent_prior=latent_prior,
         pyx_posterior=pyx_posterior,
         bayes_inv_noise_matrix=bayes_inv_noise_matrix,
@@ -2344,6 +2392,51 @@ GROUP BY 1, 2, 3, nn.n"""
 SELECT r.k::INT AS k, coalesce(t.n, 0) AS n
 FROM range(0, {K}) r(k)
 LEFT JOIN (SELECT label AS k, count(*) AS n FROM embeddings GROUP BY 1) t ON t.k = r.k"""
+
+    o["health_summary"] = f"""
+WITH {pc}, {_TH_CTE}, {_BIN_CTE}, {_CAL_CTE.lstrip()},
+rows_ AS (SELECT s, sum(n) AS rowsum, sum(CASE WHEN s = y THEN n ELSE 0 END) AS diag FROM cal GROUP BY 1),
+ovh AS (SELECT sum(CASE WHEN s = y THEN n ELSE 0 END)::DOUBLE / sum(n) AS h FROM cal)
+SELECT r.s AS class_index,
+       round(1.0 - CASE WHEN r.rowsum > 0 THEN r.diag::DOUBLE / r.rowsum ELSE 0.0 END, 6) AS label_noise,
+       round(CASE WHEN r.rowsum > 0 THEN r.diag::DOUBLE / r.rowsum ELSE 0.0 END, 6) AS label_quality_score,
+       round(ovh.h, 6) AS overall_health_score
+FROM rows_ r CROSS JOIN ovh"""
+
+    _tokw = words_sql("lower(text)")
+    _h_s = hash60_sql("t")
+    _h_lbl = hash60_sql("(t || '#lbl')")
+    o["token_label_issues"] = f"""
+WITH tokq AS (
+  SELECT doc_id, unnest({_tokw}) AS t,
+         unnest(range(0, len({_tokw}))) AS token_idx
+  FROM documents WHERE length(trim(text)) > 0
+), tl AS (
+  SELECT doc_id, token_idx::INT AS token_idx,
+         ({_h_lbl} % 2)::INT AS label,
+         1.0 - ({_h_s} % 1000)::DOUBLE / 1000.0 AS p0,
+         ({_h_s} % 1000)::DOUBLE / 1000.0 AS p1
+  FROM tokq
+), tth AS (
+  SELECT label, greatest(avg(CASE WHEN label = 0 THEN p0 ELSE p1 END), 2e-6) AS t
+  FROM tl GROUP BY 1
+), thv AS (
+  SELECT coalesce(max(CASE WHEN label = 0 THEN t END), 2.0) AS t0,
+         coalesce(max(CASE WHEN label = 1 THEN t END), 2.0) AS t1
+  FROM tth
+)
+SELECT doc_id, token_idx FROM (
+  SELECT tl.doc_id, tl.token_idx, tl.label,
+    CASE WHEN (CASE WHEN p0 >= t0 - {FPC} THEN 1 ELSE 0 END)
+            + (CASE WHEN p1 >= t1 - {FPC} THEN 1 ELSE 0 END) > 1
+         THEN CASE WHEN p0 >= p1 THEN 0 ELSE 1 END
+         WHEN p0 >= t0 - {FPC} THEN 0
+         WHEN p1 >= t1 - {FPC} THEN 1 ELSE -1 END AS guess,
+    CASE WHEN (p0 + CASE WHEN label = 0 THEN {FPC} ELSE 0.0 END)
+           >= (p1 + CASE WHEN label = 1 THEN {FPC} ELSE 0.0 END)
+         THEN 0 ELSE 1 END AS boosted
+  FROM tl CROSS JOIN thv
+) WHERE guess NOT IN (-1, label) AND boosted <> label"""
 
     o["multilabel_py"] = f"""
 WITH lsx AS (
