@@ -632,6 +632,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "image_id", F.round("label_quality_score", 6).alias("label_quality_score")
         )
 
+    def _box_tables(spark, sf):
+        ev = _events(spark, sf)
+        base = (
+            ev.select(
+                (F.col("user_id") % 40).alias("image_id"),
+                F.col("event_id").alias("box_id"),
+                (F.col("event_id") % 4).cast("int").alias("label"),
+                ((F.col("event_id") * 7) % 50).cast("double").alias("x1"),
+                ((F.col("event_id") * 11) % 50).cast("double").alias("y1"),
+            )
+            .withColumn("x2", F.col("x1") + 5 + (F.col("box_id") % 10))
+            .withColumn("y2", F.col("y1") + 5 + ((F.col("box_id") * 3) % 10))
+        )
+        lab = base.where(F.col("box_id") % 3 == 0)
+        pred = base.where(F.col("box_id") % 3 != 0).withColumn(
+            "prob", ((F.col("box_id") * 13) % 97) / 96.0
+        )
+        return lab, pred
+
+    def objectlab_box_scores(spark, sf):
+        # full ObjectLab from raw boxes (object_detection/rank.py:50-205):
+        # IoU+distance similarity, overlooked/badloc/swap subtype scores,
+        # softmin pooling, weighted geometric combine
+        from sparkclean.quality.objectlab import objectlab_scores_from_boxes
+
+        lab, pred = _box_tables(spark, sf)
+        out = objectlab_scores_from_boxes(lab, pred)
+        return out.select(
+            "image_id", F.round("label_quality_score", 6).alias("label_quality_score")
+        )
+
     def ngram_jaccard_pairs(spark, sf):
         # exact word-3gram Jaccard near-dup pairs (the oracle-exact
         # complement of the probabilistic minhash_near_duplicates path)
@@ -1296,6 +1327,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         segmentation_image_scores=segmentation_image_scores,
         segmentation_pixel_issues=segmentation_pixel_issues,
         objectlab_scores=objectlab_scores,
+        objectlab_box_scores=objectlab_box_scores,
         ngram_jaccard_pairs=ngram_jaccard_pairs,
         majority_vote=majority_vote,
         annotator_agreement=annotator_agreement,
@@ -1612,6 +1644,80 @@ boxes AS (
 WITH {_BOX_CTE.lstrip()}
 SELECT image_id, round(label_quality_score, 6) AS label_quality_score
 FROM ({_obj_inner})"""
+
+    from sparkclean.quality.objectlab import _iou_sql, _sim_sql
+
+    _obx_inner = objectlab_image_scores_sql(
+        "allb", "image_id", {"over": "over", "badloc": "badloc", "swap": "swap"}
+    )
+    o["objectlab_box_scores"] = f"""
+WITH bx AS (
+  SELECT user_id % 40 AS image_id, event_id AS box_id, (event_id % 4)::INT AS label,
+         ((event_id * 7) % 50)::DOUBLE AS x1, ((event_id * 11) % 50)::DOUBLE AS y1
+  FROM events
+),
+bx2 AS (SELECT *, x1 + 5 + (box_id % 10) AS x2, y1 + 5 + ((box_id * 3) % 10) AS y2 FROM bx),
+lab AS (SELECT * FROM bx2 WHERE box_id % 3 = 0),
+pred AS (SELECT *, ((box_id * 13) % 97) / 96.0 AS prob FROM bx2 WHERE box_id % 3 <> 0),
+prs AS MATERIALIZED (
+  SELECT l.image_id, l.box_id AS lab_box, l.label AS lab_label,
+         p.box_id AS pred_box, p.label AS pred_label, p.prob,
+         {_iou_sql("l", "p")} AS iou, {_sim_sql("l", "p")} AS sim
+  FROM (SELECT image_id, box_id, label, x1 AS l_x1, y1 AS l_y1, x2 AS l_x2, y2 AS l_y2 FROM lab) l
+  JOIN (SELECT image_id, box_id, label, prob, x1 AS p_x1, y1 AS p_y1, x2 AS p_x2, y2 AS p_y2 FROM pred) p
+  USING (image_id)
+),
+msim AS (SELECT coalesce(min(CASE WHEN sim <> 0 THEN sim END), 1.0) AS m FROM prs),
+og AS (
+  SELECT pred_box, max(CASE WHEN iou > 0 THEN 1 ELSE 0 END) AS anyiou,
+         max(CASE WHEN lab_label = pred_label THEN sim END) AS ksim,
+         sum(CASE WHEN lab_label = pred_label THEN 1 ELSE 0 END) AS nk
+  FROM prs GROUP BY 1
+),
+overb AS (
+  SELECT p.image_id,
+         CASE WHEN p.prob < 0.95 OR coalesce(og.anyiou, 0) > 0 THEN NULL
+              WHEN coalesce(og.nk, 0) = 0 THEN msim.m * (1.0 - p.prob)
+              ELSE og.ksim END AS over,
+         NULL::DOUBLE AS badloc, NULL::DOUBLE AS swap
+  FROM pred p LEFT JOIN og ON og.pred_box = p.box_id CROSS JOIN msim
+),
+bg AS (
+  SELECT lab_box, max(prob) AS maxp,
+         max(CASE WHEN prob > 0.5 AND iou > 0 THEN sim END) AS simc,
+         sum(CASE WHEN prob > 0.5 AND iou > 0 THEN 1 ELSE 0 END) AS nc
+  FROM prs WHERE lab_label = pred_label GROUP BY 1
+),
+badb AS (
+  SELECT l.image_id, NULL::DOUBLE AS over,
+         CASE WHEN bg.maxp IS NULL OR bg.maxp <= 0.5 THEN 1.0
+              WHEN coalesce(bg.nc, 0) > 0 THEN bg.simc ELSE 1.0 END AS badloc,
+         NULL::DOUBLE AS swap
+  FROM lab l LEFT JOIN bg ON bg.lab_box = l.box_id
+),
+ovlp AS (
+  SELECT DISTINCT a.box_id AS lab_box
+  FROM (SELECT image_id, box_id, label, x1 AS l_x1, y1 AS l_y1, x2 AS l_x2, y2 AS l_y2 FROM lab) a
+  JOIN (SELECT image_id, box_id AS ob, label AS lb, x1 AS p_x1, y1 AS p_y1, x2 AS p_x2, y2 AS p_y2 FROM lab) b
+  USING (image_id)
+  WHERE a.box_id <> b.ob AND a.label <> b.lb AND {_iou_sql("a.l", "b.p")} >= 0.95
+),
+sg AS (
+  SELECT lab_box, max(CASE WHEN prob > 0.95 THEN sim END) AS snk,
+         sum(CASE WHEN prob > 0.95 THEN 1 ELSE 0 END) AS nnk
+  FROM prs WHERE lab_label <> pred_label GROUP BY 1
+),
+swb AS (
+  SELECT l.image_id, NULL::DOUBLE AS over, NULL::DOUBLE AS badloc,
+         CASE WHEN ovlp.lab_box IS NOT NULL THEN msim.m
+              WHEN coalesce(sg.nnk, 0) = 0 THEN 1.0
+              ELSE greatest(msim.m, 1.0 - sg.snk) END AS swap
+  FROM lab l LEFT JOIN ovlp ON ovlp.lab_box = l.box_id
+  LEFT JOIN sg ON sg.lab_box = l.box_id CROSS JOIN msim
+),
+allb AS (SELECT * FROM overb UNION ALL SELECT * FROM badb UNION ALL SELECT * FROM swb)
+SELECT image_id, round(label_quality_score, 6) AS label_quality_score
+FROM ({_obx_inner})"""
 
     o["ngram_jaccard_pairs"] = f"""
 WITH dsh AS (

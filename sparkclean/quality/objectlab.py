@@ -1,0 +1,245 @@
+"""ObjectLab — object-detection label-quality from raw bounding boxes.
+
+Distributed re-expression of cleanlab/object_detection/rank.py: per-image
+(annotated x predicted) box-pair similarity (IoU blended with an
+exponential centre-distance kernel, rank.py:307-426), the three per-box
+subtype scores (overlooked rank.py:555-610, badloc :690-747, swap
+:825-891), softmin pooling per image and the weighted geometric combine
+(:1017-1115).
+
+Scale shape: everything is ONE image-keyed equi-join producing the L x M
+pair table per image (boxes per image are bounded, so pair counts stay
+small), followed by per-box groupBys — no driver-side loops over images,
+no Python in the hot path.  Constants from internal/constants.py:9-38.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+ALPHA = 0.9
+EUC_FACTOR = 0.1
+EPSILON = 1e-6
+LOW_PROBABILITY_THRESHOLD = 0.5
+HIGH_PROBABILITY_THRESHOLD = 0.95
+LABEL_OVERLAP_THRESHOLD = 0.95
+
+_BOX = ("x1", "y1", "x2", "y2")
+
+
+def _iou(p: str, q: str) -> Column:
+    """IoU of two boxes given column prefixes (rank.py:323-364)."""
+    xl = F.greatest(F.col(f"{p}_x1"), F.col(f"{q}_x1"))
+    yt = F.greatest(F.col(f"{p}_y1"), F.col(f"{q}_y1"))
+    xr = F.least(F.col(f"{p}_x2"), F.col(f"{q}_x2"))
+    yb = F.least(F.col(f"{p}_y2"), F.col(f"{q}_y2"))
+    inter = F.when((xr < xl) | (yb < yt), F.lit(0.0)).otherwise((xr - xl) * (yb - yt))
+    area_p = (F.col(f"{p}_x2") - F.col(f"{p}_x1")) * (F.col(f"{p}_y2") - F.col(f"{p}_y1"))
+    area_q = (F.col(f"{q}_x2") - F.col(f"{q}_x1")) * (F.col(f"{q}_y2") - F.col(f"{q}_y1"))
+    return inter / F.greatest(area_p + area_q - inter, F.lit(EPSILON))
+
+
+def _iou_sql(p: str, q: str) -> str:
+    xl = f"greatest({p}_x1, {q}_x1)"
+    yt = f"greatest({p}_y1, {q}_y1)"
+    xr = f"least({p}_x2, {q}_x2)"
+    yb = f"least({p}_y2, {q}_y2)"
+    inter = f"(CASE WHEN {xr} < {xl} OR {yb} < {yt} THEN 0.0 ELSE ({xr} - {xl}) * ({yb} - {yt}) END)"
+    ap = f"(({p}_x2 - {p}_x1) * ({p}_y2 - {p}_y1))"
+    aq = f"(({q}_x2 - {q}_x1) * ({q}_y2 - {q}_y1))"
+    return f"({inter} / greatest({ap} + {aq} - {inter}, {EPSILON}))"
+
+
+def _sim(p: str, q: str, alpha: float = ALPHA) -> Column:
+    """alpha * IoU + (1-alpha) * exp(-EUC_FACTOR * centre distance)
+    (rank.py:398-420; the double 1-(1-x) in the reference cancels)."""
+    cx_p = (F.col(f"{p}_x1") + F.col(f"{p}_x2")) / 2.0
+    cy_p = (F.col(f"{p}_y1") + F.col(f"{p}_y2")) / 2.0
+    cx_q = (F.col(f"{q}_x1") + F.col(f"{q}_x2")) / 2.0
+    cy_q = (F.col(f"{q}_y1") + F.col(f"{q}_y2")) / 2.0
+    dist = F.sqrt((cx_p - cx_q) ** 2 + (cy_p - cy_q) ** 2)
+    return F.lit(alpha) * _iou(p, q) + F.lit(1.0 - alpha) * F.exp(-dist * F.lit(EUC_FACTOR))
+
+
+def _sim_sql(p: str, q: str, alpha: float = ALPHA) -> str:
+    cx_p = f"(({p}_x1 + {p}_x2) / 2.0)"
+    cy_p = f"(({p}_y1 + {p}_y2) / 2.0)"
+    cx_q = f"(({q}_x1 + {q}_x2) / 2.0)"
+    cy_q = f"(({q}_y1 + {q}_y2) / 2.0)"
+    dist = f"sqrt(({cx_p} - {cx_q}) * ({cx_p} - {cx_q}) + ({cy_p} - {cy_q}) * ({cy_p} - {cy_q}))"
+    return f"({alpha} * {_iou_sql(p, q)} + {1.0 - alpha} * exp(-{dist} * {EUC_FACTOR}))"
+
+
+def box_pairs(lab: DataFrame, pred: DataFrame, alpha: float = ALPHA) -> DataFrame:
+    """Per-image (annotated, predicted) pair table with iou + similarity.
+
+    ``lab``: (image_id, box_id, label, x1, y1, x2, y2);
+    ``pred``: same plus ``prob``."""
+    l = lab.select(
+        "image_id",
+        F.col("box_id").alias("lab_box"),
+        F.col("label").alias("lab_label"),
+        *[F.col(c).cast("double").alias(f"l_{c}") for c in _BOX],
+    )
+    p = pred.select(
+        "image_id",
+        F.col("box_id").alias("pred_box"),
+        F.col("label").alias("pred_label"),
+        F.col("prob").cast("double").alias("prob"),
+        *[F.col(c).cast("double").alias(f"p_{c}") for c in _BOX],
+    )
+    return (
+        l.join(p, "image_id")
+        .withColumn("iou", _iou("l", "p"))
+        .withColumn("sim", _sim("l", "p", alpha))
+    )
+
+
+def min_possible_similarity(pairs: DataFrame) -> float:
+    """Global min over NONZERO similarity entries; 1.0 when there are no
+    pairs (rank.py:464-470)."""
+    row = pairs.where(F.col("sim") != 0).agg(F.min("sim")).first()
+    return float(row[0]) if row and row[0] is not None else 1.0
+
+
+def overlooked_box_scores(
+    pred: DataFrame,
+    pairs: DataFrame,
+    minsim: float,
+    high: float = HIGH_PROBABILITY_THRESHOLD,
+) -> DataFrame:
+    """Per predicted box (rank.py:555-610): NULL when low-confidence or
+    overlapping ANY annotation; else max similarity to a same-class
+    annotation, or ``minsim * (1 - prob)`` when that class is absent."""
+    g = pairs.groupBy("pred_box").agg(
+        F.max((F.col("iou") > 0).cast("int")).alias("_any_iou"),
+        F.max(F.when(F.col("lab_label") == F.col("pred_label"), F.col("sim"))).alias("_ksim"),
+        F.sum((F.col("lab_label") == F.col("pred_label")).cast("int")).alias("_nk"),
+    )
+    out = pred.select("image_id", F.col("box_id").alias("pred_box"), "prob").join(
+        g, "pred_box", "left"
+    )
+    score = (
+        F.when(
+            (F.col("prob") < high) | (F.coalesce(F.col("_any_iou"), F.lit(0)) > 0),
+            F.lit(None).cast("double"),
+        )
+        .when(
+            F.coalesce(F.col("_nk"), F.lit(0)) == 0,
+            F.lit(minsim) * (F.lit(1.0) - F.col("prob")),
+        )
+        .otherwise(F.col("_ksim"))
+    )
+    return out.select("image_id", "pred_box", score.alias("score_overlooked"))
+
+
+def badloc_box_scores(
+    lab: DataFrame, pairs: DataFrame, low: float = LOW_PROBABILITY_THRESHOLD
+) -> DataFrame:
+    """Per annotated box (rank.py:690-747): among same-class predictions,
+    1.0 if none clear the low-probability bar; else max similarity over
+    predictions with prob > low AND iou > 0 (1.0 when that set is empty)."""
+    k = pairs.where(F.col("lab_label") == F.col("pred_label"))
+    g = k.groupBy("lab_box").agg(
+        F.max("prob").alias("_maxp"),
+        F.max(
+            F.when((F.col("prob") > low) & (F.col("iou") > 0), F.col("sim"))
+        ).alias("_simc"),
+        F.sum(((F.col("prob") > low) & (F.col("iou") > 0)).cast("int")).alias("_nc"),
+    )
+    out = lab.select("image_id", F.col("box_id").alias("lab_box")).join(g, "lab_box", "left")
+    score = F.when(
+        F.col("_maxp").isNull() | (F.col("_maxp") <= low), F.lit(1.0)
+    ).otherwise(
+        F.when(F.coalesce(F.col("_nc"), F.lit(0)) > 0, F.col("_simc")).otherwise(F.lit(1.0))
+    )
+    return out.select("image_id", "lab_box", score.alias("score_badloc"))
+
+
+def swap_box_scores(
+    lab: DataFrame,
+    pairs: DataFrame,
+    minsim: float,
+    high: float = HIGH_PROBABILITY_THRESHOLD,
+    overlapping_label_check: bool = True,
+) -> DataFrame:
+    """Per annotated box (rank.py:825-891): minsim when the box overlaps
+    (IoU >= 0.95) another differently-labeled annotation; 1.0 when no
+    other-class prediction clears the high bar; else
+    ``max(minsim, 1 - max similarity to a confident other-class
+    prediction)``."""
+    base = lab.select("image_id", F.col("box_id").alias("lab_box"))
+    if overlapping_label_check:
+        a = lab.select(
+            "image_id",
+            F.col("box_id").alias("lab_box"),
+            F.col("label").alias("_la"),
+            *[F.col(c).cast("double").alias(f"l_{c}") for c in _BOX],
+        )
+        b = lab.select(
+            "image_id",
+            F.col("box_id").alias("_ob"),
+            F.col("label").alias("_lb"),
+            *[F.col(c).cast("double").alias(f"p_{c}") for c in _BOX],
+        )
+        ov = (
+            a.join(b, "image_id")
+            .where(F.col("lab_box") != F.col("_ob"))
+            .where(_iou("l", "p") >= F.lit(LABEL_OVERLAP_THRESHOLD))
+            .where(F.col("_la") != F.col("_lb"))
+            .select("lab_box")
+            .distinct()
+            .withColumn("_hasov", F.lit(True))
+        )
+        base = base.join(ov, "lab_box", "left")
+    else:
+        base = base.withColumn("_hasov", F.lit(False))
+    nk = pairs.where(F.col("lab_label") != F.col("pred_label"))
+    g = nk.groupBy("lab_box").agg(
+        F.max(F.when(F.col("prob") > high, F.col("sim"))).alias("_snk"),
+        F.sum((F.col("prob") > high).cast("int")).alias("_nnk"),
+    )
+    out = base.join(g, "lab_box", "left")
+    score = (
+        F.when(F.coalesce(F.col("_hasov"), F.lit(False)), F.lit(minsim))
+        .when(F.coalesce(F.col("_nnk"), F.lit(0)) == 0, F.lit(1.0))
+        .otherwise(F.greatest(F.lit(minsim), F.lit(1.0) - F.col("_snk")))
+    )
+    return out.select("image_id", "lab_box", score.alias("score_swap"))
+
+
+def objectlab_scores_from_boxes(
+    lab: DataFrame, pred: DataFrame, alpha: float = ALPHA
+) -> DataFrame:
+    """End-to-end ObjectLab image scores from raw box tables
+    (rank.py:50-205): subtype box scores -> per-image softmin pooling ->
+    weighted geometric combine."""
+    from .task_scores import objectlab_image_scores
+
+    pairs = box_pairs(lab, pred, alpha).persist()
+    minsim = min_possible_similarity(pairs)
+    over = overlooked_box_scores(pred, pairs, minsim).select(
+        "image_id",
+        F.col("score_overlooked").alias("over"),
+        F.lit(None).cast("double").alias("badloc"),
+        F.lit(None).cast("double").alias("swap"),
+    )
+    bad = badloc_box_scores(lab, pairs).select(
+        "image_id",
+        F.lit(None).cast("double").alias("over"),
+        F.col("score_badloc").alias("badloc"),
+        F.lit(None).cast("double").alias("swap"),
+    )
+    sw = swap_box_scores(lab, pairs, minsim).select(
+        "image_id",
+        F.lit(None).cast("double").alias("over"),
+        F.lit(None).cast("double").alias("badloc"),
+        F.col("score_swap").alias("swap"),
+    )
+    allb = over.unionByName(bad).unionByName(sw)
+    return objectlab_image_scores(
+        allb,
+        "image_id",
+        {"over": F.col("over"), "badloc": F.col("badloc"), "swap": F.col("swap")},
+    )
