@@ -604,6 +604,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             segmentation_pixel_issue_count(F.col("_pix"), 0.1).alias("n_pixel_issues"),
         )
 
+    def segmentation_label_issues(spark, sf):
+        # segmentation/filter.find_label_issues (filter.py:14): per-pixel
+        # confident learning over the flattened pixel table (downsample=1),
+        # reported as #flagged pixels per image
+        df = _emb(spark, sf)
+        px = df.select(
+            "vec_id", F.posexplode(F.sequence(F.lit(0), F.lit(11))).alias("_j", "j")
+        ).drop("_j")
+        px = px.join(_emb(spark, sf), "vec_id")
+        idx = ((F.col("vec_id") + F.col("j")) % 4).cast("int")
+        terms = [
+            F.exp(
+                F.element_at("embedding", (F.col("j") + F.lit(1 + o)).cast("int")).cast("double")
+                * 2.0
+            )
+            for o in range(4)
+        ]
+        tot = terms[0] + terms[1] + terms[2] + terms[3]
+        px = px.select(
+            "vec_id",
+            "j",
+            idx.alias("label"),
+            F.array(*[(t / tot) for t in terms]).alias("pred_probs"),
+        ).withColumn("_pid", F.col("vec_id") * 100 + F.col("j"))
+        out = q_issues.find_label_issues(
+            px, 4, id_col="_pid", filter_by="confident_learning"
+        )
+        return out.groupBy("vec_id").agg(
+            F.sum(F.col("is_label_issue").cast("int")).alias("n_pixel_label_issues")
+        )
+
     def objectlab_scores(spark, sf):
         # object_detection/rank.py:1017-1115: per-subtype softmin pooling +
         # weighted geometric combine; boxes = events grouped by user_id % 50
@@ -1326,6 +1357,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         regression_residual=regression_residual,
         segmentation_image_scores=segmentation_image_scores,
         segmentation_pixel_issues=segmentation_pixel_issues,
+        segmentation_label_issues=segmentation_label_issues,
         objectlab_scores=objectlab_scores,
         objectlab_box_scores=objectlab_box_scores,
         ngram_jaccard_pairs=ngram_jaccard_pairs,
@@ -1628,6 +1660,41 @@ SELECT vec_id, round({segmentation_image_score_sql("ps")}, 6) AS image_score FRO
     o["segmentation_pixel_issues"] = f"""
 WITH pix AS (SELECT vec_id, {_PIX_SQL} AS ps FROM embeddings)
 SELECT vec_id, {segmentation_pixel_issue_count_sql("ps", 0.1)} AS n_pixel_issues FROM pix"""
+
+    o["segmentation_label_issues"] = f"""
+WITH pxe AS (
+  SELECT vec_id, j.j::INT AS j, ((vec_id + j.j) % 4)::INT AS label,
+         list_transform(range(0, 4), o ->
+            exp(2.0 * embedding[j.j + 1 + o]::DOUBLE)
+            / (exp(2.0 * embedding[j.j + 1]::DOUBLE) + exp(2.0 * embedding[j.j + 2]::DOUBLE)
+               + exp(2.0 * embedding[j.j + 3]::DOUBLE) + exp(2.0 * embedding[j.j + 4]::DOUBLE))) AS p
+  FROM embeddings CROSS JOIN range(0, 12) j(j)
+),
+sth AS (SELECT label AS k, greatest(avg(p[label + 1]), 2e-6) AS t FROM pxe GROUP BY 1),
+stv AS (
+  SELECT list(coalesce(sth.t, 2.0) ORDER BY r.k) AS tvec
+  FROM range(0, 4) r(k) LEFT JOIN sth ON sth.k = r.k
+),
+sbinned AS (
+  SELECT x.vec_id, x.label, x.p,
+         list_transform(range(1, 5), i -> x.p[i] >= tv.tvec[i] - {FPC}) AS bins,
+         list_transform(range(1, 5),
+             i -> x.p[i] + CASE WHEN i = x.label + 1 THEN {FPC} ELSE 0.0 END) AS bp
+  FROM pxe x CROSS JOIN stv tv
+),
+sguessed AS (
+  SELECT vec_id, label,
+         len(list_filter(bins, b -> b)) AS n_conf,
+         CASE WHEN len(list_filter(bins, b -> b)) > 1
+              THEN list_position(p, list_max(p)) - 1
+              ELSE list_position(bins, true) - 1 END AS guess,
+         (list_position(bp, list_max(bp)) - 1) AS boosted
+  FROM sbinned
+)
+SELECT vec_id,
+       sum(CASE WHEN n_conf >= 1 AND guess <> label AND boosted <> label
+                THEN 1 ELSE 0 END) AS n_pixel_label_issues
+FROM sguessed GROUP BY 1"""
 
     _BOX_CTE = """
 boxes AS (
