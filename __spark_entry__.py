@@ -694,6 +694,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "image_id", F.round("label_quality_score", 6).alias("label_quality_score")
         )
 
+    def objectlab_label_issues(spark, sf):
+        # object_detection/filter.find_label_issues (filter.py:32-226):
+        # per-class COCO mean AP -> thresholds -> per-box flags -> image OR
+        from sparkclean.quality.objectlab import objectlab_find_label_issues
+
+        lab, pred = _box_tables(spark, sf)
+        return objectlab_find_label_issues(lab, pred, 4)
+
     def ngram_jaccard_pairs(spark, sf):
         # exact word-3gram Jaccard near-dup pairs (the oracle-exact
         # complement of the probabilistic minhash_near_duplicates path)
@@ -1360,6 +1368,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         segmentation_label_issues=segmentation_label_issues,
         objectlab_scores=objectlab_scores,
         objectlab_box_scores=objectlab_box_scores,
+        objectlab_label_issues=objectlab_label_issues,
         ngram_jaccard_pairs=ngram_jaccard_pairs,
         majority_vote=majority_vote,
         annotator_agreement=annotator_agreement,
@@ -1712,13 +1721,13 @@ WITH {_BOX_CTE.lstrip()}
 SELECT image_id, round(label_quality_score, 6) AS label_quality_score
 FROM ({_obj_inner})"""
 
-    from sparkclean.quality.objectlab import _iou_sql, _sim_sql
+    from sparkclean.quality.objectlab import _F32_EPS, _iou_sql, _sim_sql
 
     _obx_inner = objectlab_image_scores_sql(
         "allb", "image_id", {"over": "over", "badloc": "badloc", "swap": "swap"}
     )
-    o["objectlab_box_scores"] = f"""
-WITH bx AS (
+    _OBJ_BASE = f"""
+bx AS (
   SELECT user_id % 40 AS image_id, event_id AS box_id, (event_id % 4)::INT AS label,
          ((event_id * 7) % 50)::DOUBLE AS x1, ((event_id * 11) % 50)::DOUBLE AS y1
   FROM events
@@ -1782,9 +1791,108 @@ swb AS (
   FROM lab l LEFT JOIN ovlp ON ovlp.lab_box = l.box_id
   LEFT JOIN sg ON sg.lab_box = l.box_id CROSS JOIN msim
 ),
-allb AS (SELECT * FROM overb UNION ALL SELECT * FROM badb UNION ALL SELECT * FROM swb)
+allb AS (SELECT * FROM overb UNION ALL SELECT * FROM badb UNION ALL SELECT * FROM swb)"""
+
+    o["objectlab_box_scores"] = f"""
+WITH {_OBJ_BASE.lstrip()}
 SELECT image_id, round(label_quality_score, 6) AS label_quality_score
 FROM ({_obx_inner})"""
+
+    # find_label_issues (object_detection/filter.py:32-226): per-class mean
+    # AP over IoU 0.50:0.05:0.95 via the window formulation of the greedy
+    # matcher, thresholds AP_k * 0.25 * 0.8, image flagged when ANY box
+    # score falls at or below its class threshold.
+    o["objectlab_label_issues"] = f"""
+WITH {_OBJ_BASE.lstrip()},
+scp AS (
+  SELECT p.image_id, p.box_id AS pred_box, p.label AS k, p.prob, l.box_id AS lbx,
+         {_iou_sql("l.l", "p.p")} AS iou
+  FROM (SELECT image_id, box_id, label, x1 AS l_x1, y1 AS l_y1, x2 AS l_x2, y2 AS l_y2 FROM lab) l
+  JOIN (SELECT image_id, box_id, label, prob, x1 AS p_x1, y1 AS p_y1, x2 AS p_x2, y2 AS p_y2 FROM pred) p
+    ON l.image_id = p.image_id AND l.label = p.label
+),
+best AS (
+  SELECT pred_box, iou AS iou_max, lbx AS am FROM (
+    SELECT scp.*, row_number() OVER (PARTITION BY pred_box ORDER BY iou DESC, lbx ASC) AS rn
+    FROM scp
+  ) WHERE rn = 1
+),
+pall AS (
+  SELECT p.image_id, p.box_id AS pred_box, p.label AS k, p.prob, b.iou_max, b.am
+  FROM pred p LEFT JOIN best b ON b.pred_box = p.box_id
+),
+thrs AS (SELECT 0.5 + r.i * 0.05 AS thr FROM range(0, 10) r(i)),
+pt AS (
+  SELECT pall.*, t.thr,
+         (iou_max IS NOT NULL AND iou_max >= t.thr) AS cand
+  FROM pall CROSS JOIN thrs t
+),
+ptp AS (
+  SELECT pt.*, row_number() OVER (
+      PARTITION BY k, thr, image_id, am, cand ORDER BY prob DESC, pred_box ASC) AS rn
+  FROM pt
+),
+tpfp AS (
+  SELECT k, thr, prob, image_id, pred_box,
+         CASE WHEN cand AND rn = 1 THEN 1 ELSE 0 END AS tp
+  FROM ptp
+),
+gcnt AS (SELECT label AS k, count(*)::DOUBLE AS n FROM lab GROUP BY 1),
+ser AS (
+  SELECT t.k, t.thr, t.prob, t.image_id, t.pred_box,
+         sum(t.tp) OVER w AS ctp,
+         sum(1 - t.tp) OVER w AS cfp,
+         coalesce(g.n, 0.0) AS gn
+  FROM tpfp t LEFT JOIN gcnt g ON g.k = t.k
+  WINDOW w AS (PARTITION BY t.k, t.thr ORDER BY t.prob DESC, t.image_id ASC, t.pred_box ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+pr AS (
+  SELECT k, thr, prob, image_id, pred_box,
+         ctp / greatest(gn, {_F32_EPS}) AS recall,
+         ctp::DOUBLE / greatest((ctp + cfp)::DOUBLE, {_F32_EPS}) AS prec
+  FROM ser
+),
+itp AS (
+  SELECT k, thr,
+         max(prec) OVER (PARTITION BY k, thr ORDER BY prob DESC, image_id ASC, pred_box ASC
+                         ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS pint,
+         recall,
+         coalesce(lag(recall) OVER (PARTITION BY k, thr ORDER BY prob DESC, image_id ASC, pred_box ASC), 0.0) AS rprev
+  FROM pr
+),
+apk AS (SELECT k, thr, sum((recall - rprev) * pint) AS ap FROM itp GROUP BY 1, 2),
+apc AS (
+  SELECT r.k::INT AS k, coalesce(avg(apk.ap), 0.0) * 0.25 AS apthr
+  FROM range(0, 4) r(k) LEFT JOIN apk ON apk.k = r.k GROUP BY 1
+),
+overfl AS (
+  SELECT p.image_id,
+         (coalesce(CASE WHEN p.prob < 0.95 OR coalesce(og.anyiou, 0) > 0 THEN NULL
+                        WHEN coalesce(og.nk, 0) = 0 THEN msim.m * (1.0 - p.prob)
+                        ELSE og.ksim END, 1.0) <= a.apthr * 0.8) AS fl
+  FROM pred p LEFT JOIN og ON og.pred_box = p.box_id
+  CROSS JOIN msim JOIN apc a ON a.k = p.label
+),
+badfl AS (
+  SELECT l.image_id,
+         (CASE WHEN bg.maxp IS NULL OR bg.maxp <= 0.5 THEN 1.0
+               WHEN coalesce(bg.nc, 0) > 0 THEN bg.simc ELSE 1.0 END <= a.apthr * 0.8) AS fl
+  FROM lab l LEFT JOIN bg ON bg.lab_box = l.box_id JOIN apc a ON a.k = l.label
+),
+swfl AS (
+  SELECT l.image_id,
+         (CASE WHEN ovlp.lab_box IS NOT NULL THEN msim.m
+               WHEN coalesce(sg.nnk, 0) = 0 THEN 1.0
+               ELSE greatest(msim.m, 1.0 - sg.snk) END <= a.apthr * 0.8) AS fl
+  FROM lab l LEFT JOIN ovlp ON ovlp.lab_box = l.box_id
+  LEFT JOIN sg ON sg.lab_box = l.box_id CROSS JOIN msim JOIN apc a ON a.k = l.label
+),
+allfl AS (SELECT * FROM overfl UNION ALL SELECT * FROM badfl UNION ALL SELECT * FROM swfl),
+imgs AS (SELECT DISTINCT image_id FROM bx2)
+SELECT i.image_id, coalesce(max(CASE WHEN f.fl THEN 1 ELSE 0 END), 0) > 0 AS is_label_issue
+FROM imgs i LEFT JOIN allfl f ON f.image_id = i.image_id
+GROUP BY 1"""
 
     o["ngram_jaccard_pairs"] = f"""
 WITH dsh AS (

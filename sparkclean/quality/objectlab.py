@@ -243,3 +243,153 @@ def objectlab_scores_from_boxes(
         "image_id",
         {"over": F.col("over"), "badloc": F.col("badloc"), "swap": F.col("swap")},
     )
+
+
+# ------------------------------------------------- find_label_issues (AP)
+
+AP_SCALE_FACTOR = 0.25
+OVERLOOKED_THRESHOLD_FACTOR = 0.8
+BADLOC_THRESHOLD_FACTOR = 0.8
+SWAP_THRESHOLD_FACTOR = 0.8
+IOU_THRS = [0.5 + 0.05 * i for i in range(10)]
+_F32_EPS = 1.1920928955078125e-07  # np.finfo(np.float32).eps
+
+
+def per_class_ap(
+    lab: DataFrame, pred: DataFrame, num_classes: int, iou_thresholds=None
+) -> dict:
+    """COCO-style mean AP per class over IoU thresholds 0.50:0.05:0.95
+    (object_detection/filter.py:260-450), computed declaratively:
+
+    The reference's per-image greedy matching ("highest-confidence
+    prediction with IoU >= thr claims each ground-truth box") depends only
+    on (image, class, thr, matched-gt) groups, so it is exactly
+    ``row_number() == 1`` over that window ordered by confidence — no
+    sequential loop. The PR curve is a forward cumulative sum, the
+    interpolated precision a backward running max, and AP the sum of
+    recall-step x interpolated precision: three window passes, one
+    aggregation. Ties in confidence use (prob desc, image, box) total
+    order (the reference's unstable argsort is tie-unspecified).
+
+    Returns {class: mean AP}."""
+    thrs = list(iou_thresholds or IOU_THRS)
+    from pyspark.sql import Window
+
+    l = lab.select(
+        "image_id",
+        F.col("box_id").alias("lab_box"),
+        F.col("label").alias("k"),
+        *[F.col(c).cast("double").alias(f"l_{c}") for c in _BOX],
+    )
+    p = pred.select(
+        "image_id",
+        F.col("box_id").alias("pred_box"),
+        F.col("label").alias("k"),
+        F.col("prob").cast("double").alias("prob"),
+        *[F.col(c).cast("double").alias(f"p_{c}") for c in _BOX],
+    )
+    scp = l.join(p, ["image_id", "k"]).withColumn("iou", _iou("l", "p"))
+    w_best = Window.partitionBy("pred_box").orderBy(
+        F.col("iou").desc(), F.col("lab_box").asc()
+    )
+    best = (
+        scp.withColumn("_rn", F.row_number().over(w_best))
+        .where(F.col("_rn") == 1)
+        .select("pred_box", F.col("iou").alias("iou_max"), F.col("lab_box").alias("am"))
+    )
+    pall = p.select("image_id", "pred_box", "k", "prob").join(best, "pred_box", "left")
+    thr_arr = F.explode(F.array(*[F.lit(float(t)) for t in thrs])).alias("thr")
+    pt = pall.select("*", thr_arr).withColumn(
+        "cand", F.col("iou_max").isNotNull() & (F.col("iou_max") >= F.col("thr"))
+    )
+    w_claim = Window.partitionBy("k", "thr", "image_id", "am", "cand").orderBy(
+        F.col("prob").desc(), F.col("pred_box").asc()
+    )
+    pt = pt.withColumn("_rn", F.row_number().over(w_claim)).withColumn(
+        "tp", (F.col("cand") & (F.col("_rn") == 1)).cast("int")
+    )
+    gts = {r["k"]: r["n"] for r in lab.groupBy(F.col("label").alias("k")).count().withColumnRenamed("count", "n").collect()}
+    g_map = F.create_map(*[x for k in range(num_classes) for x in (F.lit(k), F.lit(float(gts.get(k, 0))))])
+    order = [F.col("prob").desc(), F.col("image_id").asc(), F.col("pred_box").asc()]
+    w_cum = (
+        Window.partitionBy("k", "thr").orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_back = (
+        Window.partitionBy("k", "thr").orderBy(*order).rowsBetween(0, Window.unboundedFollowing)
+    )
+    w_lag = Window.partitionBy("k", "thr").orderBy(*order)
+    ser = (
+        pt.withColumn("ctp", F.sum("tp").over(w_cum))
+        .withColumn("cfp", F.sum(F.lit(1) - F.col("tp")).over(w_cum))
+        .withColumn("_g", F.element_at(g_map, F.col("k")))
+        .withColumn("recall", F.col("ctp") / F.greatest(F.col("_g"), F.lit(_F32_EPS)))
+        .withColumn(
+            "prec",
+            F.col("ctp").cast("double")
+            / F.greatest((F.col("ctp") + F.col("cfp")).cast("double"), F.lit(_F32_EPS)),
+        )
+    )
+    ser = ser.withColumn("pint", F.max("prec").over(w_back)).withColumn(
+        "rprev", F.lag("recall", 1, 0.0).over(w_lag)
+    )
+    ap_rows = (
+        ser.groupBy("k", "thr")
+        .agg(F.sum((F.col("recall") - F.col("rprev")) * F.col("pint")).alias("ap"))
+        .groupBy("k")
+        .agg(F.avg("ap").alias("map"))
+        .collect()
+    )
+    ap = {int(r["k"]): float(r["map"]) for r in ap_rows}
+    return {k: ap.get(k, 0.0) for k in range(num_classes)}
+
+
+def objectlab_find_label_issues(
+    lab: DataFrame, pred: DataFrame, num_classes: int, alpha: float = ALPHA
+) -> DataFrame:
+    """object_detection/filter.find_label_issues (filter.py:32-226):
+    per-box subtype scores compared against per-class thresholds
+    ``AP_k * 0.25 * 0.8``; an image is an issue when ANY of its boxes
+    (predicted or annotated) falls at or below its threshold.  NaN box
+    scores count as 1.0 (never an issue)."""
+    ap = per_class_ap(lab, pred, num_classes)
+    thr = {k: ap[k] * AP_SCALE_FACTOR for k in range(num_classes)}
+    thr_map = F.create_map(*[x for k, v in thr.items() for x in (F.lit(k), F.lit(float(v)))])
+    pairs = box_pairs(lab, pred, alpha).persist()
+    minsim = min_possible_similarity(pairs)
+
+    over = overlooked_box_scores(pred, pairs, minsim).join(
+        pred.select(F.col("box_id").alias("pred_box"), F.col("label").alias("_k")),
+        "pred_box",
+    )
+    over_flag = over.select(
+        "image_id",
+        (
+            F.coalesce(F.col("score_overlooked"), F.lit(1.0))
+            <= F.element_at(thr_map, F.col("_k")) * F.lit(OVERLOOKED_THRESHOLD_FACTOR)
+        ).alias("_flag"),
+    )
+    lab_k = lab.select(F.col("box_id").alias("lab_box"), F.col("label").alias("_k"))
+    bad = badloc_box_scores(lab, pairs).join(lab_k, "lab_box")
+    bad_flag = bad.select(
+        "image_id",
+        (
+            F.coalesce(F.col("score_badloc"), F.lit(1.0))
+            <= F.element_at(thr_map, F.col("_k")) * F.lit(BADLOC_THRESHOLD_FACTOR)
+        ).alias("_flag"),
+    )
+    sw = swap_box_scores(lab, pairs, minsim).join(lab_k, "lab_box")
+    sw_flag = sw.select(
+        "image_id",
+        (
+            F.coalesce(F.col("score_swap"), F.lit(1.0))
+            <= F.element_at(thr_map, F.col("_k")) * F.lit(SWAP_THRESHOLD_FACTOR)
+        ).alias("_flag"),
+    )
+    flags = over_flag.unionByName(bad_flag).unionByName(sw_flag)
+    images = (
+        lab.select("image_id").unionByName(pred.select("image_id")).distinct()
+    )
+    agg = flags.groupBy("image_id").agg(F.max(F.col("_flag").cast("int")).alias("_any"))
+    return images.join(agg, "image_id", "left").select(
+        "image_id", (F.coalesce(F.col("_any"), F.lit(0)) > 0).alias("is_label_issue")
+    )

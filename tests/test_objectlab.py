@@ -148,3 +148,96 @@ def test_image_scores_bounded_and_complete(spark, box_dfs):
     # image 2 has one annotation, zero predictions: badloc=swap=1, no
     # overlooked rows -> perfect score
     assert abs(out[2] - 1.0) < 1e-9
+
+
+def test_per_class_ap_matches_greedy_loop(spark):
+    """The window formulation of the matcher must equal the reference's
+    per-image greedy loop (filter.py:260-388) and its interpolated-AP
+    integration, on a randomized fixture with distinct confidences."""
+    from sparkclean.quality.objectlab import IOU_THRS, per_class_ap
+
+    rng = np.random.RandomState(5)
+    K = 3
+    labs, preds = [], []
+    for im in range(12):
+        for _ in range(rng.randint(0, 4)):
+            x1, y1 = (float(v) for v in rng.rand(2) * 40)
+            labs.append(
+                (im, len(labs), int(rng.randint(K)), x1, y1,
+                 x1 + 5 + float(rng.rand()) * 10, y1 + 5 + float(rng.rand()) * 10)
+            )
+    for im in range(12):
+        for _ in range(rng.randint(0, 5)):
+            if labs and rng.rand() < 0.5:
+                src = labs[rng.randint(len(labs))]
+                x1 = src[3] + float(rng.randn()) * 2
+                y1 = src[4] + float(rng.randn()) * 2
+                x2 = max(src[5] + float(rng.randn()) * 2, x1 + 0.5)
+                y2 = max(src[6] + float(rng.randn()) * 2, y1 + 0.5)
+                k = src[2] if rng.rand() < 0.7 else int(rng.randint(K))
+                im_use = src[0]
+            else:
+                x1, y1 = (float(v) for v in rng.rand(2) * 40)
+                x2 = x1 + 5 + float(rng.rand()) * 10
+                y2 = y1 + 5 + float(rng.rand()) * 10
+                k, im_use = int(rng.randint(K)), im
+            preds.append((im_use, 1000 + len(preds), k, float(rng.rand()), x1, y1, x2, y2))
+
+    lab_df = spark.createDataFrame(
+        labs, "image_id: int, box_id: int, label: int, x1: double, y1: double, x2: double, y2: double"
+    )
+    pred_df = spark.createDataFrame(
+        preds,
+        "image_id: int, box_id: int, label: int, prob: double, x1: double, y1: double, x2: double, y2: double",
+    )
+    got = per_class_ap(lab_df, pred_df, K)
+
+    # ---- NumPy greedy-loop oracle
+    def iou(a, b):
+        xl, yt = max(a[0], b[0]), max(a[1], b[1])
+        xr, yb = min(a[2], b[2]), min(a[3], b[3])
+        if xr < xl or yb < yt:
+            return 0.0
+        inter = (xr - xl) * (yb - yt)
+        ua = (a[2] - a[0]) * (a[3] - a[1]) + (b[2] - b[0]) * (b[3] - b[1]) - inter
+        return inter / max(ua, 1e-6)
+
+    def ap_for(k, thr):
+        rows = []  # (prob, tp) in image order then box order
+        ngts = sum(1 for l in labs if l[2] == k)
+        for im in sorted({r[0] for r in labs} | {r[0] for r in preds}):
+            pboxes = [p for p in preds if p[0] == im and p[2] == k]
+            lboxes = [l for l in labs if l[0] == im and l[2] == k]
+            if not pboxes:
+                continue
+            covered = [False] * len(lboxes)
+            entries = []
+            for p in pboxes:
+                ious = [iou(l[3:], p[4:]) for l in lboxes]
+                mx = max(ious) if ious else None
+                am = int(np.argmax(ious)) if ious else None
+                entries.append([p[3], mx, am, 0])
+            for idx in sorted(range(len(entries)), key=lambda i: -entries[i][0]):
+                pr, mx, am, _ = entries[idx]
+                if mx is not None and mx >= thr and not covered[am]:
+                    covered[am] = True
+                    entries[idx][3] = 1
+            rows += [(e[0], e[3]) for e in entries]
+        if not rows:
+            return 0.0
+        rows.sort(key=lambda t: -t[0])
+        eps = np.finfo(np.float32).eps
+        tp = np.cumsum([r[1] for r in rows])
+        fp = np.cumsum([1 - r[1] for r in rows])
+        rec = tp / max(ngts, eps)
+        prec = tp / np.maximum(tp + fp, eps)
+        mrec = np.hstack(([0.0], rec, [1.0]))
+        mpre = np.hstack(([0.0], prec, [0.0]))
+        for i in range(len(mpre) - 1, 0, -1):
+            mpre[i - 1] = max(mpre[i - 1], mpre[i])
+        idx = np.where(mrec[1:] != mrec[:-1])[0]
+        return float(np.sum((mrec[idx + 1] - mrec[idx]) * mpre[idx + 1]))
+
+    for k in range(K):
+        expected = float(np.mean([ap_for(k, t) for t in IOU_THRS]))
+        assert abs(got[k] - expected) < 1e-9, (k, got[k], expected)
