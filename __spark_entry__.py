@@ -1145,6 +1145,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round("active_learning_score", 6).alias("active_learning_score"),
         )
 
+    def activelab_ensemble_scores(spark, sf):
+        # multiannotator.py:729-870 — ActiveLab over a 2-model ensemble
+        from sparkclean.quality.multiannotator import active_learning_scores_ensemble
+
+        long_df = _annotator_sparse(spark, sf)
+        pa = _with_probs(_emb(spark, sf)).select(
+            F.col("vec_id").alias("example_id"), "pred_probs"
+        )
+        pb = _with_probs(_emb(spark, sf), lo=11).select(
+            F.col("vec_id").alias("example_id"), "pred_probs"
+        )
+        return active_learning_scores_ensemble(long_df, [pa, pb], K).select(
+            "example_id",
+            F.round("active_learning_score", 6).alias("active_learning_score"),
+        )
+
+    def order_label_issues(spark, sf):
+        # rank.order_label_issues (rank.py:398-461): flagged rows ranked by
+        # ascending quality score with (score, id) total order
+        df = _with_probs(_emb(spark, sf))
+        out = q_issues.find_label_issues(
+            df, K, id_col="vec_id", filter_by="confident_learning"
+        )
+        scored = out.where(F.col("is_label_issue")).select(
+            "vec_id",
+            F.round(
+                q_scores.self_confidence(F.col("label"), F.col("pred_probs")), 6
+            ).alias("score"),
+        )
+        w = Window.orderBy(F.col("score").asc(), F.col("vec_id").asc())
+        return scored.withColumn("rank", F.row_number().over(w))
+
+    def normalized_margin_adjusted(spark, sf):
+        # rank.get_label_quality_scores(method=normalized_margin,
+        # adjust_pred_probs=True) — subtract-threshold adjustment first
+        df = _with_probs(_emb(spark, sf))
+        t = q_thresholds.get_confident_thresholds(df, K)
+        out = q_scores.with_label_quality_scores(
+            df, K, method="normalized_margin", adjust=True, thresholds=t, out_col="_s"
+        )
+        return out.select("vec_id", F.round("_s", 6).alias("score"))
+
     def majority_vote(spark, sf):
         from sparkclean.quality.multiannotator import majority_vote_label
 
@@ -1376,6 +1418,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         crowdlab_weights=crowdlab_weights,
         crowdlab_ensemble=crowdlab_ensemble,
         activelab_scores=activelab_scores,
+        activelab_ensemble_scores=activelab_ensemble_scores,
+        order_label_issues=order_label_issues,
+        normalized_margin_adjusted=normalized_margin_adjusted,
         underperforming_group=underperforming_group,
         datalab_issue_summary=datalab_issue_summary,
     )
@@ -2503,13 +2548,49 @@ ppavg AS (
   SELECT a.vec_id, list_transform(range(1, {K + 1}), i -> (a.p[i] + b.p[i]) / 2.0) AS p
   FROM ppt1 a JOIN ppt2 b USING (vec_id)
 )"""
-    o["crowdlab_ensemble"] = f"""
-WITH {pc}, {pc2.lstrip()}, {_SPARSE_LONG.lstrip()},
-{_temp_cte("pp", "1").lstrip()},{_temp_cte("pp2", "2")},{_PPAVG.lstrip()},{_mv_cte("ppavg", "consmve")},
-{_CL_SHARED.lstrip()},{_cl_round(["ppt1", "ppt2"], "consmve", "ea")},{_cl_refine("spostfea", "consmve", "consrfe")},{_cl_round(["ppt1", "ppt2"], "consrfe", "eb")}
+    _ENS_CHAIN = (
+        f"WITH {pc}, {pc2.lstrip()}, {_SPARSE_LONG.lstrip()},\n"
+        f"{_temp_cte('pp', '1').lstrip()},{_temp_cte('pp2', '2')},{_PPAVG.lstrip()},{_mv_cte('ppavg', 'consmve')},\n"
+        f"{_CL_SHARED.lstrip()},{_cl_round(['ppt1', 'ppt2'], 'consmve', 'ea')},"
+        f"{_cl_refine('spostfea', 'consmve', 'consrfe')},{_cl_round(['ppt1', 'ppt2'], 'consrfe', 'eb')}"
+    )
+    o["crowdlab_ensemble"] = f"""{_ENS_CHAIN}
 SELECT example_id, consensus_label, n AS num_annotations,
        round(agree, 6) AS agreement, round(q, 6) AS consensus_quality
 FROM squaleb"""
+
+    o["activelab_ensemble_scores"] = f"""{_ENS_CHAIN},
+savgwe AS (SELECT avg(w) AS aw FROM swanneb)
+SELECT sq.example_id,
+       round((sq.q * (sq.W + m0.mw + m1.mw) + (1.0 / {K}) * a.aw)
+             / (sq.W + m0.mw + m1.mw + a.aw), 6) AS active_learning_score
+FROM squaleb sq CROSS JOIN smweb_0 m0 CROSS JOIN smweb_1 m1 CROSS JOIN savgwe a"""
+
+    o["order_label_issues"] = f"""
+WITH {pc}, {_TH_CTE}, {_BIN_CTE},
+iss AS (
+  SELECT vec_id, round(self_conf, 6) AS score
+  FROM guessed
+  WHERE n_conf >= 1 AND guess <> label AND {_BOOST_SQL} <> label
+)
+SELECT vec_id, score, row_number() OVER (ORDER BY score ASC, vec_id ASC) AS rank FROM iss"""
+
+    o["normalized_margin_adjusted"] = f"""
+WITH {pc}, {_TH_CTE},
+nadj0 AS (
+  SELECT s.vec_id, s.label,
+         list_transform(range(1, {K + 1}),
+             i -> s.p[i] - t.tvec[i] + list_max(t.tvec)) AS q
+  FROM sc s CROSS JOIN tv t
+),
+nadj AS (
+  SELECT vec_id, label, list_transform(q, x -> x / list_aggregate(q, 'sum')) AS p
+  FROM nadj0
+)
+SELECT vec_id,
+       round((p[label + 1] - list_max(list_transform(range(1, {K + 1}),
+           i -> CASE WHEN i = label + 1 THEN -1.0 ELSE p[i] END)) + 1.0) / 2.0, 6) AS score
+FROM nadj"""
 
     o["majority_vote"] = f"""
 WITH {pc}, {pc2.lstrip()}, {_ANNOT_CTE}

@@ -507,3 +507,33 @@ def active_learning_scores(
         F.col("consensus_quality_score") * labeled_w + F.lit((1.0 / num_classes) * avg_w)
     ) / (labeled_w + F.lit(avg_w))
     return out.select("example_id", score.alias("active_learning_score"))
+
+
+def active_learning_scores_ensemble(
+    long_df: DataFrame,
+    probs_dfs: list[DataFrame],
+    num_classes: int,
+    probs_col: str = "pred_probs",
+) -> DataFrame:
+    """ActiveLab for model ensembles (multiannotator.py:729-870): ensemble
+    CROWDLAB, then blend the consensus quality with the 1/K prior using
+    (annotation weight + SUM of model weights) vs the average annotator
+    weight."""
+    df, info = crowdlab_ensemble_posterior(long_df, probs_dfs, num_classes, probs_col)
+    weights = info["annotator_weights"]
+    mw_total = float(sum(info["model_weights"]))
+    avg_w = sum(weights.values()) / len(weights)
+    w_map = F.create_map(
+        *[x for a, w in sorted(weights.items()) for x in (F.lit(a), F.lit(float(w)))]
+    )
+    ann_w = (
+        long_df.withColumn("_w", F.element_at(w_map, F.col("annotator_id")))
+        .groupBy("example_id")
+        .agg(F.sum("_w").alias("_W"))
+    )
+    out = df.join(ann_w, "example_id")
+    labeled_w = F.col("_W") + F.lit(mw_total)
+    score = (
+        F.col("consensus_quality_score") * labeled_w + F.lit((1.0 / num_classes) * avg_w)
+    ) / (labeled_w + F.lit(avg_w))
+    return out.select("example_id", score.alias("active_learning_score"))
