@@ -175,3 +175,90 @@ def test_compute_pyx_multiplier_identity():
     assert np.allclose(
         matrix_ops.compute_pyx_multiplier(np.eye(3), np.eye(3)), np.ones(3)
     )
+
+
+# ---------------------------------------------------------- dedup kernels
+# Pure-Python mirrors of the Catalyst minhash/simhash expressions let
+# hypothesis hammer the algebraic invariants without a SparkSession.
+
+def _hash60_py(s: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _shingles_py(text: str, n: int = 3):
+    import re
+
+    w = [t for t in re.split(r"\s+", text.lower().strip()) if t != ""] if text.strip() else []
+    if len(w) < n:
+        return []
+    seen, out = set(), []
+    for i in range(len(w) - n + 1):
+        h = _hash60_py(" ".join(w[i : i + n]))
+        if h not in seen:
+            seen.add(h)
+            out.append(h)
+    return out
+
+
+def _minhash_py(shingles):
+    from sparkclean.dedup.minhash import COEF_A, COEF_B, MERSENNE_P
+
+    if not shingles:
+        return [MERSENNE_P] * len(COEF_A)
+    return [
+        min((a * (s % (1 << 31)) + b) % MERSENNE_P for s in shingles)
+        for a, b in zip(COEF_A, COEF_B)
+    ]
+
+
+@given(st.text(alphabet="abcdef \n", min_size=0, max_size=120))
+@settings(max_examples=200, deadline=None)
+def test_minhash_signature_invariants(text):
+    sig = _minhash_py(_shingles_py(text))
+    from sparkclean.dedup.minhash import MERSENNE_P, NUM_HASHES
+
+    assert len(sig) == NUM_HASHES
+    assert all(0 <= v <= MERSENNE_P for v in sig)
+    # duplicating the document's shingle set never changes the signature
+    assert sig == _minhash_py(_shingles_py(text) * 2)
+
+
+@given(
+    st.lists(st.text(alphabet="abcdxyz", min_size=1, max_size=8), min_size=3, max_size=30),
+    st.integers(min_value=0, max_value=1000),
+)
+@settings(max_examples=150, deadline=None)
+def test_minhash_jaccard_monotone_under_shared_prefix(words, seed):
+    """Two documents sharing all shingles have identical signatures; the
+    estimated band-collision probability of disjoint docs is ~0."""
+    doc = " ".join(words)
+    assert _minhash_py(_shingles_py(doc)) == _minhash_py(_shingles_py(doc))
+    other = " ".join(w + "qq" for w in words)  # disjoint token space
+    s1, s2 = _shingles_py(doc), _shingles_py(other)
+    if s1 and s2 and not set(s1) & set(s2):
+        sig1, sig2 = _minhash_py(s1), _minhash_py(s2)
+        matches = sum(a == b for a, b in zip(sig1, sig2))
+        assert matches <= len(sig1) // 2  # disjoint sets rarely collide
+
+
+def test_simhash_permutation_invariant(spark):
+    """Simhash is a bag-of-distinct-tokens fingerprint: word order and
+    repetition must not change it."""
+    from pyspark.sql import functions as F
+
+    from sparkclean.dedup.simhash import with_simhash
+
+    df = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta"),
+            (1, "delta gamma beta alpha"),
+            (2, "alpha alpha beta beta gamma gamma delta"),
+            (3, "completely different tokens here"),
+        ],
+        "doc_id: long, text: string",
+    )
+    out = {r["doc_id"]: r["simhash"] for r in with_simhash(df).collect()}
+    assert out[0] == out[1] == out[2]
+    assert out[0] != out[3]
