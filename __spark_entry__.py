@@ -1746,8 +1746,8 @@ sguessed AS (
   FROM sbinned
 )
 SELECT vec_id,
-       sum(CASE WHEN n_conf >= 1 AND guess <> label AND boosted <> label
-                THEN 1 ELSE 0 END) AS n_pixel_label_issues
+       CAST(sum(CASE WHEN n_conf >= 1 AND guess <> label AND boosted <> label
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_pixel_label_issues
 FROM sguessed GROUP BY 1"""
 
     _BOX_CTE = """
@@ -2083,7 +2083,7 @@ fl AS (
          THEN 1 ELSE 0 END AS iss
   FROM jb
 )
-SELECT vec_id, (sum(iss) >= 1) AS is_label_issue, sum(iss) AS num_class_issues
+SELECT vec_id, (sum(iss) >= 1) AS is_label_issue, CAST(sum(iss) AS BIGINT) AS num_class_issues
 FROM fl GROUP BY vec_id"""
     o["ood_knn_distance"] = """
 WITH pairs AS (
@@ -2128,11 +2128,70 @@ WITH {pc}, {_TH_CTE}, {_BIN_CTE}
 SELECT vec_id,
   (n_conf >= 1 AND guess <> label AND {_BOOST_SQL} <> label) AS is_label_issue
 FROM guessed"""
-    # issues_prune_by_class / issues_prune_by_noise_rate intentionally
-    # have no oracle: their prune-count matrix needs the reference's
-    # iterative largest-remainder rounding (internal/util.py:194-248),
-    # which is not expressible in set-based SQL.  Parity is asserted
-    # against the NumPy oracle in tests/test_quality_core.py instead.
+    # Prune-branch oracles.  pcm = keep_at_least_n_per_class(cal.T, n=1,
+    # frac_noise=1.0) (filter.py:539-635): with frac_noise=1 the off-
+    # diagonal rescale is a no-op and the final astype(int) +
+    # round_preserving_row_totals over an integer matrix is the identity,
+    # so the whole kernel reduces to: bump diagonals to max(d, 1), spread
+    # the bump over the column's nonzero off-diagonals, clip at 0,
+    # truncate.  pcm[j, k] = cal[k, j] (j = true class, k = given label).
+    _PCM_CTE = """
+pcm0 AS (SELECT y AS j, s AS k, n::DOUBLE AS v FROM cal),
+diagb AS (
+  SELECT j AS k, greatest(v, 1.0) AS nd, greatest(v, 1.0) - v AS bump
+  FROM pcm0 WHERE j = k
+), nzo AS (
+  SELECT k, greatest(count(*) FILTER (WHERE v <> 0) - 1.0, 1.0) AS nz
+  FROM pcm0 GROUP BY k
+), pcm AS (
+  SELECT p.j, p.k,
+         CAST(trunc(CASE WHEN p.j = p.k THEN d.nd
+                         ELSE greatest(p.v - d.bump / z.nz, 0.0) END) AS BIGINT) AS v
+  FROM pcm0 p JOIN diagb d ON d.k = p.k JOIN nzo z ON z.k = p.k
+), lcq AS (SELECT label AS k, count(*) AS cnt FROM embeddings GROUP BY 1)"""
+    # per class k: flag the (count_k - pcm[k,k]) rows with smallest p[k]
+    # (filter.py:829-863), then the reduce-issues unflag (boosted argmax).
+    _PRUNE_CLASS_CTE = """
+nk AS (
+  SELECT p.k, CASE WHEN l.cnt > 1 THEN l.cnt - p.v ELSE 0 END AS n_issues
+  FROM pcm p JOIN lcq l ON l.k = p.k WHERE p.j = p.k
+), rankedc AS (
+  SELECT vec_id, label, bp,
+         row_number() OVER (PARTITION BY label ORDER BY self_conf ASC, vec_id ASC) AS rn
+  FROM guessed
+), classmask AS (
+  SELECT r.vec_id, r.label, r.bp, (r.rn <= nk.n_issues) AS flag
+  FROM rankedc r JOIN nk ON nk.k = r.label
+)"""
+    # per off-diagonal (true j, given k): flag the pcm[j,k] rows labeled k
+    # with largest margin p[j] - p[k] (filter.py:867-907).
+    _PRUNE_COUNT_CTE = """
+cand AS (
+  SELECT g.vec_id, g.label AS k, p.j, p.v AS cnt,
+         g.p[p.j + 1] - g.p[g.label + 1] AS margin
+  FROM guessed g JOIN pcm p ON p.k = g.label AND p.j <> g.label AND p.v > 0
+), rankedn AS (
+  SELECT vec_id, k, j, cnt,
+         row_number() OVER (PARTITION BY k, j ORDER BY margin DESC, vec_id ASC) AS rn
+  FROM cand
+), countmask AS (
+  SELECT DISTINCT r.vec_id
+  FROM rankedn r JOIN lcq l ON l.k = r.k
+  WHERE r.rn <= r.cnt AND l.cnt > 1
+)"""
+    o["issues_prune_by_class"] = f"""
+WITH {pc}, {_TH_CTE}, {_BIN_CTE}, {_CAL_CTE.lstrip()}, {_PCM_CTE.lstrip()}, {_PRUNE_CLASS_CTE.lstrip()}
+SELECT vec_id, (flag AND {_BOOST_SQL} <> label) AS is_label_issue FROM classmask"""
+    o["issues_prune_by_noise_rate"] = f"""
+WITH {pc}, {_TH_CTE}, {_BIN_CTE}, {_CAL_CTE.lstrip()}, {_PCM_CTE.lstrip()}, {_PRUNE_COUNT_CTE.lstrip()}
+SELECT g.vec_id,
+       (cm.vec_id IS NOT NULL AND {_BOOST_SQL} <> g.label) AS is_label_issue
+FROM guessed g LEFT JOIN countmask cm ON cm.vec_id = g.vec_id"""
+    o["issues_prune_both"] = f"""
+WITH {pc}, {_TH_CTE}, {_BIN_CTE}, {_CAL_CTE.lstrip()}, {_PCM_CTE.lstrip()}, {_PRUNE_CLASS_CTE.lstrip()}, {_PRUNE_COUNT_CTE.lstrip()}
+SELECT c.vec_id,
+       (c.flag AND cm.vec_id IS NOT NULL AND {_BOOST_SQL} <> c.label) AS is_label_issue
+FROM classmask c LEFT JOIN countmask cm ON cm.vec_id = c.vec_id"""
     o["top_issues_ranked"] = f"""
 WITH {pc},
 sc AS (SELECT vec_id, p[label + 1] AS s FROM pp),
@@ -2249,7 +2308,7 @@ WITH toks AS (
   SELECT token, ({_h60('token')} % 1000)::DOUBLE / 1000.0 AS s FROM toks
 )
 SELECT token, count(*) AS occurrences,
-       sum(CASE WHEN s < 0.2 THEN 1 ELSE 0 END) AS num_issues
+       CAST(sum(CASE WHEN s < 0.2 THEN 1 ELSE 0 END) AS BIGINT) AS num_issues
 FROM scored GROUP BY token HAVING sum(CASE WHEN s < 0.2 THEN 1 ELSE 0 END) > 0"""
 
     from sparkclean.quality.valuation import knn_shapley_sql

@@ -51,11 +51,14 @@ def simhash_col(text: Column) -> Column:
 def simhash_sql(text: str) -> str:
     w = words_sql(f"lower({text})")
     h = hash60_sql("t")
+    # outer CAST: DuckDB widens the BIGINT list-sum to HUGEINT, which
+    # pandas renders as float64 — the driver hash then diverges from
+    # Spark's int64 even though values match.
     return (
-        f"(SELECT list_aggregate(list_transform(range(0, {BITS}), j -> "
+        f"(SELECT CAST(list_aggregate(list_transform(range(0, {BITS}), j -> "
         f"CASE WHEN list_aggregate(list_transform(hs, x -> "
         f"CASE WHEN (x >> j) % 2 = 1 THEN 1 ELSE -1 END), 'sum') > 0 "
-        f"THEN (1::BIGINT << j) ELSE 0::BIGINT END), 'sum') "
+        f"THEN (1::BIGINT << j) ELSE 0::BIGINT END), 'sum') AS BIGINT) "
         f"FROM (SELECT list_transform(list_distinct({w}), t -> {h}) AS hs))"
     )
 

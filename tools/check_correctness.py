@@ -48,6 +48,19 @@ def compare(name: str, a: pd.DataFrame, b: pd.DataFrame) -> list[str]:
     a, b = normalize(a.copy()), normalize(b.copy())
     for c in a.columns:
         av, bv = a[c], b[c]
+        # The driver gate hashes values, so an int64-vs-float64 dtype split
+        # (e.g. DuckDB HUGEINT sum() -> pandas float) fails there even when
+        # allclose passes here. Mirror that strictness.
+        ak, bk = av.dtype.kind, bv.dtype.kind
+        int_kinds, float_kinds = {"i", "u"}, {"f", "c"}
+        if (
+            (ak in int_kinds and bk in float_kinds)
+            or (ak in float_kinds and bk in int_kinds)
+            or (ak in int_kinds | float_kinds) != (bk in int_kinds | float_kinds)
+        ):
+            problems.append(
+                f"dtype[{c}]: spark={av.dtype} oracle={bv.dtype} (driver hash would differ)"
+            )
         if av.dtype.kind in "fc" or bv.dtype.kind in "fc":
             ok = np.allclose(
                 av.astype(float), bv.astype(float), rtol=1e-9, atol=1e-9, equal_nan=True
