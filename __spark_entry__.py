@@ -777,28 +777,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return multilabel_label_issues(df, K, id_col="vec_id")
 
     def ood_knn_distance(spark, sf):
+        # transform_distances_to_scores (internal/outlier.py:13-57) over the
+        # shared bucketed KNN graph (sim.knn.knn_edges — no cartesian join)
         df = _emb(spark, sf).select("vec_id", "embedding")
-        a = df.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("_qa"))
-        b = df.select(F.col("vec_id").alias("nid"), F.col("embedding").alias("_nb"))
-        dist = F.sqrt(
-            F.aggregate(
-                F.zip_with(
-                    F.col("_qa"),
-                    F.col("_nb"),
-                    lambda x, y: (x.cast("double") - y.cast("double"))
-                    * (x.cast("double") - y.cast("double")),
-                ),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            )
-        )
-        pairs = a.join(b, F.col("qid") != F.col("nid")).withColumn("_d", dist)
-        w = Window.partitionBy("qid").orderBy(F.col("_d").asc(), F.col("nid").asc())
         avg_d = (
-            pairs.withColumn("_rk", F.row_number().over(w))
-            .where(F.col("_rk") <= 10)
+            sim_knn.knn_edges(df, k=10, metric="euclidean", dim=64)
             .groupBy("qid")
-            .agg(F.avg("_d").alias("avg_dist"))
+            .agg(F.avg("d").alias("avg_dist"))
         )
         med = avg_d.agg(F.expr("percentile(avg_dist, 0.5)")).collect()[0][0]
         return avg_d.select(
@@ -2085,17 +2070,10 @@ fl AS (
 )
 SELECT vec_id, (sum(iss) >= 1) AS is_label_issue, CAST(sum(iss) AS BIGINT) AS num_class_issues
 FROM fl GROUP BY vec_id"""
-    o["ood_knn_distance"] = """
-WITH pairs AS (
-  SELECT a.vec_id AS qid, b.vec_id AS nid,
-         sqrt(list_aggregate(list_transform(range(1, len(a.embedding) + 1),
-           i -> (a.embedding[i]::DOUBLE - b.embedding[i]::DOUBLE)
-              * (a.embedding[i]::DOUBLE - b.embedding[i]::DOUBLE)), 'sum')) AS d
-  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
-), ranked AS (
-  SELECT qid, d, row_number() OVER (PARTITION BY qid ORDER BY d ASC, nid ASC) AS rk FROM pairs
-), avgd AS (
-  SELECT qid, avg(d) AS avg_dist FROM ranked WHERE rk <= 10 GROUP BY 1
+    o["ood_knn_distance"] = f"""
+WITH {sim_knn.knn_edges_cte_sql("embeddings", k=10, metric="euclidean").lstrip()},
+avgd AS (
+  SELECT qid, avg(d) AS avg_dist FROM knn GROUP BY 1
 ), med AS (SELECT quantile_cont(avg_dist, 0.5) AS m FROM avgd)
 SELECT qid AS vec_id, round(exp(-avg_dist / med.m), 6) AS score
 FROM avgd CROSS JOIN med"""

@@ -221,32 +221,22 @@ def near_duplicate_issues(
     * near_duplicate_score = ``1 - exp(-nn_dist / median)``, exactly 0
       where nn_dist ~ 0 (exact duplicates)
 
-    One pair join + one window + two tiny aggregations; at scale the
-    pair join is replaced by the LSH-bucketed candidate path (sim.knn).
+    The edge list comes from the shared bucketed builder
+    :func:`sparkclean.sim.knn.knn_edges` (banded LSH equi-join, no
+    cartesian self-join) — the same graph the other feature-space
+    managers consume, mirroring the reference's cached knn_graph
+    (duplicate.py:154-171).
     """
-    from pyspark.sql import Window
+    from ..sim.knn import knn_edges
 
-    a = df.select(F.col(id_col).alias("_qid"), F.col(vec_col).alias("_qa"))
-    b = df.select(F.col(id_col).alias("_nid"), F.col(vec_col).alias("_nb"))
-    dist = F.sqrt(
-        F.aggregate(
-            F.zip_with(
-                F.col("_qa"),
-                F.col("_nb"),
-                lambda x, y: (x.cast("double") - y.cast("double"))
-                * (x.cast("double") - y.cast("double")),
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-    )
-    w = Window.partitionBy("_qid").orderBy(F.col("_d").asc(), F.col("_nid").asc())
     knn = (
-        a.join(b, F.col("_qid") != F.col("_nid"))
-        .withColumn("_d", dist)
-        .withColumn("_rk", F.row_number().over(w))
-        .where(F.col("_rk") <= k)
-        .select("_qid", "_nid", "_d", "_rk")
+        knn_edges(df, k=k, id_col=id_col, vec_col=vec_col, metric="euclidean")
+        .select(
+            F.col("qid").alias("_qid"),
+            F.col("nid").alias("_nid"),
+            F.col("d").alias("_d"),
+            F.col("rk").alias("_rk"),
+        )
         .persist()
     )
     nn = knn.where(F.col("_rk") == 1).select(
@@ -285,21 +275,12 @@ def near_duplicate_issues_sql(
     threshold: float = 0.13,
 ) -> str:
     """DuckDB twin of :func:`near_duplicate_issues` (keep in sync)."""
+    from ..sim.knn import knn_edges_cte_sql
+
+    edges_cte = knn_edges_cte_sql(table, k=k, id_col=id_col, vec_col=vec_col, metric="euclidean")
     return f"""
-WITH prs AS (
-  SELECT a.{id_col} AS qid, b.{id_col} AS nid,
-         sqrt(list_aggregate(list_transform(range(1, len(a.{vec_col}) + 1),
-           i -> (a.{vec_col}[i]::DOUBLE - b.{vec_col}[i]::DOUBLE)
-              * (a.{vec_col}[i]::DOUBLE - b.{vec_col}[i]::DOUBLE)), 'sum')) AS d
-  FROM {table} a JOIN {table} b ON a.{id_col} <> b.{id_col}
-),
-rk AS (
-  SELECT qid, nid, d,
-         row_number() OVER (PARTITION BY qid ORDER BY d ASC, nid ASC) AS r
-  FROM prs
-),
-knn AS (SELECT * FROM rk WHERE r <= {k}),
-nn AS (SELECT qid, d AS nn_dist FROM knn WHERE r = 1),
+WITH {edges_cte.lstrip()},
+nn AS (SELECT qid, d AS nn_dist FROM knn WHERE rk = 1),
 med AS (SELECT greatest(quantile_cont(nn_dist, 0.5), 1e-6) AS m FROM nn),
 edges AS (SELECT qid, nid FROM knn CROSS JOIN med WHERE d < {threshold} * med.m),
 members AS (

@@ -24,7 +24,7 @@ import math
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..sim.knn import cosine_col
+from ..sim.knn import knn_edges, knn_edges_cte_sql
 
 
 def knn_shapley_scores(
@@ -34,25 +34,22 @@ def knn_shapley_scores(
     label_col: str = "label",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """(id, data_valuation_score) — higher = more valuable example."""
+    """(id, data_valuation_score) — higher = more valuable example.
+
+    The KNN edge list comes from the shared bucketed builder
+    :func:`sparkclean.sim.knn.knn_edges` (banded LSH equi-join — no
+    cartesian self-join); labels ride in via two id-keyed joins against
+    the (id, label) projection."""
     total = df.count()
-    a = df.select(
-        F.col(id_col).alias("_qid"), F.col(label_col).alias("_qy"), F.col(vec_col).alias("_qv")
-    )
-    b = df.select(
-        F.col(id_col).alias("_nid"), F.col(label_col).alias("_ny"), F.col(vec_col).alias("_nv")
-    )
-    pairs = a.join(b, F.col("_qid") != F.col("_nid")).withColumn(
-        "_dist", F.lit(1.0) - cosine_col(F.col("_qv"), F.col("_nv"))
-    )
-    w = Window.partitionBy("_qid").orderBy(F.col("_dist").asc(), F.col("_nid").asc())
+    labels = df.select(F.col(id_col).alias("_lid"), F.col(label_col).alias("_ly"))
     edges = (
-        pairs.withColumn("_rk", F.row_number().over(w))
-        .where(F.col("_rk") <= k)
+        knn_edges(df, k=k, id_col=id_col, vec_col=vec_col, metric="cosine")
+        .join(labels.select(F.col("_lid").alias("qid"), F.col("_ly").alias("_qy")), "qid")
+        .join(labels.select(F.col("_lid").alias("nid"), F.col("_ly").alias("_ny")), "nid")
         .select(
-            "_qid",
-            "_nid",
-            "_rk",
+            F.col("qid").alias("_qid"),
+            F.col("nid").alias("_nid"),
+            F.col("rk").alias("_rk"),
             (F.col("_ny") == F.col("_qy")).cast("double").alias("_m"),
         )
     )
@@ -76,23 +73,17 @@ def knn_shapley_scores(
 
 def knn_shapley_sql(table: str, k: int = 10) -> str:
     """DuckDB twin of :func:`knn_shapley_scores` (embeddings schema)."""
-    dot = (
-        "list_aggregate(list_transform(range(1, len(a.embedding) + 1),"
-        " i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE), 'sum')"
-    )
-    na = "sqrt(list_aggregate(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE), 'sum'))"
-    nb = "sqrt(list_aggregate(list_transform(b.embedding, x -> x::DOUBLE * x::DOUBLE), 'sum'))"
+    edges_cte = knn_edges_cte_sql(table, k=k, metric="cosine")
     return f"""
-WITH tot AS (SELECT count(*)::DOUBLE AS n FROM {table}),
-pairs AS (
-  SELECT a.vec_id AS qid, b.vec_id AS nid, a.label AS qy, b.label AS ny,
-         1.0 - ({dot} / ({na} * {nb})) AS d
-  FROM {table} a JOIN {table} b ON a.vec_id <> b.vec_id
-), edges AS (
-  SELECT qid, nid, CASE WHEN ny = qy THEN 1.0 ELSE 0.0 END AS m,
-         row_number() OVER (PARTITION BY qid ORDER BY d ASC, nid ASC) AS rk
-  FROM pairs
-), kept AS (SELECT * FROM edges WHERE rk <= {k}),
+WITH {edges_cte.lstrip()},
+tot AS (SELECT count(*)::DOUBLE AS n FROM {table}),
+kept AS (
+  SELECT e.qid, e.nid, e.rk,
+         CASE WHEN ny.label = qy.label THEN 1.0 ELSE 0.0 END AS m
+  FROM knn e
+  JOIN {table} qy ON qy.vec_id = e.qid
+  JOIN {table} ny ON ny.vec_id = e.nid
+),
 last AS (SELECT qid, m AS m_last FROM kept WHERE rk = {k}),
 contrib AS (
   SELECT kept.nid, kept.m - last.m_last AS c FROM kept JOIN last USING (qid)

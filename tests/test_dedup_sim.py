@@ -114,9 +114,16 @@ def test_embedding_near_duplicates(spark, vectors):
 
 def test_near_duplicate_issues_matches_numpy(spark):
     """Datalab near-duplicate manager (duplicate.py:20-228) vs direct
-    NumPy: kNN radius sets, reciprocal membership, exp-transform scores."""
+    NumPy: radius sets, reciprocal membership, exp-transform scores.
+
+    The manager consumes the shared bucketed graph (sim.knn.knn_edges),
+    so the NumPy oracle replays the manager's set/score logic over the
+    SAME edge list — graph recall is certified separately in
+    tests/test_knn_edges.py.  The planted duplicates below are angularly
+    identical, so the bucketed graph always contains them."""
     import numpy as np
     from sparkclean.quality.datalab import near_duplicate_issues
+    from sparkclean.sim.knn import knn_edges
 
     rng = np.random.RandomState(11)
     pts = rng.rand(40, 4) * 10
@@ -129,16 +136,19 @@ def test_near_duplicate_issues_matches_numpy(spark):
     )
     got = {r["vec_id"]: r for r in near_duplicate_issues(df, k=10).collect()}
 
-    # NumPy oracle
-    d = np.sqrt(((pts[:, None, :] - pts[None, :, :]) ** 2).sum(-1))
-    np.fill_diagonal(d, np.inf)
-    order = np.argsort(d, axis=1, kind="stable")
-    knn_idx = order[:, :10]
-    knn_d = np.take_along_axis(d, knn_idx, axis=1)
-    nn_dist = knn_d[:, 0]
+    # NumPy oracle over the manager's own edge list
+    edge_rows = knn_edges(df, k=10, metric="euclidean").collect()
+    knn_map = {i: [] for i in range(len(pts))}
+    for r in edge_rows:
+        knn_map[r["qid"]].append((r["rk"], r["nid"], r["d"]))
+    for v in knn_map.values():
+        v.sort()
+    nn_dist = np.array([knn_map[i][0][2] for i in range(len(pts))])
     med = max(np.median(nn_dist), 1e-6)
     radius = 0.13 * med
-    sets = [set(knn_idx[i][knn_d[i] < radius]) for i in range(len(pts))]
+    sets = [
+        {nid for _, nid, d in knn_map[i] if d < radius} for i in range(len(pts))
+    ]
     for i in range(len(pts)):       # reciprocal closure
         for j in list(sets[i]):
             sets[j].add(i)
