@@ -777,8 +777,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return multilabel_label_issues(df, K, id_col="vec_id")
 
     def ood_knn_distance(spark, sf):
-        # transform_distances_to_scores (internal/outlier.py:13-57) over the
-        # shared bucketed KNN graph (sim.knn.knn_edges — no cartesian join)
+        # transform_distances_to_scores + correct_precision_errors
+        # (internal/outlier.py:13-112) over the shared bucketed KNN graph
+        # (sim.knn.knn_edges — no cartesian join)
+        from sparkclean.quality.ood import correct_precision_errors
+
         df = _emb(spark, sf).select("vec_id", "embedding")
         avg_d = (
             sim_knn.knn_edges(df, k=10, metric="euclidean", dim=64)
@@ -786,9 +789,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .agg(F.avg("d").alias("avg_dist"))
         )
         med = avg_d.agg(F.expr("percentile(avg_dist, 0.5)")).collect()[0][0]
+        score = correct_precision_errors(
+            F.exp(-F.col("avg_dist") / F.lit(float(med))), F.col("avg_dist"), "euclidean"
+        )
         return avg_d.select(
-            F.col("qid").alias("vec_id"),
-            F.round(F.exp(-F.col("avg_dist") / F.lit(float(med))), 6).alias("score"),
+            F.col("qid").alias("vec_id"), F.round(score, 6).alias("score")
         )
 
     def near_duplicate_issues_q(spark, sf):
@@ -984,6 +989,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def embedding_near_duplicates(spark, sf):
         return sim_knn.embedding_near_duplicates(_emb(spark, sf), threshold=0.9)
+
+    def knn_lsh_topk(spark, sf):
+        # lsh_topk wired end-to-end: OR-of-bands SRP blocking, broadcast
+        # query side, equi-join on (band, bucket) (sim/knn.py:lsh_topk)
+        df = _emb(spark, sf)
+        return sim_knn.lsh_topk(df, df.where(F.col("vec_id") < 20), dim=64, k=5)
+
+    def identifier_column(spark, sf):
+        # datalab identifier-column manager
+        # (issue_manager/identifier_column.py:28-133)
+        from sparkclean.quality.datalab import identifier_column_issues
+
+        return identifier_column_issues(_emb(spark, sf), ["vec_id", "label"])
 
     # ---- pooling / task scores / multiannotator / datalab managers
     def softmin_token_scores(spark, sf):
@@ -1380,6 +1398,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         caption_quality_pipeline=caption_quality_pipeline,
         knn_bruteforce=knn_bruteforce,
         embedding_near_duplicates=embedding_near_duplicates,
+        knn_lsh_topk=knn_lsh_topk,
+        identifier_column=identifier_column,
         events_hourly=events_hourly,
         spurious_correlations=spurious_correlations,
         confusion_matrix_argmax=confusion_matrix_argmax,
@@ -2070,12 +2090,17 @@ fl AS (
 )
 SELECT vec_id, (sum(iss) >= 1) AS is_label_issue, CAST(sum(iss) AS BIGINT) AS num_class_issues
 FROM fl GROUP BY vec_id"""
+    from sparkclean.quality.ood import correct_precision_errors_sql
+
+    _ood_score = correct_precision_errors_sql(
+        "exp(-avg_dist / med.m)", "avg_dist", "euclidean"
+    )
     o["ood_knn_distance"] = f"""
 WITH {sim_knn.knn_edges_cte_sql("embeddings", k=10, metric="euclidean").lstrip()},
 avgd AS (
   SELECT qid, avg(d) AS avg_dist FROM knn GROUP BY 1
 ), med AS (SELECT quantile_cont(avg_dist, 0.5) AS m FROM avgd)
-SELECT qid AS vec_id, round(exp(-avg_dist / med.m), 6) AS score
+SELECT qid AS vec_id, round({_ood_score}, 6) AS score
 FROM avgd CROSS JOIN med"""
     from sparkclean.quality.datalab import near_duplicate_issues_sql
 
@@ -2230,6 +2255,10 @@ FROM documents"""
     o["embedding_near_duplicates"] = sim_knn.embedding_near_duplicates_sql(
         "embeddings", threshold=0.9
     )
+    o["knn_lsh_topk"] = sim_knn.lsh_topk_sql("embeddings", "vec_id < 20", dim=64, k=5)
+    from sparkclean.quality.datalab import identifier_column_issues_sql
+
+    o["identifier_column"] = identifier_column_issues_sql("embeddings", ["vec_id", "label"])
     o["events_hourly"] = """
 SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
        round(avg(value), 6) AS avg_value
@@ -2298,10 +2327,13 @@ scv AS (SELECT vec_id, p[label + 1] AS v FROM pp),
 med AS (SELECT quantile_cont(vec_id, 0.5) AS m FROM scv),
 tagged AS (SELECT v, CASE WHEN vec_id <= med.m THEN 1 ELSE 0 END AS a FROM scv CROSS JOIN med),
 cnts AS (SELECT sum(a)::DOUBLE AS na, sum(1 - a)::DOUBLE AS nb FROM tagged),
+-- ECDF evaluated at distinct-value step points (tie-robust textbook KS;
+-- mirrors the distributed prefix-sum in valuation.non_iid_ks)
+grp AS (SELECT v, sum(a) AS ga, sum(1 - a) AS gb FROM tagged GROUP BY v),
 ecdf AS (
-  SELECT sum(a) OVER (ORDER BY v ASC ROWS UNBOUNDED PRECEDING) AS ca,
-         sum(1 - a) OVER (ORDER BY v ASC ROWS UNBOUNDED PRECEDING) AS cb
-  FROM tagged
+  SELECT sum(ga) OVER (ORDER BY v ASC ROWS UNBOUNDED PRECEDING) AS ca,
+         sum(gb) OVER (ORDER BY v ASC ROWS UNBOUNDED PRECEDING) AS cb
+  FROM grp
 ), d AS (SELECT max(abs(ca / c.na - cb / c.nb)) AS d FROM ecdf CROSS JOIN cnts c)
 SELECT round(d.d, 6) AS ks_statistic, c.na::BIGINT AS n_a, c.nb::BIGINT AS n_b,
        (d.d > 1.36 * sqrt((c.na + c.nb) / (c.na * c.nb))) AS is_non_iid_issue

@@ -204,6 +204,65 @@ def find_issues(
     return out, summary
 
 
+def identifier_column_issues(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Datalab identifier-column manager
+    (datalab/internal/issue_manager/identifier_column.py:28-133): an
+    integer column is an identifier when its distinct values form a
+    contiguous range {c, ..., c+n} with more than one value.
+
+    One full-scan aggregation computes (distinct, min, max) for every
+    candidate column in a single pass — the K-column result is driver-side
+    tiny; summary score = 1.0 if no column is an identifier else 0.0.
+    """
+    int_cols = [
+        c for c in cols
+        if dict(df.dtypes).get(c) in ("tinyint", "smallint", "int", "bigint")
+    ]
+    aggs = []
+    for c in int_cols:
+        aggs += [
+            F.countDistinct(F.col(c)).alias(f"_d_{c}"),
+            F.min(F.col(c)).cast("long").alias(f"_mn_{c}"),
+            F.max(F.col(c)).cast("long").alias(f"_mx_{c}"),
+        ]
+    rows = []
+    if aggs:
+        r = df.agg(*aggs).collect()[0]
+        for c in int_cols:
+            d, mn, mx = r[f"_d_{c}"], r[f"_mn_{c}"], r[f"_mx_{c}"]
+            seq = (
+                d is not None
+                and mn is not None
+                and mx > mn  # a single repeated value is not an identifier
+                and int(d) == int(mx) - int(mn) + 1
+            )
+            rows.append((c, bool(seq)))
+    any_id = any(flag for _, flag in rows)
+    out = [(c, flag, 0.0 if any_id else 1.0) for c, flag in rows]
+    return df.sparkSession.createDataFrame(
+        out, "column: string, is_identifier_column: boolean, summary_score: double"
+    )
+
+
+def identifier_column_issues_sql(table: str, cols: list[str]) -> str:
+    """DuckDB twin of :func:`identifier_column_issues` (int columns only)."""
+    branches = []
+    for c in cols:
+        branches.append(
+            f"SELECT '{c}' AS column, "
+            f"(max({c}) > min({c}) AND count(DISTINCT {c}) = max({c}) - min({c}) + 1) "
+            f"AS is_identifier_column FROM {table}"
+        )
+    union = "\n  UNION ALL ".join(branches)
+    return f"""
+WITH flags AS (
+  {union}
+), anyid AS (SELECT max(CASE WHEN is_identifier_column THEN 1 ELSE 0 END) AS a FROM flags)
+SELECT f.column, f.is_identifier_column,
+       (CASE WHEN anyid.a = 1 THEN 0.0 ELSE 1.0 END) AS summary_score
+FROM flags f CROSS JOIN anyid"""
+
+
 def near_duplicate_issues(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -41,6 +41,51 @@ def ood_gen_score(probs: Column, num_classes: int, m: int = 100, gamma: float = 
     return F.lit(1.0) - g / F.lit(float(m))
 
 
+#: np.finfo(np.float64).eps / epsneg, frozen as literals so the Spark
+#: plan and the DuckDB oracle share the exact tolerance values.
+_F64_EPS = 2.220446049250313e-16
+_F64_EPSNEG = 1.1102230246251565e-16
+
+
+def precision_tolerance(metric: str, c: int = 100, p: int | None = None) -> float:
+    """Tolerance below which an avg-KNN-distance is indistinguishable from
+    0 at float64 precision (internal/outlier.py:60-112 semantics)."""
+    if metric == "cosine":
+        return c * _F64_EPSNEG
+    if metric == "euclidean":
+        return math.sqrt(c * _F64_EPS)
+    if metric == "minkowski":
+        if p is None:
+            raise ValueError("minkowski metric requires p")
+        return (c * _F64_EPS) ** (1.0 / p)
+    raise ValueError(f"no precision tolerance for metric {metric!r}")
+
+
+def correct_precision_errors(
+    score: Column, avg_distance: Column, metric: str, c: int = 100, p: int | None = None
+) -> Column:
+    """Snap scores to 1 where the avg KNN distance is below the metric's
+    float64 tolerance (internal/outlier.py:60-112): such examples are
+    exact duplicates up to numeric noise and must not look like outliers.
+    Metrics without a defined tolerance pass through unchanged."""
+    try:
+        tol = precision_tolerance(metric, c, p)
+    except ValueError:
+        return score
+    return F.when(avg_distance < F.lit(tol), F.lit(1.0)).otherwise(score)
+
+
+def correct_precision_errors_sql(
+    score_expr: str, avg_distance_expr: str, metric: str, c: int = 100, p: int | None = None
+) -> str:
+    """DuckDB twin of :func:`correct_precision_errors`."""
+    try:
+        tol = precision_tolerance(metric, c, p)
+    except ValueError:
+        return score_expr
+    return f"(CASE WHEN {avg_distance_expr} < {tol!r} THEN 1.0 ELSE {score_expr} END)"
+
+
 def with_ood_scores(
     df: DataFrame,
     num_classes: int,

@@ -93,9 +93,17 @@ FROM {table} e LEFT JOIN sums ON sums.nid = e.vec_id CROSS JOIN tot"""
 
 
 def non_iid_ks(
-    df: DataFrame, id_col: str, value_col: str
+    df: DataFrame, id_col: str, value_col: str, ecdf_partitions: int = 32
 ) -> DataFrame:
-    """One-row result: (ks_statistic, n_a, n_b, is_non_iid_issue)."""
+    """One-row result: (ks_statistic, n_a, n_b, is_non_iid_issue).
+
+    The KS statistic is evaluated at the ECDF's step points — the
+    DISTINCT values — which is both the textbook definition and
+    tie-robust.  The cumulative counts use a distributed prefix sum:
+    groupBy(value) → repartitionByRange(value) → within-partition
+    window + per-partition offsets (a window over ``ecdf_partitions``
+    rows, constant size at any data scale).  No single-partition global
+    window anywhere."""
     median_id = df.agg(F.expr(f"percentile({id_col}, 0.5)")).collect()[0][0]
     tagged = df.select(
         F.col(value_col).alias("_v"),
@@ -105,18 +113,45 @@ def non_iid_ks(
         F.sum("_a").alias("na"), F.sum(F.lit(1) - F.col("_a")).alias("nb")
     ).collect()[0]
     n_a, n_b = int(counts["na"]), int(counts["nb"])
-    w = Window.orderBy(F.col("_v").asc()).rowsBetween(Window.unboundedPreceding, 0)
-    ecdf = tagged.withColumn("_ca", F.sum("_a").over(w)).withColumn(
-        "_cb", F.sum(F.lit(1) - F.col("_a")).over(w)
+
+    g = (
+        tagged.groupBy("_v")
+        .agg(
+            F.sum("_a").alias("_ga"),
+            F.sum(F.lit(1) - F.col("_a")).alias("_gb"),
+        )
+        .repartitionByRange(ecdf_partitions, F.col("_v"))
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()  # pin the sampled range boundaries for both branches
     )
-    d = ecdf.agg(
-        F.max(
-            F.abs(
-                F.col("_ca").cast("double") / F.lit(float(n_a))
-                - F.col("_cb").cast("double") / F.lit(float(n_b))
-            )
-        ).alias("d")
-    ).collect()[0]["d"]
+    w_in = Window.partitionBy("_pid").orderBy(F.col("_v").asc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = g.withColumn("_ca", F.sum("_ga").over(w_in)).withColumn(
+        "_cb", F.sum("_gb").over(w_in)
+    )
+    ptot = g.groupBy("_pid").agg(F.sum("_ga").alias("_ta"), F.sum("_gb").alias("_tb"))
+    w_p = Window.orderBy(F.col("_pid").asc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offs = ptot.select(
+        "_pid",
+        F.coalesce(F.sum("_ta").over(w_p), F.lit(0)).alias("_oa"),
+        F.coalesce(F.sum("_tb").over(w_p), F.lit(0)).alias("_ob"),
+    )
+    d = (
+        cum.join(F.broadcast(offs), "_pid")
+        .agg(
+            F.max(
+                F.abs(
+                    (F.col("_ca") + F.col("_oa")).cast("double") / F.lit(float(n_a))
+                    - (F.col("_cb") + F.col("_ob")).cast("double") / F.lit(float(n_b))
+                )
+            ).alias("d")
+        )
+        .collect()[0]["d"]
+    )
+    g.unpersist()
     crit = 1.36 * math.sqrt((n_a + n_b) / (n_a * n_b))
     spark = df.sparkSession
     return spark.createDataFrame(

@@ -129,6 +129,70 @@ def lsh_bucket_col(vec: Column, dim: int, seed: int = 99) -> Column:
     return bucket
 
 
+def _topk_planes(dim: int, bands: int, seed: int = 99) -> np.ndarray:
+    return np.random.RandomState(seed).randn(bands * _N_PLANES, dim)
+
+
+def _topk_band_bucket_col(vec: Column, planes: np.ndarray, band: int) -> Column:
+    bucket = F.lit(0)
+    for p_idx in range(_N_PLANES):
+        plane = F.array(*[F.lit(float(x)) for x in planes[band * _N_PLANES + p_idx]])
+        bucket = bucket + F.when(dot_col(vec, plane) > 0, F.lit(1 << p_idx)).otherwise(F.lit(0))
+    return bucket
+
+
+def _topk_band_bucket_sql(vec_expr: str, planes: np.ndarray, band: int) -> str:
+    terms = []
+    for p_idx in range(_N_PLANES):
+        dot = " + ".join(
+            f"{vec_expr}[{i + 1}]::DOUBLE * ({float(c)!r})::DOUBLE"
+            for i, c in enumerate(planes[band * _N_PLANES + p_idx])
+        )
+        terms.append(f"(CASE WHEN ({dot}) > 0 THEN {1 << p_idx} ELSE 0 END)")
+    return "(" + " + ".join(terms) + ")"
+
+
+def lsh_topk_sql(
+    table: str,
+    query_pred: str,
+    dim: int,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 99,
+    bands: int = 2,
+) -> str:
+    """DuckDB twin of :func:`lsh_topk` — same planes, same explicit
+    left-associated dot-product order, same OR-of-bands candidates."""
+    planes = _topk_planes(dim, bands, seed)
+    band_rows = "\n  UNION ALL ".join(
+        f"SELECT _id, {b} AS _band, {_topk_band_bucket_sql('_v', planes, b)} AS _bucket FROM vr"
+        for b in range(bands)
+    )
+    cos = cosine_sql("qv._v", "cv._v")
+    return f"""
+WITH vr AS MATERIALIZED (SELECT {id_col} AS _id, {vec_col} AS _v FROM {table}),
+bkt AS MATERIALIZED (
+  {band_rows}
+),
+qids AS (SELECT {id_col} AS _id FROM {table} WHERE {query_pred}),
+cand AS (
+  SELECT DISTINCT q._id AS query_id, c._id AS neighbor_id
+  FROM bkt q JOIN qids USING (_id)
+  JOIN bkt c ON c._band = q._band AND c._bucket = q._bucket AND c._id <> q._id
+),
+scored AS (
+  SELECT cand.query_id, cand.neighbor_id, {cos} AS cosine
+  FROM cand JOIN vr qv ON qv._id = cand.query_id JOIN vr cv ON cv._id = cand.neighbor_id
+), ranked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank,
+         cosine
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank, round(cosine, 6) AS cosine FROM ranked WHERE rank <= {k}"""
+
+
 def lsh_topk(
     df: DataFrame,
     queries: DataFrame,
@@ -137,23 +201,35 @@ def lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 99,
+    bands: int = 2,
 ) -> DataFrame:
-    """Approximate top-k: candidates restricted to the query's LSH bucket.
-    Equi-join on bucket → shuffle width = N, not N×Q."""
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("_qvec"),
-        lsh_bucket_col(F.col(vec_col), dim, seed).alias("_bucket"),
+    """Approximate top-k: candidates = rows sharing ANY of ``bands``
+    8-bit SRP bucket codes with the query (OR-of-bands lifts recall over
+    a single AND-of-8-planes bucket).  The band rows carry only
+    (id, band, bucket) ints; the query side is broadcast, so candidate
+    generation is a broadcast equi-join — shuffle width ~ N·bands rows of
+    3 ints, never N×Q."""
+    planes = _topk_planes(dim, bands, seed)
+
+    def band_rows(src: DataFrame, out_id: str) -> DataFrame:
+        codes = F.array(*[_topk_band_bucket_col(F.col(vec_col), planes, b) for b in range(bands)])
+        return src.select(
+            F.col(id_col).alias(out_id), F.posexplode(codes).alias("_band", "_bucket")
+        )
+
+    cand = (
+        band_rows(df, "neighbor_id")
+        .join(F.broadcast(band_rows(queries, "query_id")), ["_band", "_bucket"])
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
     )
-    c = df.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("_cvec"),
-        lsh_bucket_col(F.col(vec_col), dim, seed).alias("_bucket"),
+    vecs = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    scored = (
+        cand.join(vecs.select(F.col("_id").alias("query_id"), F.col("_v").alias("_qvec")), "query_id")
+        .join(vecs.select(F.col("_id").alias("neighbor_id"), F.col("_v").alias("_cvec")), "neighbor_id")
+        .withColumn("cosine", cosine_col(F.col("_qvec"), F.col("_cvec")))
     )
-    joined = c.join(F.broadcast(q), "_bucket").where(
-        F.col("neighbor_id") != F.col("query_id")
-    )
-    scored = joined.withColumn("cosine", cosine_col(F.col("_qvec"), F.col("_cvec")))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )

@@ -114,6 +114,20 @@ def test_near_duplicates_recall(clustered):
     assert approx.join(brute, ["id_a", "id_b"], "left_anti").count() == 0
 
 
+def test_lsh_topk_recall_vs_brute(clustered):
+    """sim.knn.lsh_topk (OR-of-bands SRP blocking) recovers ≥0.9 of the
+    exact brute-force cosine top-5 on the clustered fixture."""
+    from sparkclean.sim.knn import cosine_topk, lsh_topk
+
+    queries = clustered.where(F.col("vec_id") % 10 == 0)
+    brute = cosine_topk(clustered, queries, k=5).select("query_id", "neighbor_id")
+    approx = lsh_topk(clustered, queries, dim=DIM, k=5).select("query_id", "neighbor_id")
+    n_true = brute.count()
+    hit = brute.join(approx, ["query_id", "neighbor_id"]).count()
+    assert n_true > 0
+    assert hit / n_true >= 0.9, f"lsh_topk recall {hit / n_true:.3f} < 0.9"
+
+
 def _physical_plan(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
