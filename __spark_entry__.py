@@ -1003,6 +1003,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return identifier_column_issues(_emb(spark, sf), ["vec_id", "label"])
 
+    def cv_self_confidence(spark, sf):
+        # out-of-sample CV pred_probs (count.py:888-1066 flow) — per-row
+        # self-confidence from the leave-fold-out GNB posterior
+        from sparkclean.quality.cv import with_cv_pred_probs
+
+        df = with_cv_pred_probs(_emb(spark, sf), K)
+        return df.select(
+            "vec_id",
+            F.round(F.element_at("pred_probs", F.col("label").cast("int") + 1), 6).alias(
+                "cv_self_confidence"
+            ),
+        )
+
+    def cv_confident_joint(spark, sf):
+        # confident joint computed from the CV out-of-sample probs —
+        # strategy (2) of count.py:909-918 (combine probs, one joint)
+        from sparkclean.quality.cv import with_cv_pred_probs
+
+        df = with_cv_pred_probs(_emb(spark, sf), K)
+        t = q_thresholds.get_confident_thresholds(df, K)
+        binned = with_confident_bins(df, t)
+        return (
+            binned.where(F.col("is_confident"))
+            .groupBy(
+                F.col("label").cast("int").alias("given_label"),
+                F.col("true_label_guess").alias("true_label_guess"),
+            )
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
     # ---- pooling / task scores / multiannotator / datalab managers
     def softmin_token_scores(spark, sf):
         from sparkclean.quality.pooling import softmin_col
@@ -1400,6 +1430,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         embedding_near_duplicates=embedding_near_duplicates,
         knn_lsh_topk=knn_lsh_topk,
         identifier_column=identifier_column,
+        cv_self_confidence=cv_self_confidence,
+        cv_confident_joint=cv_confident_joint,
         events_hourly=events_hourly,
         spurious_correlations=spurious_correlations,
         confusion_matrix_argmax=confusion_matrix_argmax,
@@ -2259,6 +2291,16 @@ FROM documents"""
     from sparkclean.quality.datalab import identifier_column_issues_sql
 
     o["identifier_column"] = identifier_column_issues_sql("embeddings", ["vec_id", "label"])
+    from sparkclean.quality.cv import cv_pred_probs_sql
+
+    _cv_pc = cv_pred_probs_sql("embeddings", K)
+    o["cv_self_confidence"] = f"""
+WITH {_cv_pc.lstrip()}
+SELECT vec_id, round(p[label + 1], 6) AS cv_self_confidence FROM pp"""
+    o["cv_confident_joint"] = f"""
+WITH {_cv_pc.lstrip()}, {_TH_CTE.lstrip()}, {_BIN_CTE.lstrip()}
+SELECT label AS given_label, guess::INT AS true_label_guess, count(*) AS n
+FROM guessed WHERE n_conf >= 1 GROUP BY 1, 2"""
     o["events_hourly"] = """
 SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
        round(avg(value), 6) AS avg_value

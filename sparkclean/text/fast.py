@@ -20,89 +20,152 @@ Catalyst feature stage at 32 threads vs ~0.9 for Python workers).
 from __future__ import annotations
 
 import hashlib
-import re
 
 import numpy as np
+import pandas as pd
 
 from ..constants import CONFIDENT_THRESHOLDS_LOWER_BOUND
 from .ppl import FALLBACK_LOGP, LOGP_MAX, LOGP_MIN, RES
 from .shared import ENGLISH_STOPWORDS, LANG_MARKERS, LANG_ORDER
 
-_WS = re.compile(r"\s+")
-_NON_DIGIT = re.compile(r"[^0-9]")
-_NON_ALPHA = re.compile(r"[^A-Za-z]")
-_NON_PUNCT = re.compile(r"[^!-/:-@\[-`{-~]")
-_NON_UPPER = re.compile(r"[^A-Z]")
-
 _STOPSET = frozenset(ENGLISH_STOPWORDS)
-# token → list of language indices whose marker list contains it
-_MARKER_LANGS: dict[str, list[int]] = {}
-for _li, _lang in enumerate(LANG_ORDER):
-    for _w in LANG_MARKERS[_lang]:
-        _MARKER_LANGS.setdefault(_w, []).append(_li)
+_LANG_SETS = [frozenset(LANG_MARKERS[lang]) for lang in LANG_ORDER]
 
 # frozen scorer weights — single source of truth lives in pipeline.py
 from .. import pipeline as _pl  # noqa: E402  (cycle-safe: only constants used)
 
+#: cross-batch memo for the hashed-bigram log-prob table: natural-language
+#: bigrams repeat heavily, so each worker amortises the md5 cost to the
+#: first occurrence.  Bounded: cleared when it exceeds ~1M entries.
+_LOGP_MEMO: dict[str, float] = {}
+_LOGP_MEMO_MAX = 1_000_000
+_LOGP_SPAN = LOGP_MAX - LOGP_MIN
+
 
 def _logp(bigram: str) -> float:
     h = int(hashlib.md5(bigram.encode("utf-8")).hexdigest()[:15], 16)
-    return LOGP_MIN + (h % RES) / RES * (LOGP_MAX - LOGP_MIN)
+    return LOGP_MIN + (h % RES) / RES * _LOGP_SPAN
+
+
+def _logp_for_unique(uniq: np.ndarray) -> np.ndarray:
+    """md5-hash only the bigrams this worker has never seen."""
+    if len(_LOGP_MEMO) > _LOGP_MEMO_MAX:
+        _LOGP_MEMO.clear()
+    out = np.empty(len(uniq))
+    for i, g in enumerate(uniq):
+        v = _LOGP_MEMO.get(g)
+        if v is None:
+            v = _logp(g)
+            _LOGP_MEMO[g] = v
+        out[i] = v
+    return out
 
 
 def caption_features_batch(texts) -> dict[str, np.ndarray]:
-    """All caption features + pseudo-label + pred_probs for one batch."""
-    n = len(texts)
-    out = {
-        "n_chars": np.zeros(n, dtype=np.int64),
-        "n_words": np.zeros(n, dtype=np.int64),
-        "digit_ratio": np.zeros(n),
-        "alpha_ratio": np.zeros(n),
-        "punct_ratio": np.zeros(n),
-        "upper_ratio": np.zeros(n),
-        "repetition_ratio": np.zeros(n),
-        "stopword_ratio": np.zeros(n),
-        "pred_lang": np.empty(n, dtype=object),
-        "ppl": np.zeros(n),
-    }
-    n_langs = len(LANG_ORDER)
-    for i, raw in enumerate(texts):
-        t = "" if raw is None else str(raw)
-        ln = len(t)
-        out["n_chars"][i] = ln
-        if ln > 0:
-            out["digit_ratio"][i] = len(_NON_DIGIT.sub("", t)) / ln
-            out["alpha_ratio"][i] = len(_NON_ALPHA.sub("", t)) / ln
-            out["punct_ratio"][i] = len(_NON_PUNCT.sub("", t)) / ln
-            out["upper_ratio"][i] = len(_NON_UPPER.sub("", t)) / ln
-        stripped = t.strip()
-        words = _WS.split(stripped) if stripped else []
-        nw = len(words)
-        out["n_words"][i] = nw
-        if nw > 0:
-            out["repetition_ratio"][i] = 1.0 - len(set(words)) / nw
-        # words of lower(text) == lower of words for whitespace-stable text
-        wl = [w.lower() for w in words]
-        if nw > 0:
-            out["stopword_ratio"][i] = sum(1 for w in wl if w in _STOPSET) / nw
-        # marker langid (first max wins, zero hits → und)
-        hits = [0] * n_langs
-        for w in wl:
-            for li in _MARKER_LANGS.get(w, ()):
-                hits[li] += 1
-        best = max(hits) if hits else 0
-        out["pred_lang"][i] = (
-            LANG_ORDER[hits.index(best)] if best > 0 else "und"
+    """All caption features + pseudo-label + pred_probs for one batch —
+    vectorized: regex ratios via pandas ``.str.count`` (C), token
+    statistics via one exploded-token frame, bigram log-probs hashed once
+    per UNIQUE bigram (memoized across batches).  Values are identical to
+    the per-row formulas (same md5 table, same formulas; float sums agree
+    within the 6-dp output rounding — asserted by tests/test_text_parity)."""
+    s = pd.Series(list(texts), dtype=object)
+    s = s.where(s.notna(), "").astype(str)
+    n = len(s)
+    ln = s.str.len().to_numpy(dtype=np.int64)
+    safe_ln = np.maximum(ln, 1).astype(np.float64)
+
+    out = {"n_chars": ln}
+    # char-class ratios: one UCS4 codepoint matrix + range masks when the
+    # padded matrix stays small (ASCII-exact same classes as the regexes);
+    # regex fallback for pathological row lengths
+    max_len = int(ln.max()) if n else 0
+    if n and 0 < max_len * n <= 64_000_000:
+        u = np.zeros((n, max_len), dtype=np.uint32)
+        arr = s.to_numpy()
+        widths = ln
+        flat = np.array(arr, dtype=f"U{max_len}")
+        u = flat.view(np.uint32).reshape(n, max_len)
+        upper_m = (u >= 65) & (u <= 90)
+        out["digit_ratio"] = ((u >= 48) & (u <= 57)).sum(1) / safe_ln
+        out["alpha_ratio"] = (upper_m | ((u >= 97) & (u <= 122))).sum(1) / safe_ln
+        out["punct_ratio"] = (
+            ((u >= 33) & (u <= 47))
+            | ((u >= 58) & (u <= 64))
+            | ((u >= 91) & (u <= 96))
+            | ((u >= 123) & (u <= 126))
+        ).sum(1) / safe_ln
+        out["upper_ratio"] = upper_m.sum(1) / safe_ln
+        del u, flat, upper_m, widths
+    else:
+        out["digit_ratio"] = s.str.count(r"[0-9]").to_numpy() / safe_ln
+        out["alpha_ratio"] = s.str.count(r"[A-Za-z]").to_numpy() / safe_ln
+        out["punct_ratio"] = s.str.count(r"[!-/:-@\[-`{-~]").to_numpy() / safe_ln
+        out["upper_ratio"] = s.str.count(r"[A-Z]").to_numpy() / safe_ln
+
+    stripped = s.str.strip()
+    # pat=None → Python str.split() fast path: splits on whitespace runs,
+    # "" → [], unicode-aware — identical to re.split(r"\s+") on stripped
+    # text (the contract the scalar path used)
+    words = stripped.str.split()
+    nw = words.str.len().to_numpy(dtype=np.int64)
+    safe_nw = np.maximum(nw, 1).astype(np.float64)
+    out["n_words"] = nw
+
+    nunique = np.fromiter(
+        (len(set(w)) for w in words), dtype=np.int64, count=n
+    )
+    out["repetition_ratio"] = np.where(nw > 0, 1.0 - nunique / safe_nw, 0.0)
+
+    # words of lower(text) == lower of words for whitespace-stable text.
+    # Factorize tokens ONCE; every downstream statistic becomes a
+    # constant-size lookup table over unique tokens + one bincount over
+    # int codes (accumulation order = row order, same as the per-row
+    # fold, so float sums are bit-identical to the scalar path).
+    wl = stripped.str.lower().str.split()
+    exploded = wl.explode().dropna()
+    rowids = exploded.index.to_numpy(dtype=np.int64)
+    tok_codes, tok_uniq = pd.factorize(exploded.to_numpy())
+    n_uniq = len(tok_uniq)
+
+    stop_mask = np.fromiter(
+        (t in _STOPSET for t in tok_uniq), dtype=np.float64, count=n_uniq
+    )
+    stop = np.bincount(rowids, weights=stop_mask[tok_codes], minlength=n) if len(rowids) else np.zeros(n)
+    out["stopword_ratio"] = stop / safe_nw
+
+    # marker langid (first max wins, zero hits → und)
+    hit_mat = np.zeros((n, len(LANG_ORDER)))
+    for li, lang_set in enumerate(_LANG_SETS):
+        mask = np.fromiter(
+            (t in lang_set for t in tok_uniq), dtype=np.float64, count=n_uniq
         )
-        # hashed-bigram perplexity (exact twin of ppl_hash_col)
-        if nw >= 2:
-            s = 0.0
-            for a, b in zip(wl, wl[1:]):
-                s += _logp(a + " " + b)
-            mean_logp = s / (nw - 1)
-        else:
-            mean_logp = FALLBACK_LOGP
-        out["ppl"][i] = np.exp(-mean_logp)
+        if len(rowids):
+            hit_mat[:, li] = np.bincount(rowids, weights=mask[tok_codes], minlength=n)
+    best = hit_mat.max(axis=1)
+    pred = np.where(
+        best > 0, np.asarray(LANG_ORDER, dtype=object)[hit_mat.argmax(axis=1)], "und"
+    )
+    out["pred_lang"] = pred.astype(object)
+
+    # hashed-bigram perplexity (exact md5 twin of ppl_hash_col): adjacent
+    # token pairs of the SAME row, keyed as int pairs; md5 runs only once
+    # per unique pair (memoized across batches)
+    sum_arr = np.zeros(n)
+    if len(rowids) > 1:
+        same = rowids[1:] == rowids[:-1]
+        a = tok_codes[:-1][same].astype(np.int64)
+        b = tok_codes[1:][same].astype(np.int64)
+        rb = rowids[:-1][same]
+        if len(a):
+            pcodes, puniq = pd.factorize(a * n_uniq + b)
+            uniq_strs = np.array(
+                [f"{tok_uniq[k // n_uniq]} {tok_uniq[k % n_uniq]}" for k in puniq],
+                dtype=object,
+            )
+            logp_uniq = _logp_for_unique(uniq_strs)
+            sum_arr = np.bincount(rb, weights=logp_uniq[pcodes], minlength=n)
+    mean_logp = np.where(nw >= 2, sum_arr / np.maximum(nw - 1, 1), FALLBACK_LOGP)
+    out["ppl"] = np.exp(-mean_logp)
     return out
 
 

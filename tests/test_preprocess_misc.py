@@ -69,3 +69,33 @@ def test_odd_size_flags(spark):
     out = {r["image_id"]: r["is_odd_size"] for r in with_odd_size_flags(df).collect()}
     assert out["tiny"] and out["huge"]
     assert not any(v for k, v in out.items() if k.startswith("i"))
+
+
+def test_cv_pred_probs_structure(spark):
+    """CV folds are stratified and deterministic; posteriors are valid
+    probability vectors; every row is scored out-of-sample (its own fold's
+    stats exclude it)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from sparkclean.quality.cv import with_cv_fold, with_cv_pred_probs
+
+    df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    folded = with_cv_fold(df, "vec_id", "label", 5)
+    per = folded.groupBy("label", "_fold").count().collect()
+    by_label = {}
+    for r in per:
+        by_label.setdefault(r["label"], []).append(r["count"])
+    for counts in by_label.values():
+        assert max(counts) - min(counts) <= 1  # stratified round-robin
+
+    out = with_cv_pred_probs(df, 10).select("vec_id", "pred_probs").collect()
+    arr = np.array([r["pred_probs"] for r in out])
+    assert arr.shape[1] == 10
+    assert np.allclose(arr.sum(axis=1), 1.0, atol=1e-9)
+    assert (arr >= 0).all()
+    # deterministic across invocations
+    out2 = with_cv_pred_probs(df, 10).select("vec_id", "pred_probs").collect()
+    a1 = {r["vec_id"]: r["pred_probs"] for r in out}
+    a2 = {r["vec_id"]: r["pred_probs"] for r in out2}
+    assert all(np.allclose(a1[k], a2[k]) for k in a1)
