@@ -23,6 +23,7 @@ HEADLINE = [
     "issues_low_self_confidence",
     "minhash_near_duplicates",
     "knn_bruteforce",
+    "ood_knn_distance",  # added r2: shared bucketed knn_edges path
     "confident_joint_raw",
     "events_hourly",
 ]

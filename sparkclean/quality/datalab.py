@@ -204,6 +204,81 @@ def find_issues(
     return out, summary
 
 
+def get_report(
+    issues_df: DataFrame,
+    summary_df: DataFrame,
+    id_col: str = "id",
+    num_examples: int = 5,
+    num_classes: int | None = None,
+    include_description: bool = True,
+    show_all_issues: bool = False,
+) -> str:
+    """Formatted text report over find_issues output — the Spark analog
+    of Datalab's Reporter (datalab/internal/report.py:86-185): dataset
+    header, issue summary sorted worst-first (only types with issues
+    unless ``show_all_issues``), then one section per issue type with the
+    ``num_examples`` lowest-scoring example ids.
+
+    Driver-side work is bounded: one count, the (tiny, K-issue-types)
+    summary collect, and a LIMIT-``num_examples`` sorted collect per
+    issue type.
+    """
+    descriptions = {
+        "label": "Examples whose given label is likely wrong (confident learning).",
+        "outlier": "Examples that look atypical relative to the score distribution.",
+        "class_imbalance": "Examples from rare classes (prior below threshold).",
+        "null": "Examples with null/missing feature values.",
+        "underperforming_group": "Examples in a cluster with poor model accuracy.",
+        "near_duplicate": "Examples nearly identical to another example.",
+        "non_iid": "Dataset ordering looks statistically non-IID.",
+    }
+    n_rows = issues_df.count()
+    summary = sorted(
+        summary_df.collect(), key=lambda r: -(r["num_issues"] or 0)
+    )
+    total_issues = sum(int(r["num_issues"] or 0) for r in summary)
+    header = f"Dataset Information: num_examples: {n_rows}"
+    if num_classes is not None:
+        header += f", num_classes: {num_classes}"
+    if total_issues == 0 and not show_all_issues:
+        return (
+            header
+            + "\n\nNo issues found in the data. "
+            + "(Set show_all_issues=True to see all checks that ran.)"
+        )
+    lines = [header, "", "Here is a summary of various issues found in your data:", ""]
+    lines.append(f"{'issue_type':>24} {'num_issues':>12}")
+    shown = [r for r in summary if show_all_issues or int(r["num_issues"] or 0) > 0]
+    for r in shown:
+        lines.append(f"{r['issue_type']:>24} {int(r['num_issues'] or 0):>12}")
+    lines.append("")
+    lines.append(
+        "Data indices corresponding to top examples of each issue are shown below."
+    )
+    for r in shown:
+        t = r["issue_type"]
+        lines += ["", "", f"{'-' * 10} {t} issues {'-' * 10}", ""]
+        lines.append(f"Number of examples with this issue: {int(r['num_issues'] or 0)}")
+        if r["overall_score"] is not None:
+            lines.append(f"Overall dataset quality in terms of this issue: {r['overall_score']:.4f}")
+        if include_description and t in descriptions:
+            lines.append(f"About this issue:\n\t{descriptions[t]}")
+        score_col = f"{t}_score"
+        if score_col in issues_df.columns:
+            top = (
+                issues_df.where(F.col(f"is_{t}_issue"))
+                .orderBy(F.col(score_col).asc(), F.col(id_col).asc())
+                .select(id_col, score_col)
+                .limit(num_examples)
+                .collect()
+            )
+            if top:
+                lines.append("Top examples (id, score):")
+                for row in top:
+                    lines.append(f"\t{row[id_col]}\t{row[score_col]:.6f}")
+    return "\n".join(lines)
+
+
 def identifier_column_issues(df: DataFrame, cols: list[str]) -> DataFrame:
     """Datalab identifier-column manager
     (datalab/internal/issue_manager/identifier_column.py:28-133): an

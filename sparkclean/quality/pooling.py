@@ -73,3 +73,17 @@ def ema_sql(scores: str, alpha: float | None = None) -> str:
           CASE WHEN i = 1 THEN pow(1.0 - {a}, len(sc) - 1)
                ELSE {a} * pow(1.0 - {a}, len(sc) - i) END), 'sum')
  FROM (SELECT sc, list_sort(sc, 'DESC') AS sc_desc FROM (SELECT {scores} AS sc)))"""
+
+
+def filter_issues_by_token(issues, token: str, token_col: str = "token"):
+    """Subset of token label issues involving a particular token —
+    token_classification/summary.py:302-345 semantics (case-insensitive
+    equality), as a pure predicate over the issue frame (which carries
+    the token string, so no join back to the sentence table is needed)."""
+    return issues.where(F.lower(F.col(token_col)) == token.lower())
+
+
+def filter_issues_by_token_sql(token: str, token_col: str = "token") -> str:
+    """DuckDB twin predicate of :func:`filter_issues_by_token`."""
+    escaped = token.lower().replace("'", "''")
+    return f"(lower({token_col}) = '{escaped}')"

@@ -205,3 +205,24 @@ def objectlab_image_scores_sql(
         f"SELECT {image_col}, exp({terms}) AS label_quality_score "
         f"FROM (SELECT {image_col}, {lists} FROM {box_rel} GROUP BY 1)"
     )
+
+
+def filter_pixel_issues_by_class(
+    issue: Column, label: Column, probs: Column, class_index: int
+) -> Column:
+    """segmentation/summary.py:268-309: keep flagged pixels whose given
+    label OR argmax-predicted label is the class of interest."""
+    from .scores import predicted_label
+
+    k = F.lit(int(class_index))
+    return issue & ((label.cast("int") == k) | (predicted_label(probs) == k))
+
+
+def filter_pixel_issues_by_class_sql(
+    issue: str, label: str, probs: str, class_index: int
+) -> str:
+    """DuckDB twin of :func:`filter_pixel_issues_by_class`."""
+    return (
+        f"({issue} AND ({label} = {int(class_index)} "
+        f"OR list_position({probs}, list_max({probs})) - 1 = {int(class_index)}))"
+    )

@@ -34,7 +34,17 @@ def ensure_parallelism(
         return df
     sc = df.sparkSession.sparkContext
     target = target or sc.defaultParallelism
-    n = df.rdd.getNumPartitions()
+    # Partition-count probe WITHOUT df.rdd: converting a python-source
+    # plan to an RDD forces physical planning + Arrow conversion (~3 s
+    # measured on the decode path).  For scans, the file list is a free
+    # metadata call and bounds the split count from below; plans with no
+    # file scan fall back to the (cheap, JVM-side) rdd probe.
+    try:
+        n = len(df.inputFiles()) or None
+    except Exception:
+        n = None
+    if n is None:
+        n = df.rdd.getNumPartitions()
     if n < target:
         return df.repartition(target)
     if n > target * max_factor:

@@ -256,3 +256,26 @@ def test_ngram_jaccard_exact(spark):
     # trigrams -> 5 shared, union 9 -> J = 5/9
     assert abs(pairs[(0, 1)] - 5.0 / 9.0) < 1e-12
     assert pairs[(0, 2)] == 0.0 and pairs[(1, 2)] == 0.0
+
+
+def test_datalab_get_report(spark):
+    """Reporter analog (datalab/internal/report.py:86-185): header, sorted
+    summary of issue types with issues, per-type sections with top ids."""
+    from sparkclean.quality.datalab import find_issues, get_report
+    from tests.conftest import probs_df
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    probs = rng.dirichlet([1.0] * 4, size=120)
+    labels = probs.argmax(1)
+    labels[:10] = (labels[:10] + 1) % 4  # planted label issues
+    df = probs_df(spark, labels, probs)
+    issues, summary = find_issues(df, 4)
+    rep = get_report(issues, summary, id_col="id", num_classes=4)
+    assert "Dataset Information: num_examples: 120, num_classes: 4" in rep
+    assert "summary of various issues" in rep
+    assert "label issues" in rep
+    assert "Top examples (id, score):" in rep
+    # no-issue path
+    rep2 = get_report(issues.limit(0), summary.where("num_issues < 0"), id_col="id")
+    assert "No issues found" in rep2
