@@ -49,13 +49,19 @@ def run(sf_dir: str, cpus: int, image_n: int, include_headline: bool = True) -> 
     if include_headline:
         qs = entry_mod.queries()
         for name in HEADLINE:
-            t0 = time.time()
-            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.time() - t0, 3)
-            # queries persist intermediates; drop them so later stages
-            # (and the image pipeline) measure clean, not under cache
-            # pressure from earlier stages
-            spark.catalog.clearCache()
+            # best of two reps (same methodology as the image stage /
+            # bench/scaling.py): rep 1 pays python-worker spawn + JIT for
+            # whichever query hits them first, and local-mode runs show
+            # ±20% scheduling noise; rep 2 is the steady-state number.
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.time()
+                qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+                best = min(best, time.time() - t0)
+                # queries persist intermediates; drop them so reps and
+                # later stages measure clean, not under cache pressure
+                spark.catalog.clearCache()
+            timings[name] = round(best, 3)
 
     # fused image pipeline over the synthetic corpus (decode + score +
     # scrub).  Corpus is generated once to /tmp (deterministic, keyed by
