@@ -1065,6 +1065,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return identifier_column_issues(_emb(spark, sf), ["vec_id", "label"])
 
+    def cleanlearning_fit_predictions(spark, sf):
+        # CleanLearning.fit final-model stage (classification.py:265-582):
+        # prune prune_by_noise_rate issues, weight classes 1/max(nm_kk,1e-3),
+        # fit the deterministic GNB, predict every row
+        from sparkclean.quality.cleanlearning import fit_predict
+
+        return fit_predict(_with_probs(_emb(spark, sf)), K)
+
+    def regression_cleanlearning(spark, sf):
+        # regression/learn.py:166 CleanLearning flow: OLS fit -> residual
+        # z-flags -> refit on clean -> predict every row
+        from sparkclean.quality.cleanlearning import regression_fit_predict
+
+        e1 = F.element_at("embedding", 1).cast("double")
+        e2 = F.element_at("embedding", 2).cast("double")
+        df = _emb(spark, sf).select(
+            "vec_id", e1.alias("x"), (e2 + F.lit(0.5) * e1).alias("y")
+        )
+        return regression_fit_predict(df)
+
     def cv_self_confidence(spark, sf):
         # out-of-sample CV pred_probs (count.py:888-1066 flow) — per-row
         # self-confidence from the leave-fold-out GNB posterior
@@ -1494,6 +1514,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         identifier_column=identifier_column,
         cv_self_confidence=cv_self_confidence,
         cv_confident_joint=cv_confident_joint,
+        cleanlearning_fit_predictions=cleanlearning_fit_predictions,
+        regression_cleanlearning=regression_cleanlearning,
         token_issues_for_token=token_issues_for_token,
         segmentation_issues_for_class=segmentation_issues_for_class,
         events_hourly=events_hourly,
@@ -2332,6 +2354,61 @@ WITH {pc}, {_TH_CTE}, {_BIN_CTE}, {_CAL_CTE.lstrip()}, {_PCM_CTE.lstrip()}, {_PR
 SELECT c.vec_id,
        (c.flag AND cm.vec_id IS NOT NULL AND {_BOOST_SQL} <> c.label) AS is_label_issue
 FROM classmask c LEFT JOIN countmask cm ON cm.vec_id = c.vec_id"""
+
+    # CleanLearning.fit final-model stage: prune -> class weights
+    # 1/max(nm_kk,1e-3) -> weighted-prior GNB over embedding[1..4] ->
+    # predict all rows (classification.py:265-582 flow)
+    from sparkclean.quality.cv import LOG2PI as _LOG2PI
+    from sparkclean.quality.cv import VAR_FLOOR as _VFLOOR
+
+    o["cleanlearning_fit_predictions"] = f"""
+WITH {pc}, {_TH_CTE}, {_BIN_CTE}, {_CAL_CTE.lstrip()}, {_LATENT_CTE.lstrip()}, {_PCM_CTE.lstrip()}, {_PRUNE_COUNT_CTE.lstrip()},
+clean AS (
+  SELECT g.vec_id, g.label FROM guessed g
+  LEFT JOIN countmask cm ON cm.vec_id = g.vec_id
+  WHERE NOT (cm.vec_id IS NOT NULL AND {_BOOST_SQL} <> g.label)
+),
+cdim AS MATERIALIZED (
+  SELECT c.label AS k, d.d, e.embedding[d.d + 1]::DOUBLE AS x
+  FROM clean c JOIN embeddings e USING (vec_id) CROSS JOIN range(0, 4) d(d)
+),
+gnb AS (
+  SELECT k, d, count(*)::DOUBLE AS n, sum(x) / count(*) AS m,
+         greatest(sum(x * x) / count(*) - pow(sum(x) / count(*), 2), {_VFLOOR!r}) AS v
+  FROM cdim GROUP BY 1, 2
+),
+wts AS (SELECT s AS k, 1.0 / greatest(v, 0.001) AS w FROM nm WHERE s = y),
+cn AS (SELECT k, max(n) AS nk FROM gnb GROUP BY 1),
+pden AS (SELECT sum(cn.nk * wts.w) AS t FROM cn JOIN wts USING (k)),
+pri AS (
+  SELECT cn.k,
+         ln(greatest(cn.nk * wts.w / greatest(pd.t, 1e-300), 1e-300)) AS lp
+  FROM cn JOIN wts USING (k) CROSS JOIN pden pd
+),
+rdim AS MATERIALIZED (
+  SELECT vec_id, d.d, embedding[d.d + 1]::DOUBLE AS x
+  FROM embeddings CROSS JOIN range(0, 4) d(d)
+),
+pll AS (
+  SELECT r.vec_id, g.k,
+         p.lp + sum(-pow(r.x - g.m, 2) / (2.0 * g.v) - 0.5 * ({_LOG2PI!r} + ln(g.v))) AS l
+  FROM rdim r JOIN gnb g ON g.d = r.d JOIN pri p ON p.k = g.k
+  GROUP BY 1, 2, p.lp
+),
+plvec AS (SELECT vec_id, list(l ORDER BY k) AS ls FROM pll GROUP BY 1)
+SELECT vec_id,
+       (list_position(ls, list_max(ls)) - 1)::INT AS predicted_label,
+       round(1.0 / list_aggregate(list_transform(ls, x -> exp(x - list_max(ls))), 'sum'), 6) AS confidence
+FROM plvec"""
+
+    from sparkclean.quality.cleanlearning import regression_fit_predict_sql
+
+    o["regression_cleanlearning"] = regression_fit_predict_sql(
+        "embeddings",
+        "vec_id",
+        "embedding[1]",
+        "embedding[2]::DOUBLE + 0.5 * embedding[1]::DOUBLE",
+    )
     o["top_issues_ranked"] = f"""
 WITH {pc},
 sc AS (SELECT vec_id, p[label + 1] AS s FROM pp),
