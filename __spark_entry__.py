@@ -1058,6 +1058,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         df = _emb(spark, sf)
         return sim_knn.lsh_topk(df, df.where(F.col("vec_id") < 20), dim=64, k=5)
 
+    def knn_ivf_topk(spark, sf):
+        # IVF coarse-quantizer ANN (the BASELINE-named alternative scale
+        # path to LSH): deterministic Lloyd training + n_probe cell search
+        from sparkclean.sim.ivf import ivf_topk
+
+        df = _emb(spark, sf)
+        return ivf_topk(df, df.where(F.col("vec_id") < 20), dim=64, k=5)
+
     def identifier_column(spark, sf):
         # datalab identifier-column manager
         # (issue_manager/identifier_column.py:28-133)
@@ -1511,6 +1519,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         knn_bruteforce=knn_bruteforce,
         embedding_near_duplicates=embedding_near_duplicates,
         knn_lsh_topk=knn_lsh_topk,
+        knn_ivf_topk=knn_ivf_topk,
         identifier_column=identifier_column,
         cv_self_confidence=cv_self_confidence,
         cv_confident_joint=cv_confident_joint,
@@ -2470,6 +2479,9 @@ FROM documents"""
         "embeddings", threshold=0.9
     )
     o["knn_lsh_topk"] = sim_knn.lsh_topk_sql("embeddings", "vec_id < 20", dim=64, k=5)
+    from sparkclean.sim.ivf import ivf_topk_sql
+
+    o["knn_ivf_topk"] = ivf_topk_sql("embeddings", "vec_id < 20", dim=64, k=5)
     from sparkclean.quality.datalab import identifier_column_issues_sql
 
     o["identifier_column"] = identifier_column_issues_sql("embeddings", ["vec_id", "label"])

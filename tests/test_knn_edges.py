@@ -128,6 +128,24 @@ def test_lsh_topk_recall_vs_brute(clustered):
     assert hit / n_true >= 0.9, f"lsh_topk recall {hit / n_true:.3f} < 0.9"
 
 
+def test_ivf_topk_recall_vs_brute(clustered):
+    """sim.ivf.ivf_topk (deterministic-Lloyd IVF, n_probe cells) recovers
+    ≥0.9 of the exact brute-force cosine top-5; its plan has no cartesian
+    candidate join."""
+    from sparkclean.sim.ivf import ivf_topk
+    from sparkclean.sim.knn import cosine_topk
+
+    queries = clustered.where(F.col("vec_id") % 10 == 0)
+    brute = cosine_topk(clustered, queries, k=5).select("query_id", "neighbor_id")
+    approx = ivf_topk(clustered, queries, dim=DIM, k=5)
+    assert "CartesianProduct" not in approx._jdf.queryExecution().executedPlan().toString()
+    approx = approx.select("query_id", "neighbor_id")
+    n_true = brute.count()
+    hit = brute.join(approx, ["query_id", "neighbor_id"]).count()
+    assert n_true > 0
+    assert hit / n_true >= 0.9, f"ivf_topk recall {hit / n_true:.3f} < 0.9"
+
+
 def _physical_plan(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
