@@ -138,3 +138,54 @@ def language_window_counts(scored: DataFrame) -> DataFrame:
             F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("kept"),
         )
     )
+
+
+def stateful_language_stats(
+    stream_df: DataFrame,
+    lang_col: str = "pred_lang",
+    score_col: str = "quality_score",
+    keep_col: str = "keep",
+) -> DataFrame:
+    """Custom stateful streaming operator via ``applyInPandasWithState``:
+    per-language RUNNING corpus statistics (rows seen, kept, mean quality)
+    maintained in the state store across micro-batches — the
+    arbitrary-stateful analog of the windowed counters, for metrics that
+    must never reset (lifetime per-language keep rates feeding the skew
+    handler's hot-language list).
+
+    State is a single (rows, kept, total_score) triple per language key:
+    constant size per key, shuffled once per batch on the language key.
+    Emits one updated row per language per batch (update output mode).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    output_schema = (
+        "lang string, rows long, kept long, mean_score double, keep_rate double"
+    )
+    state_schema = "rows long, kept long, total double"
+
+    def update(key, pdfs, state: GroupState):
+        rows, kept, total = state.get if state.exists else (0, 0, 0.0)
+        for pdf in pdfs:
+            rows += len(pdf)
+            kept += int(pdf[keep_col].sum())
+            total += float(pdf[score_col].sum())
+        state.update((rows, kept, total))
+        yield pd.DataFrame(
+            {
+                "lang": [key[0]],
+                "rows": [rows],
+                "kept": [kept],
+                "mean_score": [total / max(rows, 1)],
+                "keep_rate": [kept / max(rows, 1)],
+            }
+        )
+
+    return stream_df.groupBy(F.col(lang_col)).applyInPandasWithState(
+        update,
+        outputStructType=output_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -83,3 +83,46 @@ def test_foreachbatch_end_to_end(spark, corpus, tmp_path):
     written = spark.read.parquet(out_dir)
     assert written.count() == 400
     assert insp.rows_seen == 400
+
+
+def test_stateful_language_stats(spark, corpus, tmp_path):
+    """applyInPandasWithState operator: running per-language stats
+    survive across micro-batches and match the batch-oblivious truth."""
+    from sparkclean.pipeline import _features, _with_label_and_probs
+    from sparkclean.streaming import score_stream, stateful_language_stats
+
+    static = spark.read.parquet(corpus)
+    feats = _with_label_and_probs(_features(static, "caption"))
+    thresholds = get_confident_thresholds(feats, 3)
+
+    stream = spark.readStream.schema(static.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(corpus)
+    scored = score_stream(stream, thresholds)
+    stats = stateful_language_stats(scored)
+    q = (
+        stats.writeStream.format("memory")
+        .queryName("lang_stats")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    out = spark.sql(
+        "SELECT lang, max(rows) AS rows, max(kept) AS kept FROM lang_stats GROUP BY lang"
+    ).collect()
+    got = {r["lang"]: (r["rows"], r["kept"]) for r in out}
+
+    truth_df = score_stream(static, thresholds)
+    truth = {
+        r["pred_lang"]: (r["rows"], r["kept"])
+        for r in truth_df.groupBy("pred_lang")
+        .agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("kept"),
+        )
+        .collect()
+    }
+    assert got == truth
+    assert sum(v[0] for v in got.values()) == 400
