@@ -2366,7 +2366,11 @@ FROM classmask c LEFT JOIN countmask cm ON cm.vec_id = c.vec_id"""
 
     # CleanLearning.fit final-model stage: prune -> class weights
     # 1/max(nm_kk,1e-3) -> weighted-prior GNB over embedding[1..4] ->
-    # predict all rows (classification.py:265-582 flow)
+    # predict all rows (classification.py:265-582 flow).
+    # NOTE: if a class has zero clean rows the Spark side raises (the
+    # reference needs every class present); this oracle would instead
+    # compact the class list — acceptable because the gate surfaces the
+    # Spark error first, and the condition cannot occur on the sf tables.
     from sparkclean.quality.cv import LOG2PI as _LOG2PI
     from sparkclean.quality.cv import VAR_FLOOR as _VFLOOR
 

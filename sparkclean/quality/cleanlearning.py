@@ -49,12 +49,19 @@ def fit_predict(
 ) -> DataFrame:
     """(id, predicted_label, confidence) for EVERY input row, from the
     final model fit on issue-pruned, class-weighted data."""
+    from .thresholds import get_confident_thresholds
+
+    df = df.persist()  # four passes share the scan: thresholds, joint, prune, fit
+    thresholds = get_confident_thresholds(df, num_classes, label_col, probs_col)
     flagged = find_label_issues(
-        df, num_classes, id_col, label_col, probs_col, filter_by=filter_by
+        df, num_classes, id_col, label_col, probs_col,
+        filter_by=filter_by, thresholds=thresholds,
     )
     clean = flagged.where(~F.col("is_label_issue"))
 
-    cj = compute_confident_joint(df, num_classes, label_col, probs_col, calibrate=True)
+    cj = compute_confident_joint(
+        df, num_classes, label_col, probs_col, calibrate=True, thresholds=thresholds
+    )
     counts = label_counts(df, num_classes, label_col)
     _, nm, _ = matrix_ops.estimate_latent(cj, counts)
     weights = class_sample_weights(nm)

@@ -320,12 +320,17 @@ def identifier_column_issues(df: DataFrame, cols: list[str]) -> DataFrame:
 
 
 def identifier_column_issues_sql(table: str, cols: list[str]) -> str:
-    """DuckDB twin of :func:`identifier_column_issues` (int columns only)."""
+    """DuckDB twin of :func:`identifier_column_issues`.
+
+    Pass INTEGER columns only — the Spark side filters by dtype itself,
+    SQL cannot; callers must apply the same filter to both (the entry
+    does).  ``coalesce(..., false)`` mirrors the Spark side's False for
+    all-null columns."""
     branches = []
     for c in cols:
         branches.append(
             f"SELECT '{c}' AS column, "
-            f"(max({c}) > min({c}) AND count(DISTINCT {c}) = max({c}) - min({c}) + 1) "
+            f"coalesce(max({c}) > min({c}) AND count(DISTINCT {c}) = max({c}) - min({c}) + 1, false) "
             f"AS is_identifier_column FROM {table}"
         )
     union = "\n  UNION ALL ".join(branches)
@@ -407,11 +412,14 @@ def near_duplicate_issues_sql(
     vec_col: str = "embedding",
     k: int = 10,
     threshold: float = 0.13,
+    dim: int = 64,
 ) -> str:
-    """DuckDB twin of :func:`near_duplicate_issues` (keep in sync)."""
+    """DuckDB twin of :func:`near_duplicate_issues` (keep in sync).
+    ``dim`` must match the table's embedding width (the Spark side
+    infers it from the data)."""
     from ..sim.knn import knn_edges_cte_sql
 
-    edges_cte = knn_edges_cte_sql(table, k=k, id_col=id_col, vec_col=vec_col, metric="euclidean")
+    edges_cte = knn_edges_cte_sql(table, k=k, id_col=id_col, vec_col=vec_col, metric="euclidean", dim=dim)
     return f"""
 WITH {edges_cte.lstrip()},
 nn AS (SELECT qid, d AS nn_dist FROM knn WHERE rk = 1),

@@ -67,22 +67,23 @@ def correct_precision_errors(
     """Snap scores to 1 where the avg KNN distance is below the metric's
     float64 tolerance (internal/outlier.py:60-112): such examples are
     exact duplicates up to numeric noise and must not look like outliers.
-    Metrics without a defined tolerance pass through unchanged."""
-    try:
-        tol = precision_tolerance(metric, c, p)
-    except ValueError:
+    Metrics without a defined tolerance pass through unchanged, but
+    minkowski-without-p raises, matching the reference exactly
+    (internal/outlier.py:102-104)."""
+    if metric not in ("cosine", "euclidean", "minkowski"):
         return score
+    tol = precision_tolerance(metric, c, p)
     return F.when(avg_distance < F.lit(tol), F.lit(1.0)).otherwise(score)
 
 
 def correct_precision_errors_sql(
     score_expr: str, avg_distance_expr: str, metric: str, c: int = 100, p: int | None = None
 ) -> str:
-    """DuckDB twin of :func:`correct_precision_errors`."""
-    try:
-        tol = precision_tolerance(metric, c, p)
-    except ValueError:
+    """DuckDB twin of :func:`correct_precision_errors` (same pass-through
+    and same minkowski-without-p error contract)."""
+    if metric not in ("cosine", "euclidean", "minkowski"):
         return score_expr
+    tol = precision_tolerance(metric, c, p)
     return f"(CASE WHEN {avg_distance_expr} < {tol!r} THEN 1.0 ELSE {score_expr} END)"
 
 

@@ -71,9 +71,10 @@ def knn_shapley_scores(
     )
 
 
-def knn_shapley_sql(table: str, k: int = 10) -> str:
-    """DuckDB twin of :func:`knn_shapley_scores` (embeddings schema)."""
-    edges_cte = knn_edges_cte_sql(table, k=k, metric="cosine")
+def knn_shapley_sql(table: str, k: int = 10, dim: int = 64) -> str:
+    """DuckDB twin of :func:`knn_shapley_scores` (embeddings schema).
+    ``dim`` must match the embedding width (Spark infers it)."""
+    edges_cte = knn_edges_cte_sql(table, k=k, metric="cosine", dim=dim)
     return f"""
 WITH {edges_cte.lstrip()},
 tot AS (SELECT count(*)::DOUBLE AS n FROM {table}),

@@ -76,13 +76,21 @@ def train_centroids(
     ids, then ``n_iters`` assign→per-dim-mean rounds.  Driver traffic is
     C×dim floats per round; the heavy work is scans + K-sized shuffles."""
     init_rows = (
-        df.where(F.col(id_col) < n_cells)
-        .select(id_col, vec_col)
+        df.select(id_col, vec_col)
+        .orderBy(F.col(id_col).asc())
+        .limit(n_cells)
         .collect()
     )
-    cents = np.zeros((n_cells, dim))
-    for r in init_rows:
-        cents[int(r[id_col])] = np.asarray(r[vec_col], dtype=np.float64)
+    if len(init_rows) < n_cells:
+        raise ValueError(
+            f"IVF needs at least n_cells={n_cells} rows to initialise centroids"
+        )
+    # cell c = the row with the c-th smallest id (rank, not raw id, so the
+    # init is identical for non-dense / offset id spaces — matches the
+    # SQL twin's row_number init)
+    cents = np.stack(
+        [np.asarray(r[vec_col], dtype=np.float64) for r in init_rows]
+    )
 
     for _ in range(n_iters):
         assigned = df.select(
@@ -194,9 +202,9 @@ def ivf_topk_sql(
     ctes = [
         f"vr AS MATERIALIZED (SELECT {id_col} AS _id, {vec_col} AS _v FROM {table})",
         f"""cents0 AS (
-  SELECT _id::INT AS cell,
+  SELECT (row_number() OVER (ORDER BY _id ASC) - 1)::INT AS cell,
          list_transform(_v, x -> x::DOUBLE) AS vec
-  FROM vr WHERE _id < {n_cells}
+  FROM vr ORDER BY _id ASC LIMIT {n_cells}
 )""",
     ]
     prev = "cents0"

@@ -135,14 +135,6 @@ def _topk_planes(dim: int, bands: int, seed: int = 99) -> np.ndarray:
     return np.random.RandomState(seed).randn(bands * _N_PLANES, dim)
 
 
-def _topk_band_bucket_col(vec: Column, planes: np.ndarray, band: int) -> Column:
-    bucket = F.lit(0)
-    for p_idx in range(_N_PLANES):
-        plane = F.array(*[F.lit(float(x)) for x in planes[band * _N_PLANES + p_idx]])
-        bucket = bucket + F.when(dot_col(vec, plane) > 0, F.lit(1 << p_idx)).otherwise(F.lit(0))
-    return bucket
-
-
 def _topk_band_bucket_sql(vec_expr: str, planes: np.ndarray, band: int) -> str:
     terms = []
     for p_idx in range(_N_PLANES):
@@ -211,12 +203,15 @@ def lsh_topk(
     (id, band, bucket) ints; the query side is broadcast, so candidate
     generation is a broadcast equi-join — shuffle width ~ N·bands rows of
     3 ints, never N×Q."""
-    planes = _topk_planes(dim, bands, seed)
+    # band_codes_udf with bits=_N_PLANES computes exactly _topk_planes'
+    # layout (RandomState(seed).randn(bands*8, dim), band b = planes
+    # [b*8,(b+1)*8), code = Σ (dot>0)<<r) — vectorized, order-preserving
+    codes_udf = band_codes_udf(dim, bands, _N_PLANES, seed)
 
     def band_rows(src: DataFrame, out_id: str) -> DataFrame:
-        codes = F.array(*[_topk_band_bucket_col(F.col(vec_col), planes, b) for b in range(bands)])
         return src.select(
-            F.col(id_col).alias(out_id), F.posexplode(codes).alias("_band", "_bucket")
+            F.col(id_col).alias(out_id),
+            F.posexplode(codes_udf(F.col(vec_col))).alias("_band", "_bucket"),
         )
 
     cand = (
@@ -443,8 +438,17 @@ def knn_edges(
     # a rescued row the rescue set IS the complete pair set) — the DuckDB
     # twin keeps the pre-rank-union formulation, which yields the same
     # edge set.
+    #
+    # Cache lifecycle: the edge list stays pinned for the session (it is
+    # the shared graph every consumer reads, like the reference's cached
+    # knn_graph); MEMORY_AND_DISK so a huge graph spills instead of
+    # evicting, and batch drivers (bench.py, tools/check_correctness.py)
+    # clearCache() between queries.  At 10^12-row scale write the edge
+    # list to a table instead of caching.
+    from pyspark import StorageLevel
+
     cand = _candidate_pairs(df, id_col, vec_col, dim, bands, bits, seed)
-    ranked = rank_topk(cand).persist()
+    ranked = rank_topk(cand).persist(StorageLevel.MEMORY_AND_DISK)
 
     have = ranked.groupBy("qid").agg(F.count(F.lit(1)).alias("_c"))
     needy = (

@@ -17,6 +17,28 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+_SIZE_UNITS = {"b": 1, "k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+
+
+def _size_conf(spark, key: str, default: int) -> int:
+    """Parse a Spark byte-size conf value ('134217728b', '128MB', ...)."""
+    try:
+        raw = str(spark.conf.get(key)).strip().lower()
+    except Exception:
+        return default
+    num = raw
+    mult = 1
+    for suffix in ("tb", "gb", "mb", "kb", "t", "g", "m", "k", "b"):
+        if raw.endswith(suffix):
+            num = raw[: -len(suffix)]
+            mult = _SIZE_UNITS[suffix[0]]
+            break
+    try:
+        return int(float(num) * mult)
+    except ValueError:
+        return default
+
+
 def ensure_parallelism(
     df: DataFrame, target: int | None = None, max_factor: int = 4
 ) -> DataFrame:
@@ -32,17 +54,39 @@ def ensure_parallelism(
     """
     if df.isStreaming:
         return df
-    sc = df.sparkSession.sparkContext
+    spark = df.sparkSession
+    sc = spark.sparkContext
     target = target or sc.defaultParallelism
     # Partition-count probe WITHOUT df.rdd: converting a python-source
     # plan to an RDD forces physical planning + Arrow conversion (~3 s
-    # measured on the decode path).  For scans, the file list is a free
-    # metadata call and bounds the split count from below; plans with no
-    # file scan fall back to the (cheap, JVM-side) rdd probe.
+    # measured on the decode path).  For file scans we REPLAY Spark's
+    # split-packing arithmetic (total bytes + per-file open cost over
+    # maxPartitionBytes) from free file metadata — raw file count is
+    # neither a lower nor an upper bound once packing/splitting kicks in.
+    # Unstatable URIs (object stores) and scan-free plans fall back to
+    # the rdd probe.
+    n = None
     try:
-        n = len(df.inputFiles()) or None
+        files = df.inputFiles()
     except Exception:
-        n = None
+        files = []
+    if files:
+        try:
+            import os
+            from urllib.parse import unquote, urlparse
+
+            def local_path(uri: str) -> str:
+                parsed = urlparse(uri)
+                if parsed.scheme not in ("", "file"):
+                    raise ValueError(f"non-local scheme {parsed.scheme!r}")
+                return unquote(parsed.path)
+
+            total = sum(os.path.getsize(local_path(f)) for f in files)
+            mpb = _size_conf(spark, "spark.sql.files.maxPartitionBytes", 128 * 1024 * 1024)
+            open_cost = _size_conf(spark, "spark.sql.files.openCostInBytes", 4 * 1024 * 1024)
+            n = max(1, -(-(total + open_cost * len(files)) // mpb))
+        except Exception:
+            n = len(files)
     if n is None:
         n = df.rdd.getNumPartitions()
     if n < target:

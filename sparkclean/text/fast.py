@@ -80,10 +80,7 @@ def caption_features_batch(texts) -> dict[str, np.ndarray]:
     # regex fallback for pathological row lengths
     max_len = int(ln.max()) if n else 0
     if n and 0 < max_len * n <= 64_000_000:
-        u = np.zeros((n, max_len), dtype=np.uint32)
-        arr = s.to_numpy()
-        widths = ln
-        flat = np.array(arr, dtype=f"U{max_len}")
+        flat = np.array(s.to_numpy(), dtype=f"U{max_len}")
         u = flat.view(np.uint32).reshape(n, max_len)
         upper_m = (u >= 65) & (u <= 90)
         out["digit_ratio"] = ((u >= 48) & (u <= 57)).sum(1) / safe_ln
@@ -95,7 +92,7 @@ def caption_features_batch(texts) -> dict[str, np.ndarray]:
             | ((u >= 123) & (u <= 126))
         ).sum(1) / safe_ln
         out["upper_ratio"] = upper_m.sum(1) / safe_ln
-        del u, flat, upper_m, widths
+        del u, flat, upper_m
     else:
         out["digit_ratio"] = s.str.count(r"[0-9]").to_numpy() / safe_ln
         out["alpha_ratio"] = s.str.count(r"[A-Za-z]").to_numpy() / safe_ln

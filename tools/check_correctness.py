@@ -106,6 +106,9 @@ def main():
             print(f"FAIL {name}: spark error: {type(e).__name__} {str(e)[:300]}")
             n_fail += 1
             continue
+        # queries may persist intermediates (shared knn graph, datalab
+        # frames); drop them so caches never accumulate across the run
+        spark.catalog.clearCache()
         if name not in oracles:
             print(f"PASS {name}: rows-only ({len(sdf)} rows, {time.time()-t0:.1f}s)")
             n_pass += 1
