@@ -1036,10 +1036,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def minhash_near_duplicates(spark, sf):
         return dedup_minhash.near_duplicate_pairs(_docs(spark, sf), "text", "doc_id", 0.8)
 
+    def simhash_candidate_pairs(spark, sf):
+        # 16-bit-half blocked simhash near-dup candidates + popcount verify
+        return dedup_simhash.simhash_candidate_pairs(_docs(spark, sf))
+
     def simhash_fingerprints(spark, sf):
-        return _docs(spark, sf).select(
-            "doc_id", dedup_simhash.simhash_col(F.col("text")).alias("simhash")
-        )
+        # Arrow-vectorized production path (with_simhash); simhash_col is
+        # the Catalyst twin kept for oracle-parity tests
+        return dedup_simhash.with_simhash(
+            _docs(spark, sf).select("doc_id", "text"), "text", "simhash"
+        ).select("doc_id", "simhash")
 
     def caption_quality_pipeline(spark, sf):
         return pl.run_caption_quality(_docs(spark, sf), id_col="doc_id", text_col="text")
@@ -1515,6 +1521,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         exact_duplicates=exact_duplicates,
         minhash_near_duplicates=minhash_near_duplicates,
         simhash_fingerprints=simhash_fingerprints,
+        simhash_candidate_pairs=simhash_candidate_pairs,
         caption_quality_pipeline=caption_quality_pipeline,
         knn_bruteforce=knn_bruteforce,
         embedding_near_duplicates=embedding_near_duplicates,
@@ -2477,6 +2484,7 @@ FROM documents"""
     o["simhash_fingerprints"] = (
         f"SELECT doc_id, {dedup_simhash.simhash_sql('text')} AS simhash FROM documents"
     )
+    o["simhash_candidate_pairs"] = dedup_simhash.simhash_candidate_pairs_sql("documents")
     o["caption_quality_pipeline"] = pl.oracle_sql_for("documents", "doc_id", "text")
     o["knn_bruteforce"] = sim_knn.cosine_topk_sql("embeddings", "vec_id < 20", k=5)
     o["embedding_near_duplicates"] = sim_knn.embedding_near_duplicates_sql(
