@@ -117,20 +117,6 @@ SELECT query_id, neighbor_id, rank, round(cosine, 6) AS cosine FROM ranked WHERE
 _N_PLANES = 8
 
 
-def _hyperplanes(dim: int, seed: int = 99) -> np.ndarray:
-    return np.random.RandomState(seed).randn(_N_PLANES, dim)
-
-
-def lsh_bucket_col(vec: Column, dim: int, seed: int = 99) -> Column:
-    """Sign-random-projection bucket id (0..2^planes-1)."""
-    planes = _hyperplanes(dim, seed)
-    bucket = F.lit(0)
-    for p_idx in range(_N_PLANES):
-        plane = F.array(*[F.lit(float(x)) for x in planes[p_idx]])
-        bucket = bucket + F.when(dot_col(vec, plane) > 0, F.lit(1 << p_idx)).otherwise(F.lit(0))
-    return bucket
-
-
 def _topk_planes(dim: int, bands: int, seed: int = 99) -> np.ndarray:
     return np.random.RandomState(seed).randn(bands * _N_PLANES, dim)
 
