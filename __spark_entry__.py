@@ -1428,7 +1428,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.element_at("embedding", 1).cast("double").alias("prop_dim1"),
             F.element_at("embedding", 33).cast("double").alias("prop_dim33"),
         )
-        return spurious_correlation_scores(df, ["prop_dim1", "prop_dim33"])
+        return spurious_correlation_scores(
+            df, ["prop_dim1", "prop_dim33"], id_col="vec_id"
+        )
 
     def data_valuation(spark, sf):
         from sparkclean.quality.valuation import knn_shapley_scores
@@ -2512,7 +2514,9 @@ SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
        round(avg(value), 6) AS avg_value
 FROM events GROUP BY 1, 2"""
 
-    def _spur_prop_sql(idx: int, name: str) -> str:
+    def _spur_prop_sql(idx: int, name: str, n_folds: int = 5) -> str:
+        # 5-fold CV GaussianNB (spurious_correlation.py:77-81): stratified
+        # deterministic folds, leave-fold-out stats, out-of-sample argmax
         return f"""
 SELECT '{name}' AS property,
        round(acc, 6) AS classifier_accuracy,
@@ -2520,11 +2524,32 @@ SELECT '{name}' AS property,
 FROM (
   WITH e AS (SELECT vec_id, label, embedding[{idx}]::DOUBLE AS p1 FROM embeddings),
   tot AS (SELECT count(*)::DOUBLE AS n FROM e),
-  stats AS (SELECT label AS k, avg(p1) AS m, greatest(var_pop(p1), 1e-12) AS v, count(*) AS cn FROM e GROUP BY 1),
+  fe AS (
+    SELECT vec_id, label, p1,
+           (row_number() OVER (PARTITION BY label ORDER BY vec_id ASC) - 1) % {n_folds} AS fold
+    FROM e
+  ),
+  cs AS (
+    SELECT fold, label AS k, count(*)::DOUBLE AS n, sum(p1) AS s, sum(p1 * p1) AS q
+    FROM fe GROUP BY 1, 2
+  ),
+  ts AS (SELECT k, sum(n) AS n, sum(s) AS s, sum(q) AS q FROM cs GROUP BY 1),
+  lofo AS (
+    SELECT fd.f AS fold, t.k,
+           greatest(t.n - coalesce(c.n, 0), 1.0) AS n,
+           (t.s - coalesce(c.s, 0)) / greatest(t.n - coalesce(c.n, 0), 1.0) AS m,
+           greatest(
+             (t.q - coalesce(c.q, 0)) / greatest(t.n - coalesce(c.n, 0), 1.0)
+             - pow((t.s - coalesce(c.s, 0)) / greatest(t.n - coalesce(c.n, 0), 1.0), 2),
+             1e-12) AS v
+    FROM ts t CROSS JOIN range(0, {n_folds}) fd(f)
+    LEFT JOIN cs c ON c.fold = fd.f AND c.k = t.k
+  ),
+  fn AS (SELECT fold, sum(n) AS nf FROM lofo GROUP BY 1),
   ll AS (
-    SELECT e.vec_id, e.label AS truth, s.k,
-           -pow(e.p1 - s.m, 2) / (2 * s.v) - 0.5 * ln(2 * pi() * s.v) + ln(s.cn / t.n) AS l
-    FROM e CROSS JOIN tot t CROSS JOIN stats s
+    SELECT r.vec_id, r.label AS truth, s.k,
+           -pow(r.p1 - s.m, 2) / (2 * s.v) - 0.5 * ln(2 * pi() * s.v) + ln(s.n / fn.nf) AS l
+    FROM fe r JOIN lofo s ON s.fold = r.fold JOIN fn ON fn.fold = r.fold
   ), pred AS (
     SELECT vec_id, truth, k,
            row_number() OVER (PARTITION BY vec_id ORDER BY l DESC, k ASC) AS rk

@@ -95,55 +95,84 @@ def spurious_correlation_scores(
     df: DataFrame,
     property_cols: list[str],
     label_col: str = "label",
+    id_col: str = "id",
+    n_folds: int = 5,
 ) -> DataFrame:
     """Per image-property spurious-correlation score
-    (datalab/internal/spurious_correlation.py:13-113 analog).
+    (datalab/internal/spurious_correlation.py:13-113).
 
-    For each property: a 1-D Gaussian-per-class classifier (class means/
-    variances from one groupBy) is scored in-sample; the score is the
-    relative room for improvement ``min(1, (1-acc)/(1-acc_base))`` with
-    the majority-class baseline.  Low score ⇒ the property alone
-    predicts the label ⇒ suspicious shortcut.  (The reference uses
-    GaussianNB with 5-fold CV; same estimator family, in-sample here —
-    documented simplification.)
+    For each property: a 1-D Gaussian-per-class classifier evaluated
+    with ``n_folds``-fold cross-validation exactly like the reference's
+    ``cross_val_score(GaussianNB(), cv=5)`` (spurious_correlation.py:
+    77-81) — stratified deterministic folds, leave-fold-out class
+    means/variances/priors, out-of-sample accuracy.  With equal fold
+    sizes the pooled accuracy equals the reference's mean-of-fold
+    accuracies.  Score = ``min(1, (1-acc)/(1-acc_base))`` vs the
+    majority-class baseline; low score ⇒ the property alone predicts
+    the label ⇒ suspicious shortcut.
     """
     import math
+
+    from .cv import with_cv_fold
 
     total = df.count()
     base_acc = (
         df.groupBy(label_col).count().agg(F.max("count")).collect()[0][0] / total
     )
+    folded = with_cv_fold(df, id_col, label_col, n_folds).persist()
     rows = []
     for prop in property_cols:
-        stats = {
-            r[label_col]: (r["_m"], max(r["_v"], 1e-12), r["_n"])
-            for r in df.groupBy(label_col)
+        cells = {
+            (r["_fold"], r[label_col]): r
+            for r in folded.groupBy("_fold", label_col)
             .agg(
-                F.avg(prop).alias("_m"),
-                F.var_pop(prop).alias("_v"),
                 F.count(F.lit(1)).alias("_n"),
+                F.sum(F.col(prop)).alias("_s"),
+                F.sum(F.col(prop) * F.col(prop)).alias("_q"),
             )
             .collect()
         }
-        # log N(x; m_k, v_k) + log prior_k, argmax over classes
+        classes = sorted({k for _, k in cells})
+        tot = {k: [0.0, 0.0, 0.0] for k in classes}
+        for (_, k), r in cells.items():
+            tot[k][0] += r["_n"]
+            tot[k][1] += r["_s"]
+            tot[k][2] += r["_q"]
+
+        # leave-fold-out stats per (fold, class): n, mean, var, prior
+        def lofo(f: int, k: int):
+            r = cells.get((f, k))
+            n = max(tot[k][0] - (r["_n"] if r else 0.0), 1.0)
+            s = tot[k][1] - (r["_s"] if r else 0.0)
+            q = tot[k][2] - (r["_q"] if r else 0.0)
+            m = s / n
+            v = max(q / n - m * m, 1e-12)
+            return n, m, v
+
         pred = None
-        best_ll = None
-        for k, (m, v, n) in sorted(stats.items()):
-            ll = (
-                -F.pow(F.col(prop) - F.lit(float(m)), F.lit(2.0)) / F.lit(2.0 * v)
-                - F.lit(0.5 * math.log(2 * math.pi * v))
-                + F.lit(math.log(n / total))
-            )
-            if pred is None:
-                pred, best_ll = F.lit(int(k)), ll
-            else:
-                pred = F.when(ll > best_ll, F.lit(int(k))).otherwise(pred)
-                best_ll = F.greatest(ll, best_ll)
+        for f in range(n_folds):
+            stats_f = {k: lofo(f, k) for k in classes}
+            nf = sum(s[0] for s in stats_f.values())
+            pred_f, best_ll = None, None
+            for k in classes:
+                n, m, v = stats_f[k]
+                ll = (
+                    -F.pow(F.col(prop) - F.lit(float(m)), F.lit(2.0)) / F.lit(2.0 * v)
+                    - F.lit(0.5 * math.log(2 * math.pi * v))
+                    + F.lit(math.log(n / nf))
+                )
+                if pred_f is None:
+                    pred_f, best_ll = F.lit(int(k)), ll
+                else:
+                    pred_f = F.when(ll > best_ll, F.lit(int(k))).otherwise(pred_f)
+                    best_ll = F.greatest(ll, best_ll)
+            pred = pred_f if pred is None else F.when(F.col("_fold") == f, pred_f).otherwise(pred)
         acc = (
-            df.agg(F.avg((pred == F.col(label_col)).cast("double"))).collect()[0][0]
+            folded.agg(F.avg((pred == F.col(label_col)).cast("double"))).collect()[0][0]
         )
         score = min(1.0, (1.0 - acc) / max(1.0 - base_acc, 1e-12))
         rows.append((prop, float(round(acc, 6)), float(round(score, 6))))
+    folded.unpersist()
     return df.sparkSession.createDataFrame(
         rows, "property: string, classifier_accuracy: double, spurious_score: double"
     )
