@@ -279,3 +279,18 @@ def test_datalab_get_report(spark):
     # no-issue path
     rep2 = get_report(issues.limit(0), summary.where("num_issues < 0"), id_col="id")
     assert "No issues found" in rep2
+
+
+def test_every_query_has_an_oracle():
+    """CLAUDE.md invariant: every queries() entry ships a DuckDB oracle
+    twin (no rows-only checks), and no oracle is orphaned."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "_entry_inv", os.path.join(os.path.dirname(os.path.dirname(__file__)), "__spark_entry__.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    q, o = set(mod.queries()), set(mod.oracle_sql())
+    assert q == o, f"missing oracles: {sorted(q - o)}; orphans: {sorted(o - q)}"
