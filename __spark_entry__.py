@@ -517,8 +517,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .where(F.col("_rk") <= k_nn)
             .groupBy("qid")
             .agg(F.avg("_d").alias("avg_dist"))
+            .persist()  # reused by the median band probes + final projection
         )
-        med = avg_d.agg(F.expr("percentile(avg_dist, 0.5)")).collect()[0][0]
+        from sparkclean.stats import exact_median
+
+        med = exact_median(avg_d, "avg_dist")
         return avg_d.select(
             F.col("qid").alias("event_id"),
             F.round(F.exp(-F.col("avg_dist") / F.lit(float(med))), 6).alias("score"),
@@ -843,14 +846,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (internal/outlier.py:13-112) over the shared bucketed KNN graph
         # (sim.knn.knn_edges — no cartesian join)
         from sparkclean.quality.ood import correct_precision_errors
+        from sparkclean.stats import exact_median
 
         df = _emb(spark, sf).select("vec_id", "embedding")
         avg_d = (
             sim_knn.knn_edges(df, k=10, metric="euclidean", dim=64)
             .groupBy("qid")
             .agg(F.avg("d").alias("avg_dist"))
+            .persist()  # reused by the median band probes + the final projection
         )
-        med = avg_d.agg(F.expr("percentile(avg_dist, 0.5)")).collect()[0][0]
+        # exact median via the approxQuantile band trick — no exact
+        # Percentile aggregate (single-reducer O(distinct) memory) in plan
+        med = exact_median(avg_d, "avg_dist")
         score = correct_precision_errors(
             F.exp(-F.col("avg_dist") / F.lit(float(med))), F.col("avg_dist"), "euclidean"
         )
@@ -1303,8 +1310,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 q_scores.self_confidence(F.col("label"), F.col("pred_probs")), 6
             ).alias("score"),
         )
-        w = Window.orderBy(F.col("score").asc(), F.col("vec_id").asc())
-        return scored.withColumn("rank", F.row_number().over(w))
+        # distributed global rank (range-partition + broadcast prefix-sum
+        # offsets) — the flagged subset is a constant fraction of N, so an
+        # unpartitioned Window.orderBy would serialise it through one task
+        from sparkclean.stats import global_row_number
+
+        return global_row_number(scored, ["score", "vec_id"], out_col="rank")
 
     def normalized_margin_adjusted(spark, sf):
         # rank.get_label_quality_scores(method=normalized_margin,
@@ -2594,23 +2605,50 @@ FROM scored GROUP BY token HAVING sum(CASE WHEN s < 0.2 THEN 1 ELSE 0 END) > 0""
     from sparkclean.quality.valuation import knn_shapley_sql
 
     o["data_valuation"] = knn_shapley_sql("embeddings", k=10)
+    # observed split at the exact median id (perm -1) + 25 frozen
+    # hash-based permutations (md5(id:perm:seed) re-rank, first n_a ranks
+    # = group A) → per-perm two-sample KS at distinct-value step points →
+    # empirical-tail p-value; mirrors valuation.non_iid_ks's single
+    # grouped prefix-sum pass (reference noniid.py:267-299 analog)
+    _NIID_P, _NIID_SEED, _NIID_SIG = 25, 0, 0.05
     o["non_iid_check"] = f"""
 WITH {pc},
-scv AS (SELECT vec_id, p[label + 1] AS v FROM pp),
+scv AS MATERIALIZED (SELECT vec_id, p[label + 1] AS v FROM pp),
 med AS (SELECT quantile_cont(vec_id, 0.5) AS m FROM scv),
-tagged AS (SELECT v, CASE WHEN vec_id <= med.m THEN 1 ELSE 0 END AS a FROM scv CROSS JOIN med),
-cnts AS (SELECT sum(a)::DOUBLE AS na, sum(1 - a)::DOUBLE AS nb FROM tagged),
--- ECDF evaluated at distinct-value step points (tie-robust textbook KS;
--- mirrors the distributed prefix-sum in valuation.non_iid_ks)
-grp AS (SELECT v, sum(a) AS ga, sum(1 - a) AS gb FROM tagged GROUP BY v),
+base AS MATERIALIZED (
+  SELECT vec_id, v, CASE WHEN vec_id <= med.m THEN 1 ELSE 0 END AS a0
+  FROM scv CROSS JOIN med),
+cnts AS (SELECT sum(a0)::DOUBLE AS na, sum(1 - a0)::DOUBLE AS nb FROM base),
+obs AS (SELECT -1 AS perm, v, a0 AS a FROM base),
+pm AS (
+  SELECT p.perm, b.v, b.vec_id,
+         ('0x' || substr(md5(b.vec_id::VARCHAR || ':' || p.perm::VARCHAR || ':' || '{_NIID_SEED}'), 1, 15))::BIGINT AS h
+  FROM base b CROSS JOIN (SELECT unnest(range(0, {_NIID_P})) AS perm) p),
+ranked AS (
+  SELECT perm, v,
+         row_number() OVER (PARTITION BY perm ORDER BY h ASC, vec_id ASC) AS rn
+  FROM pm),
+permtag AS (
+  SELECT r.perm, r.v, CASE WHEN r.rn <= c.na THEN 1 ELSE 0 END AS a
+  FROM ranked r CROSS JOIN cnts c),
+tagged AS (SELECT * FROM obs UNION ALL SELECT * FROM permtag),
+grp AS (SELECT perm, v, sum(a) AS ga, sum(1 - a) AS gb FROM tagged GROUP BY 1, 2),
 ecdf AS (
-  SELECT sum(ga) OVER (ORDER BY v ASC ROWS UNBOUNDED PRECEDING) AS ca,
-         sum(gb) OVER (ORDER BY v ASC ROWS UNBOUNDED PRECEDING) AS cb
-  FROM grp
-), d AS (SELECT max(abs(ca / c.na - cb / c.nb)) AS d FROM ecdf CROSS JOIN cnts c)
-SELECT round(d.d, 6) AS ks_statistic, c.na::BIGINT AS n_a, c.nb::BIGINT AS n_b,
-       (d.d > 1.36 * sqrt((c.na + c.nb) / (c.na * c.nb))) AS is_non_iid_issue
-FROM d CROSS JOIN cnts c"""
+  SELECT perm,
+         sum(ga) OVER (PARTITION BY perm ORDER BY v ASC ROWS UNBOUNDED PRECEDING) AS ca,
+         sum(gb) OVER (PARTITION BY perm ORDER BY v ASC ROWS UNBOUNDED PRECEDING) AS cb
+  FROM grp),
+dstat AS (
+  SELECT perm, max(abs(ca / c.na - cb / c.nb)) AS d
+  FROM ecdf CROSS JOIN cnts c GROUP BY perm),
+dobs AS (SELECT d FROM dstat WHERE perm = -1),
+pv AS (
+  SELECT (1.0 + count(*) FILTER (WHERE s.perm >= 0 AND s.d >= o.d)) / (1.0 + {_NIID_P}) AS p_value
+  FROM dstat s CROSS JOIN dobs o)
+SELECT round(o.d, 6) AS ks_statistic, round(pv.p_value, 6) AS p_value,
+       c.na::BIGINT AS n_a, c.nb::BIGINT AS n_b,
+       (pv.p_value < {_NIID_SIG}) AS is_non_iid_issue
+FROM dobs o CROSS JOIN pv CROSS JOIN cnts c"""
 
     from sparkclean.quality.pooling import softmin_sql
     from sparkclean.quality.task_scores import (

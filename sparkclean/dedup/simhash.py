@@ -57,22 +57,32 @@ def simhash_from_hashes_udf():
     The bit votes are INTEGER sums (Σ ±1), so unlike the float kernels
     no accumulation-order discipline is needed — bincount over the
     exploded hash array is exact and ~100x the 32-fold interpreted
-    projection.  Empty token lists yield simhash 0, matching the fold."""
+    projection.  Empty token lists yield simhash 0 and NULL lists yield
+    NULL — both matching the Catalyst fold (aggregate over an empty
+    array returns the init literal; over NULL it propagates NULL), so
+    null-text corpora behave identically on the fast and oracle paths
+    instead of raising TypeError on len(None)."""
 
     @pandas_udf("long")
     def simhash(hs: pd.Series) -> pd.Series:
         n = len(hs)
-        lens = np.fromiter((len(x) for x in hs), dtype=np.int64, count=n)
-        if lens.sum() == 0:
-            return pd.Series(np.zeros(n, dtype=np.int64))
-        flat = np.concatenate([np.asarray(x, dtype=np.int64) for x in hs if len(x)])
-        rowids = np.repeat(np.arange(n), lens)
+        isnull = np.fromiter((x is None for x in hs), dtype=bool, count=n)
+        lens = np.fromiter(
+            (0 if x is None else len(x) for x in hs), dtype=np.int64, count=n
+        )
         out = np.zeros(n, dtype=np.int64)
-        for j in range(BITS):
-            ones = np.bincount(rowids, weights=(flat >> j) & 1, minlength=n)
-            votes = 2 * ones - lens
-            out += (votes > 0).astype(np.int64) << j
-        return pd.Series(out)
+        if lens.sum() > 0:
+            flat = np.concatenate(
+                [np.asarray(x, dtype=np.int64) for x in hs if x is not None and len(x)]
+            )
+            rowids = np.repeat(np.arange(n), lens)
+            for j in range(BITS):
+                ones = np.bincount(rowids, weights=(flat >> j) & 1, minlength=n)
+                votes = 2 * ones - lens
+                out += (votes > 0).astype(np.int64) << j
+        res = pd.Series(out, dtype="Int64")
+        res[isnull] = pd.NA
+        return res
 
     return simhash
 
@@ -100,18 +110,34 @@ def with_simhash(df: DataFrame, text_col: str = "text", out_col: str = "simhash"
     )
 
 
+def _check_block_bits(block_bits: int) -> int:
+    if block_bits <= 0 or BITS % block_bits != 0:
+        raise ValueError(
+            f"block_bits must divide {BITS} (got {block_bits})"
+        )
+    return BITS // block_bits
+
+
 def simhash_candidate_pairs_sql(
-    table: str, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 3
+    table: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    block_bits: int = 16,
 ) -> str:
-    """DuckDB twin of :func:`simhash_candidate_pairs` (same 16-bit half
+    """DuckDB twin of :func:`simhash_candidate_pairs` (same block-key
     blocking, same popcount verify)."""
+    nblocks = _check_block_bits(block_bits)
+    mask = (1 << block_bits) - 1
     sh = simhash_sql(text_col)
+    blocks = "\n  UNION ALL\n".join(
+        f"  SELECT _id, _sh, '{b}:' || (((_sh >> {b * block_bits}) & {mask}))::VARCHAR AS _half FROM sh"
+        for b in range(nblocks)
+    )
     return f"""
 WITH sh AS MATERIALIZED (SELECT {id_col} AS _id, {sh} AS _sh FROM {table}),
 halves AS (
-  SELECT _id, _sh, 'lo:' || (_sh % 65536)::VARCHAR AS _half FROM sh
-  UNION ALL
-  SELECT _id, _sh, 'hi:' || (_sh // 65536)::VARCHAR AS _half FROM sh
+{blocks}
 ),
 pairs AS (
   SELECT DISTINCT l._id AS id_a, r._id AS id_b, l._sh AS sh_a, r._sh AS sh_b
@@ -122,10 +148,27 @@ FROM pairs WHERE bit_count(xor(sh_a, sh_b)) <= {max_hamming}"""
 
 
 def simhash_candidate_pairs(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 3
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    block_bits: int = 16,
 ) -> DataFrame:
-    """Candidate near-dup pairs sharing a 16-bit simhash half, verified by
-    exact popcount Hamming distance <= max_hamming."""
+    """Candidate near-dup pairs sharing a ``block_bits``-wide simhash
+    block, verified by exact popcount Hamming distance <= max_hamming.
+
+    ``block_bits`` is the scale knob (the simhash analog of knn_edges'
+    EDGE_BITS): expected bucket size grows ~N/2^block_bits, so at 10^12
+    rows keep block_bits=16 but RAISE the block count by LOWERING
+    block_bits only when recall for larger Hamming radii matters — by
+    pigeonhole, d <= nblocks-1 pairs are guaranteed to share a block
+    (2 blocks of 16 guarantee d<=1; 4 blocks of 8 guarantee d<=3).  The
+    complementary growth path for huge corpora is the permuted-table
+    scheme (rotate the fingerprint by block_bits and re-block), which
+    keeps bucket sizes at N/2^16 while restoring multi-block recall;
+    plumb it as extra explode keys here if needed."""
+    nblocks = _check_block_bits(block_bits)
+    mask = (1 << block_bits) - 1
     s = with_simhash(
         df.select(F.col(id_col).alias("_id"), text_col), text_col, "_sh"
     ).select("_id", "_sh")
@@ -134,8 +177,17 @@ def simhash_candidate_pairs(
         "_sh",
         F.explode(
             F.array(
-                F.concat_ws(":", F.lit("lo"), (F.col("_sh") % F.lit(1 << 16)).cast("string")),
-                F.concat_ws(":", F.lit("hi"), F.shiftright(F.col("_sh"), 16).cast("string")),
+                *[
+                    F.concat_ws(
+                        ":",
+                        F.lit(str(b)),
+                        (
+                            F.shiftright(F.col("_sh"), b * block_bits)
+                            .bitwiseAND(F.lit(mask))
+                        ).cast("string"),
+                    )
+                    for b in range(nblocks)
+                ]
             )
         ).alias("_half"),
     )

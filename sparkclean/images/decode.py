@@ -249,8 +249,12 @@ def with_odd_size_flags(stats: DataFrame, ratio: float = 4.0) -> DataFrame:
     Requires w/h columns (use decode_and_project / decode_scan output)."""
     if "w" not in stats.columns or "h" not in stats.columns:
         raise ValueError("with_odd_size_flags needs w/h columns")
+    from ..stats import exact_median
+
     with_area = stats.withColumn("_area", (F.col("w") * F.col("h")).cast("double"))
-    med = with_area.agg(F.expr("percentile(_area, 0.5)")).collect()[0][0]
+    # exact interpolated median without the exact Percentile aggregate
+    # (single-reducer O(distinct) buffer at corpus scale)
+    med = exact_median(with_area, "_area")
     return (
         with_area.withColumn(
             "is_odd_size",

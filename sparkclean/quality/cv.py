@@ -60,6 +60,16 @@ def _lofo_stats(
     per_cell = base.groupBy("_fold", "_k").agg(*aggs).collect()
 
     cells = {(r["_fold"], r["_k"]): r for r in per_cell}
+    present = {k for (_, k) in cells}
+    missing = [k for k in range(num_classes) if k not in present]
+    if missing:
+        # mirror cleanlearning.fit_predict: fail loudly and identically in
+        # both engines instead of a bare KeyError here while the DuckDB
+        # twin silently compacts the class list
+        raise ValueError(
+            f"classes {missing} have no examples — leave-fold-out GNB "
+            "(like the reference's cross_val_predict) needs every class present"
+        )
     tot = {}
     for (_, k), r in cells.items():
         t = tot.setdefault(k, [0.0] * (1 + 2 * n_dims))

@@ -208,7 +208,12 @@ def find_issues(
     out = with_ood_scores(out, num_classes, probs_col, method="entropy", out_col="outlier_score")
     # outlier threshold: flag the bottom decile of the score distribution
     if exact_quantile:
-        thr = out.agg(F.expr("percentile(outlier_score, 0.1)")).collect()[0][0]
+        # exact interpolated decile via the approxQuantile band trick —
+        # same value as percentile(outlier_score, 0.1) with no exact
+        # Percentile aggregate (single-reducer O(distinct) buffer) in plan
+        from ..stats import exact_quantile as _exact_q
+
+        thr = _exact_q(out, "outlier_score", 0.1)
     else:
         thr = out.approxQuantile("outlier_score", [0.1], 0.001)[0]
     out = out.withColumn("is_outlier_issue", F.col("outlier_score") < F.lit(thr))
@@ -410,9 +415,12 @@ def near_duplicate_issues(
     nn = knn.where(F.col("_rk") == 1).select(
         F.col("_qid").alias(id_col), F.col("_d").alias("nn_dist")
     )
-    med = max(
-        float(nn.agg(F.expr("percentile(nn_dist, 0.5)")).first()[0]), 1e-6
-    )
+    from ..stats import exact_median
+
+    # exact interpolated median via the approxQuantile band trick — no
+    # exact Percentile aggregate (O(distinct) memory in ONE reducer at
+    # 10^12 rows) anywhere in the plan; bit-identical to percentile(0.5)
+    med = max(float(exact_median(nn, "nn_dist")), 1e-6)
     radius = threshold * med
     edges = knn.where(F.col("_d") < radius).select("_qid", "_nid")
     members = (

@@ -53,8 +53,15 @@ def knn_shapley_scores(
             (F.col("_ny") == F.col("_qy")).cast("double").alias("_m"),
         )
     )
-    last = edges.where(F.col("_rk") == k).select(
-        F.col("_qid"), F.col("_m").alias("_m_last")
+    # "last" neighbor = the max-rank edge per query (== rk k normally;
+    # degrades to the per-qid edge count when the table has <= k rows,
+    # instead of silently dropping every contribution).  The window is
+    # k-bounded per qid — never a global sort.
+    w_q = Window.partitionBy("_qid")
+    last = (
+        edges.withColumn("_mrk", F.max("_rk").over(w_q))
+        .where(F.col("_rk") == F.col("_mrk"))
+        .select(F.col("_qid"), F.col("_m").alias("_m_last"))
     )
     contrib = edges.join(last, "_qid").withColumn("_c", F.col("_m") - F.col("_m_last"))
     sums = contrib.groupBy(F.col("_nid").alias(id_col)).agg(F.sum("_c").alias("_s"))
@@ -85,7 +92,12 @@ kept AS (
   JOIN {table} qy ON qy.vec_id = e.qid
   JOIN {table} ny ON ny.vec_id = e.nid
 ),
-last AS (SELECT qid, m AS m_last FROM kept WHERE rk = {k}),
+-- max-rank edge per qid (= rk {k} normally; degrades to the per-qid edge
+-- count on tiny tables instead of dropping all contributions)
+last AS (
+  SELECT qid, m AS m_last FROM kept
+  QUALIFY rk = max(rk) OVER (PARTITION BY qid)
+),
 contrib AS (
   SELECT kept.nid, kept.m - last.m_last AS c FROM kept JOIN last USING (qid)
 ), sums AS (SELECT nid, sum(c) AS s FROM contrib GROUP BY 1)
@@ -94,68 +106,145 @@ FROM {table} e LEFT JOIN sums ON sums.nid = e.vec_id CROSS JOIN tot"""
 
 
 def non_iid_ks(
-    df: DataFrame, id_col: str, value_col: str, ecdf_partitions: int = 32
+    df: DataFrame,
+    id_col: str,
+    value_col: str,
+    ecdf_partitions: int = 32,
+    num_permutations: int = 25,
+    seed: int = 0,
+    significance: float = 0.05,
 ) -> DataFrame:
-    """One-row result: (ks_statistic, n_a, n_b, is_non_iid_issue).
+    """One-row result: (ks_statistic, p_value, n_a, n_b, is_non_iid_issue).
 
-    The KS statistic is evaluated at the ECDF's step points — the
-    DISTINCT values — which is both the textbook definition and
-    tie-robust.  The cumulative counts use a distributed prefix sum:
-    groupBy(value) → repartitionByRange(value) → within-partition
-    window + per-partition offsets (a window over ``ecdf_partitions``
-    rows, constant size at any data scale).  No single-partition global
-    window anywhere."""
-    median_id = df.agg(F.expr(f"percentile({id_col}, 0.5)")).collect()[0][0]
-    tagged = df.select(
+    Observed statistic: split the dataset into two halves at the median
+    id and take the two-sample KS distance of ``value_col`` — evaluated
+    at the ECDF's step points (the DISTINCT values), which is both the
+    textbook definition and tie-robust.
+
+    p-value (reference noniid.py:267-299 analog): the reference reruns
+    its statistic under ``num_permutations`` seeded index permutations
+    and reads the observed stat's tail mass off a KDE of the permuted
+    stats.  Here each permutation is a frozen hash-based one — rows are
+    re-ranked by md5(id:perm:seed) and the first n_a ranks form group A,
+    which is exactly a uniformly-drawn size-preserving relabelling —
+    and the p-value is the empirical tail (1 + #{d_perm >= d_obs}) /
+    (1 + P) (documented divergence: empirical tail instead of the
+    reference's Gaussian-KDE smoothing of the same 25 draws; erf is not
+    portable across both engines).  Issue flag: p_value < significance,
+    matching the reference's decision rule (noniid.py:199).
+
+    Everything is one grouped ECDF pass: the observed split rides along
+    as perm = -1, so P+1 KS statistics come out of ONE prefix-sum over
+    (perm, value) — repartitionByRange + within-partition window +
+    broadcast per-(perm, partition) offsets.  No exact ``percentile``
+    aggregate (median via the approxQuantile band trick) and no
+    single-partition global window anywhere; the permutation ranks use
+    the same grouped range-partitioned pattern
+    (:func:`sparkclean.stats.global_row_number`).
+    """
+    from ..stats import exact_median, global_row_number
+
+    median_id = exact_median(df, id_col)
+    base = df.select(
         F.col(value_col).alias("_v"),
-        (F.col(id_col) <= F.lit(median_id)).cast("int").alias("_a"),
+        F.col(id_col).alias("_id"),
+        (F.col(id_col) <= F.lit(median_id)).cast("int").alias("_a0"),
     )
-    counts = tagged.agg(
-        F.sum("_a").alias("na"), F.sum(F.lit(1) - F.col("_a")).alias("nb")
+    counts = base.agg(
+        F.sum("_a0").alias("na"), F.sum(F.lit(1) - F.col("_a0")).alias("nb")
     ).collect()[0]
     n_a, n_b = int(counts["na"]), int(counts["nb"])
 
+    obs = base.select(F.lit(-1).alias("_perm"), "_v", F.col("_a0").alias("_a"))
+    tagged = obs
+    if num_permutations > 0:
+        from ..text.shared import hash60_col
+
+        pm = base.select(
+            "_v",
+            "_id",
+            F.explode(
+                F.array(*[F.lit(i) for i in range(num_permutations)])
+            ).alias("_perm"),
+        ).withColumn(
+            "_h",
+            hash60_col(
+                F.concat_ws(
+                    ":",
+                    F.col("_id").cast("string"),
+                    F.col("_perm").cast("string"),
+                    F.lit(str(seed)),
+                )
+            ),
+        )
+        ranked = global_row_number(
+            pm,
+            ["_h", "_id"],
+            out_col="_rn",
+            group_cols=["_perm"],
+            num_partitions=ecdf_partitions,
+        )
+        permed = ranked.select(
+            "_perm", "_v", (F.col("_rn") <= F.lit(n_a)).cast("int").alias("_a")
+        )
+        tagged = obs.unionByName(permed)
+
     g = (
-        tagged.groupBy("_v")
+        tagged.groupBy("_perm", "_v")
         .agg(
             F.sum("_a").alias("_ga"),
             F.sum(F.lit(1) - F.col("_a")).alias("_gb"),
         )
-        .repartitionByRange(ecdf_partitions, F.col("_v"))
+        .repartitionByRange(ecdf_partitions, F.col("_perm"), F.col("_v"))
         .withColumn("_pid", F.spark_partition_id())
         .persist()  # pin the sampled range boundaries for both branches
     )
-    w_in = Window.partitionBy("_pid").orderBy(F.col("_v").asc()).rowsBetween(
+    w_in = Window.partitionBy("_pid", "_perm").orderBy(F.col("_v").asc()).rowsBetween(
         Window.unboundedPreceding, 0
     )
     cum = g.withColumn("_ca", F.sum("_ga").over(w_in)).withColumn(
         "_cb", F.sum("_gb").over(w_in)
     )
-    ptot = g.groupBy("_pid").agg(F.sum("_ga").alias("_ta"), F.sum("_gb").alias("_tb"))
-    w_p = Window.orderBy(F.col("_pid").asc()).rowsBetween(
-        Window.unboundedPreceding, -1
+    ptot = g.groupBy("_pid", "_perm").agg(
+        F.sum("_ga").alias("_ta"), F.sum("_gb").alias("_tb")
+    )
+    w_p = (
+        Window.partitionBy("_perm")
+        .orderBy(F.col("_pid").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
     offs = ptot.select(
         "_pid",
+        "_perm",
         F.coalesce(F.sum("_ta").over(w_p), F.lit(0)).alias("_oa"),
         F.coalesce(F.sum("_tb").over(w_p), F.lit(0)).alias("_ob"),
     )
-    d = (
-        cum.join(F.broadcast(offs), "_pid")
+    drows = (
+        cum.join(F.broadcast(offs), ["_pid", "_perm"])
+        .groupBy("_perm")
         .agg(
             F.max(
                 F.abs(
                     (F.col("_ca") + F.col("_oa")).cast("double") / F.lit(float(n_a))
                     - (F.col("_cb") + F.col("_ob")).cast("double") / F.lit(float(n_b))
                 )
-            ).alias("d")
+            ).alias("_d")
         )
-        .collect()[0]["d"]
+        .collect()
     )
     g.unpersist()
-    crit = 1.36 * math.sqrt((n_a + n_b) / (n_a * n_b))
+    dmap = {r["_perm"]: float(r["_d"]) for r in drows}
+    d = dmap[-1]
+    n_ge = sum(1 for p, s in dmap.items() if p >= 0 and s >= d)
+    p_value = (1.0 + n_ge) / (1.0 + num_permutations) if num_permutations else 0.0
+    flag = (
+        p_value < significance
+        if num_permutations
+        else d > 1.36 * math.sqrt((n_a + n_b) / (n_a * n_b))
+    )
     spark = df.sparkSession
     return spark.createDataFrame(
-        [(float(round(d, 6)), n_a, n_b, bool(d > crit))],
-        "ks_statistic: double, n_a: long, n_b: long, is_non_iid_issue: boolean",
+        [(float(round(d, 6)), float(round(p_value, 6)), n_a, n_b, bool(flag))],
+        "ks_statistic: double, p_value: double, n_a: long, n_b: long, "
+        "is_non_iid_issue: boolean",
     )

@@ -39,6 +39,25 @@ def _size_conf(spark, key: str, default: int) -> int:
         return default
 
 
+_SHUFFLE_OPS = (
+    "Join", "Aggregate", "Repartition", "Window", "Sort", "Deduplicate",
+    "Distinct", "GlobalLimit",
+)
+
+
+def _is_pure_scan(df: DataFrame) -> bool:
+    """True when the (analyzed, not yet physically planned) plan is
+    scan+narrow-only, so leaf-file arithmetic predicts the partition
+    count.  Plans with exchanges above the scan still report the leaf
+    files via inputFiles(), which would misestimate — those fall back to
+    the df.rdd probe."""
+    try:
+        plan = df._jdf.queryExecution().analyzed().toString()
+    except Exception:
+        return False
+    return not any(op in plan for op in _SHUFFLE_OPS)
+
+
 def ensure_parallelism(
     df: DataFrame, target: int | None = None, max_factor: int = 4
 ) -> DataFrame:
@@ -70,7 +89,7 @@ def ensure_parallelism(
         files = df.inputFiles()
     except Exception:
         files = []
-    if files:
+    if files and _is_pure_scan(df):
         try:
             import os
             from urllib.parse import unquote, urlparse
@@ -84,7 +103,13 @@ def ensure_parallelism(
             total = sum(os.path.getsize(local_path(f)) for f in files)
             mpb = _size_conf(spark, "spark.sql.files.maxPartitionBytes", 128 * 1024 * 1024)
             open_cost = _size_conf(spark, "spark.sql.files.openCostInBytes", 4 * 1024 * 1024)
-            n = max(1, -(-(total + open_cost * len(files)) // mpb))
+            # Replay FilePartition's full maxSplitBytes formula, including
+            # the bytesPerCore clamp — without it, small inputs undercount
+            # actual scan partitions and trigger a needless repartition.
+            total_with_cost = total + open_cost * len(files)
+            bytes_per_core = total_with_cost // max(sc.defaultParallelism, 1)
+            max_split = min(mpb, max(open_cost, bytes_per_core))
+            n = max(1, -(-total_with_cost // max(max_split, 1)))
         except Exception:
             n = len(files)
     if n is None:

@@ -1,0 +1,137 @@
+"""Distributed order-statistics primitives.
+
+Two scale-killers keep reappearing in feature-space managers:
+
+* an exact interpolated median via Spark's ``percentile`` aggregate —
+  which materialises the whole value multiset in ONE final aggregation
+  buffer (O(distinct) memory through a single reducer; an OOM at
+  10^12 unrounded doubles);
+* a global ``row_number`` via an unpartitioned ``Window.orderBy`` —
+  which serialises the whole table through one task.
+
+Both have shuffle-bounded replacements built from the same two ideas:
+
+* :func:`exact_quantile` — the ``bottom_n_flags`` band trick
+  (quality/issues.py): ``approxQuantile`` bounds a ~2·err·N-row band
+  around the target rank; only the band is sorted; the exact
+  interpolated quantile (same formula as Spark ``percentile`` /
+  DuckDB ``quantile_cont``) is read off the two straddling order
+  statistics.  Bit-identical to the exact aggregate, O(err·N) memory.
+* :func:`global_row_number` — repartitionByRange on the order key, a
+  within-partition ``row_number``, and a broadcast prefix-sum of
+  per-partition counts (the pattern proven by
+  ``valuation.non_iid_ks``'s ECDF).  ``group_cols`` generalises it to
+  P independent rankings in one pass (used by the non-IID permutation
+  test).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def exact_quantile(
+    df: DataFrame, col: str, q: float = 0.5, err: float = 0.002
+) -> float | None:
+    """Exact linear-interpolated quantile of ``col`` without an exact
+    ``Percentile`` aggregate anywhere in the plan.
+
+    Matches ``percentile(col, q)`` (Spark) and ``quantile_cont(col, q)``
+    (DuckDB) bit-for-bit: with n non-null values sorted ascending and
+    pos = (n-1)·q, the result is v[⌊pos⌋] + (pos-⌊pos⌋)·(v[⌈pos⌉]-v[⌊pos⌋]).
+    Only the approxQuantile band (~2·err·n rows) is ever ranked.
+    """
+    vals = df.select(F.col(col).cast("double").alias("_v")).where(
+        F.col("_v").isNotNull()
+    )
+    n = vals.count()
+    if n == 0:
+        return None
+    if n == 1:
+        return float(vals.first()["_v"])
+    pos = (n - 1) * q
+    k1 = int(math.floor(pos))
+    k2 = int(math.ceil(pos))
+    g = pos - k1
+
+    lo_q = max(0.0, q - 2 * err)
+    hi_q = min(1.0, q + 2 * err)
+    lo, hi = vals.approxQuantile("_v", [lo_q, hi_q], err / 2)
+    c_below = vals.where(F.col("_v") < lo).count()
+    if c_below > k1:
+        # heavy ties made the estimate overshoot — rank from the bottom
+        lo, c_below = float("-inf"), 0
+
+    w = Window.orderBy(F.col("_v").asc())
+    need = {k1 + 1 - c_below, k2 + 1 - c_below}  # 1-indexed in-band ranks
+
+    def grab(band: DataFrame) -> dict[int, float]:
+        rows = (
+            band.withColumn("_grr_rn", F.row_number().over(w))
+            .where(F.col("_grr_rn").isin(list(need)))
+            .select("_grr_rn", "_v")
+            .collect()
+        )
+        return {r["_grr_rn"]: r["_v"] for r in rows}
+
+    got = grab(vals.where((F.col("_v") >= lo) & (F.col("_v") <= hi)))
+    if any(r not in got for r in need):
+        # band undershot the upper rank — drop the upper bound (still a
+        # ~err·n tail, never the whole table unless ties forced lo=-inf)
+        got = grab(vals.where(F.col("_v") >= lo))
+    v1 = got[k1 + 1 - c_below]
+    v2 = got[k2 + 1 - c_below]
+    return float(v1) if k1 == k2 else float(v1 + g * (v2 - v1))
+
+
+def exact_median(df: DataFrame, col: str, err: float = 0.002) -> float | None:
+    return exact_quantile(df, col, 0.5, err)
+
+
+def global_row_number(
+    df: DataFrame,
+    order_cols: list[str],
+    out_col: str = "rank",
+    group_cols: list[str] | None = None,
+    num_partitions: int = 32,
+) -> DataFrame:
+    """Total-order ``row_number`` over ``order_cols`` without an
+    unpartitioned window: range-partition on (group, order) keys,
+    rank within each partition, then add broadcast per-partition
+    offsets.  With ``group_cols`` the ranking restarts per group (P
+    independent rankings, one shuffle).
+
+    ``order_cols`` must be a total order per group (tie-break on a
+    unique id) for the result to be deterministic.
+    """
+    group_cols = group_cols or []
+    keys = [F.col(c) for c in group_cols + order_cols]
+    part = (
+        df.repartitionByRange(num_partitions, *keys)
+        .withColumn("_grr_pid", F.spark_partition_id())
+        .persist()  # pin sampled range boundaries for both branches
+    )
+    w_in = Window.partitionBy("_grr_pid", *group_cols).orderBy(
+        *[F.col(c).asc() for c in order_cols]
+    )
+    ranked = part.withColumn("_grr_rn", F.row_number().over(w_in))
+    ptot = part.groupBy("_grr_pid", *group_cols).agg(F.count(F.lit(1)).alias("_grr_c"))
+    w_p = (
+        Window.partitionBy(*group_cols)
+        .orderBy(F.col("_grr_pid").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = ptot.select(
+        "_grr_pid",
+        *group_cols,
+        F.coalesce(F.sum("_grr_c").over(w_p), F.lit(0)).alias("_grr_off"),
+    )
+    join_keys = ["_grr_pid"] + group_cols
+    return (
+        ranked.join(F.broadcast(offs), join_keys)
+        .withColumn(out_col, (F.col("_grr_rn") + F.col("_grr_off")).cast("int"))
+        .drop("_grr_pid", "_grr_rn", "_grr_off")
+    )

@@ -75,6 +75,42 @@ def test_simhash_pairs(spark, dup_docs):
     assert ham(100, 110) < ham(100, 120)
 
 
+def test_simhash_block_bits_knob(spark, dup_docs):
+    """block_bits is the scale knob: 4 blocks of 8 bits guarantee (by
+    pigeonhole) recall of every pair within Hamming distance 3, so the
+    verified pair set at block_bits=8 must be a superset of the default
+    16-bit blocking — with the planted duplicates present in both."""
+    base = d_simhash.simhash_candidate_pairs(dup_docs, "text", "doc_id", max_hamming=3)
+    wide = d_simhash.simhash_candidate_pairs(
+        dup_docs, "text", "doc_id", max_hamming=3, block_bits=8
+    )
+    got16 = {(r["id_a"], r["id_b"]) for r in base.collect()}
+    got8 = {(r["id_a"], r["id_b"]) for r in wide.collect()}
+    assert got16 <= got8
+    assert (100, 101) in got16 and (100, 101) in got8
+    with pytest.raises(ValueError):
+        d_simhash.simhash_candidate_pairs(dup_docs, block_bits=7)
+
+
+def test_simhash_null_text(spark):
+    """Null text rows must flow through the Arrow kernel as NULL
+    fingerprints (matching the Catalyst fold's null propagation) instead
+    of raising TypeError, and never pair with anything."""
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, None), (3, "the quick brown fox"), (4, "")],
+        "doc_id: long, text: string",
+    )
+    sh = {r["doc_id"]: r["sh"] for r in
+          d_simhash.with_simhash(df, "text", "sh").collect()}
+    assert sh[2] is None
+    assert sh[4] == 0  # empty string → empty token list → 0, like the fold
+    assert sh[1] == sh[3] is not None
+    pairs = {(r["id_a"], r["id_b"])
+             for r in d_simhash.simhash_candidate_pairs(df).collect()}
+    assert (1, 3) in pairs
+    assert not any(2 in p for p in pairs)
+
+
 @pytest.fixture(scope="module")
 def vectors(spark):
     rng = np.random.RandomState(11)

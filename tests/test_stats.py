@@ -1,0 +1,136 @@
+"""Distributed order-statistics primitives (sparkclean/stats.py) +
+the round-3 plan guarantees: no exact Percentile aggregate and no
+unpartitioned global window in the feature-space scale paths."""
+
+import re
+
+import numpy as np
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from sparkclean.stats import exact_median, exact_quantile, global_row_number
+
+
+def _physical_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def values(spark):
+    rng = np.random.default_rng(7)
+    # mix of continuous values, heavy ties, and an even/odd-n split
+    vals = np.concatenate(
+        [rng.normal(0, 1, 400), np.repeat([0.25, -1.5], 50), rng.uniform(-2, 2, 101)]
+    )
+    return spark.createDataFrame(
+        [(int(i), float(v)) for i, v in enumerate(vals)], "id: long, v: double"
+    )
+
+
+@pytest.mark.parametrize("q", [0.1, 0.5, 0.9])
+def test_exact_quantile_matches_percentile(values, q):
+    want = values.agg(F.expr(f"percentile(v, {q})")).first()[0]
+    got = exact_quantile(values, "v", q)
+    assert got == pytest.approx(want, abs=0, rel=0), (got, want)
+
+
+def test_exact_median_even_and_odd_counts(spark):
+    for n in (4, 5):
+        df = spark.createDataFrame(
+            [(i, float(v)) for i, v in enumerate([3.0, 1.0, 4.0, 1.5, 9.0][:n])],
+            "id: long, v: double",
+        )
+        want = df.agg(F.expr("percentile(v, 0.5)")).first()[0]
+        assert exact_median(df, "v") == want
+
+
+def test_exact_quantile_all_ties(spark):
+    df = spark.createDataFrame([(i, 2.0) for i in range(100)], "id: long, v: double")
+    assert exact_median(df, "v") == 2.0
+
+
+def test_exact_quantile_empty_and_singleton(spark):
+    empty = spark.createDataFrame([], "id: long, v: double")
+    assert exact_quantile(empty, "v") is None
+    one = spark.createDataFrame([(1, 42.0)], "id: long, v: double")
+    assert exact_quantile(one, "v", 0.9) == 42.0
+
+
+def test_global_row_number_matches_unpartitioned_window(values):
+    w = Window.orderBy(F.col("v").asc(), F.col("id").asc())
+    want = {
+        r["id"]: r["rk"]
+        for r in values.withColumn("rk", F.row_number().over(w)).collect()
+    }
+    got = {
+        r["id"]: r["rank"]
+        for r in global_row_number(values, ["v", "id"], out_col="rank").collect()
+    }
+    assert got == want
+
+
+def test_global_row_number_grouped(values):
+    df = values.withColumn("grp", (F.col("id") % 3).cast("int"))
+    w = Window.partitionBy("grp").orderBy(F.col("v").asc(), F.col("id").asc())
+    want = {
+        (r["grp"], r["id"]): r["rk"]
+        for r in df.withColumn("rk", F.row_number().over(w)).collect()
+    }
+    got = {
+        (r["grp"], r["id"]): r["rank"]
+        for r in global_row_number(
+            df, ["v", "id"], out_col="rank", group_cols=["grp"]
+        ).collect()
+    }
+    assert got == want
+
+
+def _window_specs_all_partitioned(plan: str) -> bool:
+    """Every data-sized Window node (the row_number ranking) must carry a
+    partition spec: the node prints as `Window [exprs], [partSpec],
+    [orderSpec]` — an unpartitioned one omits the middle bracket group.
+    The broadcast prefix-sum of per-partition counts is allowed to be
+    unpartitioned: its input is the ptot aggregate, which is
+    ``num_partitions`` rows (constant at any data scale)."""
+    for m in re.finditer(r"Window \[", plan):
+        tail = plan[m.start() : plan.index("\n", m.start())]
+        if "row_number()" in tail and tail.count("], [") < 2:
+            return False
+    return True
+
+
+def test_global_row_number_plan_has_no_unpartitioned_window(values):
+    out = global_row_number(values, ["v", "id"], out_col="rank")
+    plan = _physical_plan(out)
+    assert "rangepartitioning" in plan or "RepartitionByExpression" in plan
+    assert _window_specs_all_partitioned(plan), plan
+
+
+def test_no_exact_percentile_in_scale_paths(spark):
+    """The three round-2 perf-weak call sites (near_duplicate_issues,
+    ood_knn_distance, non_iid_ks) must not call the exact ``percentile``
+    aggregate anywhere — source-level guard plus a plan check on the
+    DataFrame-returning manager."""
+    import inspect
+
+    import sparkclean.quality.datalab as datalab
+    import sparkclean.quality.valuation as valuation
+
+    bad = re.compile(r"""expr\(\s*f?['"]\s*percentile""", re.IGNORECASE)
+    for mod in (datalab, valuation):
+        assert not bad.search(inspect.getsource(mod)), mod
+    assert not bad.search(open("__spark_entry__.py").read())
+
+    from sparkclean.quality.datalab import near_duplicate_issues
+
+    rng = np.random.default_rng(3)
+    df = spark.createDataFrame(
+        [
+            (int(i), [float(x) for x in rng.normal(0, 1, 8)])
+            for i in range(80)
+        ],
+        "vec_id: long, embedding: array<double>",
+    )
+    plan = _physical_plan(near_duplicate_issues(df, k=3))
+    assert "Percentile" not in plan, "exact Percentile aggregate leaked into plan"
