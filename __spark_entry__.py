@@ -1363,6 +1363,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "is_underperforming_group_issue",
         )
 
+    def label_issues_from_features(spark, sf):
+        # features-only label-manager entry point (issue_manager/
+        # label.py:148-170): KNN-vote out-of-sample posterior over the
+        # shared bucketed knn_edges graph → prune_by_noise_rate chain
+        from sparkclean.quality.datalab import label_issues_from_features as _liff
+
+        df = _emb(spark, sf).select("vec_id", "embedding", "label")
+        return _liff(df, K)
+
+    def underperforming_group_graph(spark, sf):
+        # underperforming_group with clusters DERIVED from the feature
+        # space (eps-thresholded knn-graph connected components — the
+        # DBSCAN-over-knn-graph analog, underperforming_group.py:79-230)
+        from sparkclean.quality.datalab import underperforming_group_from_graph
+
+        df = _with_probs(_emb(spark, sf))
+        return underperforming_group_from_graph(df, K)
+
     def datalab_issue_summary(spark, sf):
         from sparkclean.quality.datalab import find_issues
 
@@ -1574,6 +1592,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         order_label_issues=order_label_issues,
         normalized_margin_adjusted=normalized_margin_adjusted,
         underperforming_group=underperforming_group,
+        label_issues_from_features=label_issues_from_features,
+        underperforming_group_graph=underperforming_group_graph,
         datalab_issue_summary=datalab_issue_summary,
     )
     # The external gate runs queries in dict order under a time budget
@@ -1595,6 +1615,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ood_knn_distance",
         "data_valuation",
         "near_duplicate_issues",
+        "label_issues_from_features",
+        "underperforming_group_graph",
         "majority_vote",
         "annotator_agreement",
         "crowdlab_consensus_quality",
@@ -2383,6 +2405,81 @@ WITH {pc}, {_TH_CTE}, {_BIN_CTE}, {_CAL_CTE.lstrip()}, {_PCM_CTE.lstrip()}, {_PR
 SELECT c.vec_id,
        (c.flag AND cm.vec_id IS NOT NULL AND {_BOOST_SQL} <> c.label) AS is_label_issue
 FROM classmask c LEFT JOIN countmask cm ON cm.vec_id = c.vec_id"""
+
+    # features-only label manager (issue_manager/label.py:148-170):
+    # pp comes from the KNN vote fraction (k nearest non-self neighbors
+    # == KNeighborsClassifier(k+1).predict_proba minus the self vote,
+    # rescaled (k+1)/k) instead of the softmax CTE; the downstream
+    # thresholds → confident bins → calibrate → prune_by_noise_rate
+    # chain is byte-identical to issues_prune_by_noise_rate.
+    _KNN_PP_CTE = f"""
+{sim_knn.knn_edges_cte_sql("embeddings", k=10, metric="euclidean", dim=64).lstrip()},
+votes AS (
+  SELECT e.qid, ny.label AS nl FROM knn e JOIN embeddings ny ON ny.vec_id = e.nid
+),
+vc AS (SELECT qid, nl AS k, count(*)::DOUBLE / 10.0 AS f FROM votes GROUP BY 1, 2),
+pp AS MATERIALIZED (
+  SELECT q.vec_id, q.label, list(coalesce(vc.f, 0.0) ORDER BY r.k) AS p
+  FROM embeddings q CROSS JOIN range(0, {K}) r(k)
+  LEFT JOIN vc ON vc.qid = q.vec_id AND vc.k = r.k
+  GROUP BY q.vec_id, q.label
+)"""
+    # the knn CTE chain already owns the name "cand" — rename the prune
+    # chain's candidate CTE for this composition only
+    _PRUNE_COUNT_KNN = _PRUNE_COUNT_CTE.replace("cand", "prcand")
+    o["label_issues_from_features"] = f"""
+WITH {_KNN_PP_CTE.lstrip()}, {_TH_CTE}, {_BIN_CTE}, {_CAL_CTE.lstrip()}, {_PCM_CTE.lstrip()}, {_PRUNE_COUNT_KNN.lstrip()}
+SELECT g.vec_id,
+       (cm.vec_id IS NOT NULL AND {_BOOST_SQL} <> g.label) AS is_label_issue,
+       round(g.p[g.label + 1], 6) AS label_score
+FROM guessed g LEFT JOIN countmask cm ON cm.vec_id = g.vec_id"""
+
+    from sparkclean.quality.datalab import UNDERPERFORMING_RATIO as UNDERPERF_T
+
+    # underperforming_group with clusters derived from the feature space:
+    # connected components (min-id) of the knn graph thresholded at the
+    # exact median nearest-neighbor distance, min_cluster_samples=5 filter,
+    # per-cluster mean self-confidence ratio vs the filtered mean, worst
+    # cluster flagged iff ratio < 0.1 (underperforming_group.py:79-230).
+    # The recursive CTE enumerates (node, reaching-id) pairs — fine at
+    # oracle scale; the Spark side uses log-diameter pointer-jumping.
+    o["underperforming_group_graph"] = f"""
+WITH RECURSIVE {pc}, {sim_knn.knn_edges_cte_sql("embeddings", k=10, metric="euclidean", dim=64).lstrip()},
+nn1 AS (SELECT d FROM knn WHERE rk = 1),
+epsv AS (SELECT quantile_cont(d, 0.5) AS eps FROM nn1),
+half AS (SELECT qid AS src, nid AS dst FROM knn CROSS JOIN epsv WHERE d <= epsv.eps),
+edges AS MATERIALIZED (SELECT src, dst FROM half UNION SELECT dst, src FROM half),
+reach AS (
+  SELECT vec_id AS id, vec_id AS comp FROM embeddings
+  UNION
+  SELECT e.dst AS id, r.comp FROM reach r JOIN edges e ON e.src = r.id
+),
+comp AS (SELECT id, min(comp) AS comp FROM reach GROUP BY id),
+withc AS MATERIALIZED (
+  SELECT p.vec_id, p.label, p.p[p.label + 1] AS sc,
+         CASE WHEN s.src IS NULL THEN -1 ELSE c.comp END AS cluster_id
+  FROM pp p
+  LEFT JOIN (SELECT DISTINCT src FROM edges) s ON s.src = p.vec_id
+  JOIN comp c ON c.id = p.vec_id
+),
+sizes AS (SELECT cluster_id, count(*) AS n FROM withc GROUP BY 1),
+valid AS (SELECT cluster_id FROM sizes WHERE cluster_id >= 0 AND n >= 5),
+kept AS (SELECT w.* FROM withc w JOIN valid v USING (cluster_id)),
+mp AS (SELECT avg(sc) AS m FROM kept),
+bc AS (
+  SELECT cluster_id, avg(sc) / mp.m AS ratio
+  FROM kept CROSS JOIN mp GROUP BY cluster_id, mp.m
+  HAVING avg(sc) / mp.m < 1.0
+),
+worst AS (
+  SELECT cluster_id FROM bc WHERE ratio < {UNDERPERF_T}
+  ORDER BY ratio ASC, cluster_id ASC LIMIT 1
+)
+SELECT w.vec_id, w.cluster_id,
+       round(coalesce(bc.ratio, 1.0), 6) AS underperforming_group_score,
+       coalesce(w.cluster_id = (SELECT cluster_id FROM worst), false)
+           AS is_underperforming_group_issue
+FROM withc w LEFT JOIN bc USING (cluster_id)"""
 
     # CleanLearning.fit final-model stage: prune -> class weights
     # 1/max(nm_kk,1e-3) -> weighted-prior GNB over embedding[1..4] ->

@@ -63,6 +63,13 @@ def run(sf_dir: str, cpus: int, image_n: int, include_headline: bool = True) -> 
                 spark.catalog.clearCache()
             timings[name] = round(best, 3)
 
+    # rescue observability: the ood_knn_distance rep above rebuilt the
+    # shared knn_edges graph at this sf — record how many query rows hit
+    # the broadcast rescue backstop (must stay ~0; see sim/knn.py)
+    from sparkclean.sim import knn as sim_knn
+
+    rescue_count = sim_knn.LAST_RESCUE_COUNT
+
     # fused image pipeline over the synthetic corpus (decode + score +
     # scrub).  Corpus is generated once to /tmp (deterministic, keyed by
     # N) and scanned with the python-native reader; generation is setup,
@@ -100,6 +107,7 @@ def run(sf_dir: str, cpus: int, image_n: int, include_headline: bool = True) -> 
         "images_per_sec": round(image_n / image_secs, 1),
         "image_n": image_n,
         "cpus": cpus,
+        "knn_rescue_rows": rescue_count if include_headline else None,
     }
     spark.stop()
     return result

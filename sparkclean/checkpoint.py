@@ -115,3 +115,36 @@ def run_checkpointed(
     totals["dropped_by_rule"] = hist
     _save_manifest(output_dir, manifest)
     return manifest
+
+
+def publish_bucketed(
+    spark,
+    output_dir: str,
+    table: str,
+    id_col: str = "image_id",
+    n_buckets: int = 64,
+    path: str | None = None,
+):
+    """Re-publish a COMPLETED checkpoint output as a bucketBy(id) catalog
+    table (sparkclean.io.write_bucketed), so every later id-keyed join
+    against it — the resume-round pattern, where the next pipeline round
+    joins the scored table back to fresh features — runs with NO Exchange
+    on the scored side (and none at all when the other side shares the
+    bucket spec).
+
+    One extra write pass at publish time buys shuffle-freedom for every
+    subsequent round: at corpus scale the repeated id-join shuffle is the
+    dominant cost (io.py module docs), so this is the amortization the
+    bucketed-IO plan tests promise, wired into the checkpoint flow.
+    Returns the bucketed DataFrame (read via the catalog, which carries
+    the bucket spec — a plain parquet read would not)."""
+    from .io import read_bucketed, write_bucketed
+
+    manifest = load_manifest(output_dir)
+    if not manifest["buckets"]:
+        raise ValueError(f"no completed checkpoint at {output_dir}")
+    df = spark.read.parquet(output_dir).drop("_bucket")
+    write_bucketed(
+        df, table, [id_col], n_buckets, sort_cols=[id_col], path=path
+    )
+    return read_bucketed(spark, table)

@@ -91,6 +91,253 @@ def underperforming_group_issues(
     )
 
 
+def knn_vote_pred_probs(
+    df: DataFrame,
+    num_classes: int,
+    k: int = 10,
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    metric: str = "euclidean",
+) -> DataFrame:
+    """Out-of-sample pred_probs from features alone — the reference's
+    features-only label-manager entry point (issue_manager/label.py:148-160):
+    KNeighborsClassifier(k+1).predict_proba on the training set, minus the
+    self vote, rescaled by (k+1)/k.  Removing the self vote from the k+1
+    neighbor set (which contains the query itself at distance 0) leaves
+    exactly the k nearest OTHER points, so
+
+        pred_probs[j] = #{k nearest non-self neighbors with label j} / k
+
+    which is one groupBy over the shared bucketed :func:`knn_edges` graph
+    (no cartesian join; distance ties break on (d, id), the repo-wide
+    documented tie order where sklearn is index-order).
+    Returns (id, label, pred_probs) for every input row.
+    """
+    from ..sim.knn import knn_edges
+
+    edges = knn_edges(df, k=k, id_col=id_col, vec_col=vec_col, metric=metric)
+    nl = df.select(F.col(id_col).alias("nid"), F.col(label_col).alias("_nl"))
+    votes = edges.join(nl, "nid").groupBy("qid").agg(
+        *[
+            (F.sum((F.col("_nl") == j).cast("int")) / F.lit(float(k))).alias(f"_p{j}")
+            for j in range(num_classes)
+        ]
+    )
+    pp = votes.select(
+        F.col("qid").alias(id_col),
+        F.array(*[F.col(f"_p{j}") for j in range(num_classes)]).alias("pred_probs"),
+    )
+    return df.select(id_col, label_col).join(pp, id_col)
+
+
+def label_issues_from_features(
+    df: DataFrame,
+    num_classes: int,
+    k: int = 10,
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    filter_by: str = "prune_by_noise_rate",
+) -> DataFrame:
+    """Features-only label manager: KNN-vote posterior →
+    find_label_issues → self-confidence quality score, mirroring the
+    reference's LabelIssueManager when only features are supplied
+    (label.py:148-170).  Returns (id, is_label_issue, label_score)."""
+    # the issues chain fans out into ~6 jobs (thresholds, joint,
+    # calibration, prune ranks) — pin the narrow (id, label, K-array)
+    # posterior once instead of re-running the knn vote per job
+    pp = knn_vote_pred_probs(
+        df, num_classes, k=k, id_col=id_col, label_col=label_col, vec_col=vec_col
+    ).persist()
+    out = find_label_issues(
+        pp, num_classes, id_col=id_col, label_col=label_col, filter_by=filter_by
+    )
+    return out.select(
+        id_col,
+        "is_label_issue",
+        F.round(
+            self_confidence(F.col(label_col), F.col("pred_probs")), 6
+        ).alias("label_score"),
+    )
+
+
+def knn_graph_clusters(
+    df: DataFrame,
+    eps: float,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_iter: int = 20,
+    edges_df: DataFrame | None = None,
+) -> DataFrame:
+    """Connected components of the eps-thresholded KNN graph — the
+    distributed analog of the reference's DBSCAN(metric="precomputed")
+    over the sparse knn_graph (underperforming_group.py:140-154): the
+    knn graph already sparsifies to each point's k nearest, and
+    thresholding at eps + transitive closure reproduces DBSCAN's
+    density-reachability with min_samples at its sparse-matrix floor
+    (documented divergence: no core/border distinction).
+
+    Returns (id, cluster_id) where cluster_id = min member id, or -1
+    (DBSCAN's noise label) for points with no within-eps neighbor.
+
+    Iteration strategy: min-label propagation with pointer-jumping —
+    each round every node takes min(own, neighbors') component, then
+    components shortcut through their current root (comp = comp[comp]),
+    so convergence is O(log diameter) rounds, each one equi-join +
+    groupBy.  Lineage is truncated with localCheckpoint every round to
+    keep plans bounded.  ``max_iter`` is a backstop; the loop exits on a
+    converged (zero-changes) round."""
+    if edges_df is None:
+        from ..sim.knn import knn_edges
+
+        edges_df = knn_edges(df, k=k, id_col=id_col, vec_col=vec_col, metric="euclidean")
+    half = (
+        edges_df.where(F.col("d") <= F.lit(float(eps)))
+        .select(F.col("qid").alias("src"), F.col("nid").alias("dst"))
+    )
+    edges = half.unionByName(
+        half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct().persist()
+
+    nodes = df.select(F.col(id_col).alias("id"))
+    comp = nodes.withColumn("comp", F.col("id")).localCheckpoint()
+    prev_sum = None
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(comp.select(F.col("id").alias("dst"), "comp"), "dst")
+            .groupBy(F.col("src").alias("id"))
+            .agg(F.min("comp").alias("_nc"))
+        )
+        stepped = (
+            comp.join(nbr_min, "id", "left")
+            .select("id", F.least(F.col("comp"), F.coalesce("_nc", "comp")).alias("comp"))
+        )
+        # pointer jump: comp <- comp[comp] (roots resolve transitively)
+        jumped = (
+            stepped.alias("a")
+            .join(
+                stepped.select(
+                    F.col("id").alias("comp"), F.col("comp").alias("_root")
+                ).alias("b"),
+                "comp",
+                "left",
+            )
+            .select("id", F.coalesce("_root", "comp").alias("comp"))
+            .localCheckpoint()
+        )
+        # convergence: per-node comp values only ever DECREASE, so the
+        # total is strictly decreasing until the fixpoint — one narrow
+        # agg on the checkpointed frame instead of a join-and-count.
+        # decimal(38,0) keeps the sum exact at any id range (a long sum
+        # would overflow ANSI mode at 10^12 rows × 10^12-scale ids)
+        csum = jumped.agg(F.sum(F.col("comp").cast("decimal(38,0)"))).collect()[0][0]
+        comp = jumped
+        if prev_sum is not None and csum == prev_sum:
+            break
+        prev_sum = csum
+    edges.unpersist()
+
+    isolated = nodes.join(
+        edges.select(F.col("src").alias("id")).distinct(), "id", "left_anti"
+    ).withColumn("cluster_id", F.lit(-1).cast("long"))
+    clustered = comp.join(
+        isolated.select("id"), "id", "left_anti"
+    ).select("id", F.col("comp").alias("cluster_id"))
+    return clustered.unionByName(isolated.select("id", "cluster_id")).select(
+        F.col("id").alias(id_col), "cluster_id"
+    )
+
+
+def underperforming_group_from_graph(
+    df: DataFrame,
+    num_classes: int,
+    eps: float | None = None,
+    k: int = 10,
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    probs_col: str = "pred_probs",
+    vec_col: str = "embedding",
+    min_cluster_samples: int = 5,
+    threshold: float = UNDERPERFORMING_RATIO,
+) -> DataFrame:
+    """underperforming_group with clusters DERIVED from the feature
+    space, reproducing the reference's DBSCAN-over-knn-graph flow
+    (underperforming_group.py:79-230) instead of a caller-supplied
+    cluster column:
+
+    * clusters = connected components of the eps-thresholded knn graph
+      (eps defaults to the exact median nearest-neighbor distance);
+    * noise (-1) and clusters below ``min_cluster_samples`` are excluded
+      (filter_cluster_ids), and mean performance is computed over the
+      REMAINING rows only;
+    * every cluster whose mean self-confidence falls below the filtered
+      mean scores ratio = cluster_mean / mean (others 1.0), and the
+      worst cluster is flagged iff its ratio < threshold — per-cluster
+      scores exactly as get_underperforming_clusters assigns them.
+
+    Returns (id, cluster_id, underperforming_group_score,
+    is_underperforming_group_issue)."""
+    from ..sim.knn import knn_edges
+
+    edges_all = knn_edges(
+        df, k=k, id_col=id_col, vec_col=vec_col, metric="euclidean"
+    ).persist()  # shared by the eps median and every clustering round
+    if eps is None:
+        from ..stats import exact_median
+
+        nn = edges_all.where(F.col("rk") == 1).select(F.col("d").alias("_nnd"))
+        eps = float(exact_median(nn, "_nnd"))
+
+    clusters = knn_graph_clusters(
+        df, eps, k=k, id_col=id_col, vec_col=vec_col, edges_df=edges_all
+    )
+    scored = (
+        df.select(id_col, label_col, probs_col)
+        .join(clusters, id_col)
+        .withColumn("_sc", self_confidence(F.col(label_col), F.col(probs_col)))
+    )
+    sizes = scored.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("_n"))
+    valid = sizes.where(
+        (F.col("cluster_id") >= 0) & (F.col("_n") >= min_cluster_samples)
+    ).select("cluster_id")
+    kept = scored.join(F.broadcast(valid), "cluster_id")
+    mean_perf = kept.agg(F.avg("_sc")).collect()[0][0]
+    if mean_perf is None:
+        # no valid clusters → reference reports all-ok (find_issues early
+        # return when unique_cluster_ids is empty)
+        return scored.select(
+            id_col,
+            "cluster_id",
+            F.lit(1.0).alias("underperforming_group_score"),
+            F.lit(False).alias("is_underperforming_group_issue"),
+        )
+    by_cluster = (
+        kept.groupBy("cluster_id")
+        .agg(F.avg("_sc").alias("_cm"))
+        .withColumn("_ratio", F.col("_cm") / F.lit(float(mean_perf)))
+        .where(F.col("_ratio") < 1.0)
+    )
+    worst = by_cluster.orderBy(F.col("_ratio").asc(), F.col("cluster_id").asc()).first()
+    worst_id = worst["cluster_id"] if worst and worst["_ratio"] < threshold else None
+    return (
+        scored.join(F.broadcast(by_cluster), "cluster_id", "left")
+        .select(
+            id_col,
+            "cluster_id",
+            F.round(F.coalesce("_ratio", F.lit(1.0)), 6).alias(
+                "underperforming_group_score"
+            ),
+            (
+                F.col("cluster_id") == F.lit(worst_id)
+                if worst_id is not None
+                else F.lit(False)
+            ).alias("is_underperforming_group_issue"),
+        )
+    )
+
+
 def spurious_correlation_scores(
     df: DataFrame,
     property_cols: list[str],

@@ -351,6 +351,11 @@ def objectlab_find_label_issues(
     ``AP_k * 0.25 * 0.8``; an image is an issue when ANY of its boxes
     (predicted or annotated) falls at or below its threshold.  NaN box
     scores count as 1.0 (never an issue)."""
+    # lab/pred feed ~8 separate jobs (AP collect, gt counts, minsim,
+    # three subtype DAGs, final union) — pin the small box tables once
+    # instead of re-deriving them per job
+    lab = lab.persist()
+    pred = pred.persist()
     ap = per_class_ap(lab, pred, num_classes)
     thr = {k: ap[k] * AP_SCALE_FACTOR for k in range(num_classes)}
     thr_map = F.create_map(*[x for k, v in thr.items() for x in (F.lit(k), F.lit(float(v)))])

@@ -235,6 +235,9 @@ def lsh_topk(
 EDGE_BANDS = 8
 EDGE_BITS = 6
 EDGE_SEED = 97
+# rescue-set size of the most recent knn_edges build (observability:
+# the broadcast backstop must stay near-empty; bench.py reports this)
+LAST_RESCUE_COUNT: int | None = None
 
 
 def edge_planes(dim: int, bands: int = EDGE_BANDS, bits: int = EDGE_BITS, seed: int = EDGE_SEED) -> np.ndarray:
@@ -442,7 +445,22 @@ def knn_edges(
         .join(have, "qid", "left")
         .where(F.coalesce(F.col("_c"), F.lit(0)) < k)
         .select("qid")
+        .persist()
     )
+    # Rescue observability: the broadcast backstop is only safe while it
+    # stays (near-)empty — measure it instead of assuming.  The count
+    # reads the already-persisted edge list, so this adds one cheap job,
+    # not a recompute; bench.py surfaces the number in BENCH.md.
+    global LAST_RESCUE_COUNT
+    LAST_RESCUE_COUNT = needy.count()
+    if LAST_RESCUE_COUNT:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "knn_edges rescue backstop engaged for %d query rows "
+            "(bands=%d bits=%d) — raise bits if this grows with N",
+            LAST_RESCUE_COUNT, bands, bits,
+        )
     rescue_pairs = F.broadcast(needy).join(
         vecs.select(F.col("_id").alias("nid")), F.col("qid") != F.col("nid")
     ).select("qid", "nid")

@@ -1,0 +1,109 @@
+"""Graph-derived managers: KNN-vote pred_probs (features-only label
+manager) and eps-thresholded connected components (underperforming_group
+from the graph)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from sparkclean.quality.datalab import (
+    knn_graph_clusters,
+    knn_vote_pred_probs,
+    label_issues_from_features,
+    underperforming_group_from_graph,
+)
+
+K = 4
+
+
+@pytest.fixture(scope="module")
+def blobs(spark):
+    """Three tight planted blobs (12, 8, 6 points) + 4 far-flung isolates;
+    labels mostly follow the blob with a few planted flips."""
+    rng = np.random.RandomState(5)
+    rows = []
+    centers = [(0.0, 0.0), (10.0, 10.0), (-10.0, 8.0)]
+    sizes = [12, 8, 6]
+    i = 0
+    for b, ((cx, cy), n) in enumerate(zip(centers, sizes)):
+        for _ in range(n):
+            vec = [cx + rng.uniform(-0.3, 0.3), cy + rng.uniform(-0.3, 0.3)]
+            label = b if i % 7 else (b + 1) % K  # planted flips
+            rows.append((i, [float(v) for v in vec] + [0.0, 0.0], label))
+            i += 1
+    for j in range(4):
+        rows.append((i, [100.0 + 30 * j, -100.0, 0.0, 0.0], 3))
+        i += 1
+    return spark.createDataFrame(
+        rows, "vec_id: long, embedding: array<double>, label: int"
+    ).cache()
+
+
+def test_knn_graph_clusters_recovers_blobs(blobs):
+    out = {r["vec_id"]: r["cluster_id"]
+           for r in knn_graph_clusters(blobs, eps=2.0, k=5).collect()}
+    # blob members share a component labeled by the min member id
+    assert {out[i] for i in range(12)} == {0}
+    assert {out[i] for i in range(12, 20)} == {12}
+    assert {out[i] for i in range(20, 26)} == {20}
+    # isolates are DBSCAN-style noise
+    assert all(out[i] == -1 for i in range(26, 30))
+
+
+def test_knn_vote_pred_probs_matches_reference_formula(blobs):
+    """pred_probs[j] must equal the vote fraction over the k graph
+    neighbors — the (k+1)-NN-including-self posterior minus the self
+    vote, rescaled by (k+1)/k (label.py:148-160).  The replay votes over
+    the SAME knn_edges graph the operator consumes (graph recall is
+    covered by the dedicated knn recall tests), so this isolates the
+    vote/posterior construction."""
+    from sparkclean.sim.knn import knn_edges
+
+    k = 5
+    got = {
+        r["vec_id"]: list(r["pred_probs"])
+        for r in knn_vote_pred_probs(blobs, K, k=k).collect()
+    }
+    y = {r["vec_id"]: r["label"] for r in blobs.select("vec_id", "label").collect()}
+    edges = knn_edges(blobs, k=k, metric="euclidean").collect()
+    nbrs: dict[int, list[int]] = {}
+    for r in edges:
+        nbrs.setdefault(r["qid"], []).append(r["nid"])
+    assert set(nbrs) == set(y)
+    for q, ns in nbrs.items():
+        assert len(ns) == k
+        want = [sum(1 for j in ns if y[j] == c) / k for c in range(K)]
+        assert got[q] == pytest.approx(want, abs=1e-12)
+    # every posterior row sums to 1
+    assert all(abs(sum(p) - 1.0) < 1e-12 for p in got.values())
+
+
+def test_label_issues_from_features_flags_planted_flips(blobs):
+    out = label_issues_from_features(blobs, K, k=5)
+    flagged = {r["vec_id"] for r in out.where(F.col("is_label_issue")).collect()}
+    planted = {i for i in range(26) if i % 7 == 0}
+    # the planted flips inside tight blobs are exactly what KNN voting
+    # disagrees with; require a clear majority of them caught
+    assert len(flagged & planted) >= len(planted) - 1
+    assert out.count() == blobs.count()
+
+
+def test_underperforming_group_from_graph_runs_and_scores(blobs):
+    df = blobs.withColumn(
+        "pred_probs",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(K - 1)),
+            lambda j: F.when(j == F.col("label"), F.lit(0.7)).otherwise(
+                F.lit(0.1)
+            ),
+        ),
+    )
+    out = underperforming_group_from_graph(df, K, eps=2.0, k=5)
+    rows = out.collect()
+    assert len(rows) == df.count()
+    by_id = {r["vec_id"]: r for r in rows}
+    # isolates carry the noise cluster and default score 1.0
+    assert by_id[27]["cluster_id"] == -1
+    assert by_id[27]["underperforming_group_score"] == 1.0
+    # scores are ratios in (0, 1]
+    assert all(0.0 < r["underperforming_group_score"] <= 1.0 for r in rows)

@@ -198,3 +198,30 @@ def test_checkpoint_resume(spark, corpus, tmp_path):
     a = spark.read.parquet(out_dir).orderBy("image_id").drop("_bucket").collect()
     b = spark.read.parquet(solo_dir).orderBy("image_id").drop("_bucket").collect()
     assert a == b
+
+    # resume-round join: publish the completed checkpoint as a bucketed
+    # table; the next round's id-join against an equally-bucketed feature
+    # table must plan with NO Exchange (shuffle-free resume)
+    from sparkclean.checkpoint import publish_bucketed
+    from sparkclean.io import write_bucketed, read_bucketed
+
+    scored_tbl = publish_bucketed(
+        spark, out_dir, "ckpt_scores", n_buckets=8,
+        path=str(tmp_path / "scores_bkt"),
+    )
+    feats = corpus.select("image_id", F.length("caption").alias("cap_len"))
+    write_bucketed(
+        feats, "ckpt_feats", ["image_id"], 8, sort_cols=["image_id"],
+        path=str(tmp_path / "feats_bkt"),
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        resumed = scored_tbl.join(read_bucketed(spark, "ckpt_feats"), "image_id")
+        plan = resumed._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert resumed.count() == N
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS ckpt_scores")
+        spark.sql("DROP TABLE IF EXISTS ckpt_feats")

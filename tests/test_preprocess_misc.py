@@ -99,3 +99,20 @@ def test_cv_pred_probs_structure(spark):
     a1 = {r["vec_id"]: r["pred_probs"] for r in out}
     a2 = {r["vec_id"]: r["pred_probs"] for r in out2}
     assert all(np.allclose(a1[k], a2[k]) for k in a1)
+
+
+def test_cv_pred_probs_missing_class_raises(spark):
+    """A class in range(num_classes) with zero rows must raise a
+    descriptive ValueError (matching cleanlearning.fit_predict), not a
+    bare KeyError — the DuckDB twin silently compacts the class list, so
+    the engines must fail identically instead of diverging."""
+    import pytest
+
+    from sparkclean.quality.cv import with_cv_pred_probs
+
+    df = spark.createDataFrame(
+        [(i, [float(i % 7) / 7.0] * 8, i % 3) for i in range(60)],
+        "vec_id: long, embedding: array<double>, label: int",
+    )
+    with pytest.raises(ValueError, match=r"classes \[3, 4\] have no examples"):
+        with_cv_pred_probs(df, 5)  # classes 3 and 4 absent
