@@ -130,7 +130,11 @@ def bottom_n_flags(
         return df.withColumn(flag_col, F.lit(True))
 
     frac = n / total
-    err = 0.005
+    # band half-width shrinks with the data so the single-task band rank
+    # stays ≤ ~2e6 rows at ANY corpus size (see stats._adaptive_err)
+    from ..stats import _adaptive_err
+
+    err = min(0.005, _adaptive_err(total, None) * 2.5)
     lo_q, hi_q = max(0.0, frac - 2 * err), min(1.0, frac + 2 * err)
     lo, hi = df.approxQuantile(score_col, [lo_q, hi_q], err / 2)
 

@@ -11,10 +11,12 @@
   That's a KNN edge list + one groupBy — no N×N anything.
 
 * :func:`non_iid_ks` — simplified Kolmogorov-Smirnov two-sample test
-  (noniid.py:19-57 analog): split the dataset into two halves by id,
-  compare a score column's distributions; D = max |ECDF_a - ECDF_b|
-  via a windowed cumulative count over the sorted union; issue flag at
-  the 95% KS critical value 1.36·sqrt((n_a+n_b)/(n_a·n_b)).
+  with a permutation p-value (noniid.py:19-57 + 267-299 analog): split
+  the dataset into two halves by median id, D = max |ECDF_a - ECDF_b|
+  over the distinct-value step points, then rerun D under 25 frozen
+  hash-based permutations (all P+1 statistics from ONE grouped
+  prefix-sum ECDF pass) and report the empirical-tail p-value; issue
+  flag at p < 0.05, matching the reference's decision rule.
 """
 
 from __future__ import annotations
@@ -109,7 +111,7 @@ def non_iid_ks(
     df: DataFrame,
     id_col: str,
     value_col: str,
-    ecdf_partitions: int = 32,
+    ecdf_partitions: int | None = None,
     num_permutations: int = 25,
     seed: int = 0,
     significance: float = 0.05,
@@ -144,6 +146,12 @@ def non_iid_ks(
     """
     from ..stats import exact_median, global_row_number
 
+    if ecdf_partitions is None:
+        # track the session's shuffle sizing instead of a constant — at
+        # 10^12 rows a fixed 32 would put ~3·10^10 rows per range partition
+        ecdf_partitions = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+        )
     median_id = exact_median(df, id_col)
     base = df.select(
         F.col(value_col).alias("_v"),

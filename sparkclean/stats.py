@@ -33,8 +33,27 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+#: target row count for the single-task band rank — the band window is
+#: deliberately unpartitioned (it is tiny), so cap its size regardless
+#: of N by shrinking the approxQuantile error with the data
+_BAND_TARGET_ROWS = 1_000_000
+_ERR_FLOOR = 1e-7  # GK-sketch memory grows ~1/err — keep the driver safe
+
+
+def _adaptive_err(n: int, err: float | None) -> float:
+    """Band half-width as a fraction of n.  With the default (err=None)
+    the band is ≤ ~2·_BAND_TARGET_ROWS rows at ANY n: 0.002 for small
+    inputs, shrinking as 1e6/n once n passes 5·10^8, floored at 1e-7
+    (where the Greenwald-Khanna summary is ~10^7 entries — hundreds of
+    MB of driver memory, the documented ceiling; beyond n≈10^13 switch
+    to a two-stage band refinement)."""
+    if err is not None:
+        return err
+    return max(_ERR_FLOOR, min(0.002, _BAND_TARGET_ROWS / max(n, 1)))
+
+
 def exact_quantile(
-    df: DataFrame, col: str, q: float = 0.5, err: float = 0.002
+    df: DataFrame, col: str, q: float = 0.5, err: float | None = None
 ) -> float | None:
     """Exact linear-interpolated quantile of ``col`` without an exact
     ``Percentile`` aggregate anywhere in the plan.
@@ -42,7 +61,8 @@ def exact_quantile(
     Matches ``percentile(col, q)`` (Spark) and ``quantile_cont(col, q)``
     (DuckDB) bit-for-bit: with n non-null values sorted ascending and
     pos = (n-1)·q, the result is v[⌊pos⌋] + (pos-⌊pos⌋)·(v[⌈pos⌉]-v[⌊pos⌋]).
-    Only the approxQuantile band (~2·err·n rows) is ever ranked.
+    Only the approxQuantile band (~2·err·n rows, size-capped by
+    :func:`_adaptive_err`) is ever ranked.
     """
     vals = df.select(F.col(col).cast("double").alias("_v")).where(
         F.col("_v").isNotNull()
@@ -52,6 +72,7 @@ def exact_quantile(
         return None
     if n == 1:
         return float(vals.first()["_v"])
+    err = _adaptive_err(n, err)
     pos = (n - 1) * q
     k1 = int(math.floor(pos))
     k2 = int(math.ceil(pos))
@@ -87,7 +108,7 @@ def exact_quantile(
     return float(v1) if k1 == k2 else float(v1 + g * (v2 - v1))
 
 
-def exact_median(df: DataFrame, col: str, err: float = 0.002) -> float | None:
+def exact_median(df: DataFrame, col: str, err: float | None = None) -> float | None:
     return exact_quantile(df, col, 0.5, err)
 
 
@@ -96,7 +117,7 @@ def global_row_number(
     order_cols: list[str],
     out_col: str = "rank",
     group_cols: list[str] | None = None,
-    num_partitions: int = 32,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Total-order ``row_number`` over ``order_cols`` without an
     unpartitioned window: range-partition on (group, order) keys,
@@ -104,10 +125,17 @@ def global_row_number(
     offsets.  With ``group_cols`` the ranking restarts per group (P
     independent rankings, one shuffle).
 
-    ``order_cols`` must be a total order per group (tie-break on a
-    unique id) for the result to be deterministic.
+    ``num_partitions`` defaults to the session's shuffle-partition
+    setting, so partition sizes track the cluster config instead of a
+    constant (a fixed 32 would mean 3·10^10 rows per range partition at
+    10^12 rows).  ``order_cols`` must be a total order per group
+    (tie-break on a unique id) for the result to be deterministic.
     """
     group_cols = group_cols or []
+    if num_partitions is None:
+        num_partitions = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+        )
     keys = [F.col(c) for c in group_cols + order_cols]
     part = (
         df.repartitionByRange(num_partitions, *keys)
