@@ -84,13 +84,24 @@ def psnr(a: np.ndarray, b: np.ndarray) -> float:
     return float(10.0 * np.log10(255.0**2 / mse))
 
 
+def luma32(pixels: np.ndarray) -> np.ndarray:
+    """float32 luma = (r+g+b)/3 via an exact uint16 channel add — ~10×
+    faster than ``pixels.mean(axis=2)`` (NumPy's innermost-axis-of-3
+    pairwise reduction is strided and slow); the only difference from
+    the mean is float32 rounding of an EXACT integer sum, ≤ 2e-5."""
+    s = pixels[:, :, 0].astype(np.uint16) + pixels[:, :, 1] + pixels[:, :, 2]
+    return s.astype(np.float32) * np.float32(1.0 / 3.0)
+
+
 def phash64(pixels: np.ndarray, luma: np.ndarray | None = None) -> int:
     """Perceptual-hash surrogate: 8×8 block-mean luma thresholded at its
     mean → 64 bits. Identical pixels → identical hash; robust to the
     jpeg quantisation.  Pass a precomputed float32 luma to avoid a
-    second full-image pass."""
+    second full-image pass.  The luma formula is part of the hash
+    definition — synth (corpus phash column) and decode (recompute)
+    MUST both route through :func:`luma32` or hashes drift."""
     if luma is None:
-        luma = pixels.mean(axis=2, dtype=np.float32)
+        luma = luma32(pixels)
     h, w = luma.shape
     if h % 8 == 0 and w % 8 == 0:
         # uniform blocks → one vectorised reshape-mean (identical values

@@ -77,8 +77,9 @@ def _stats_for_batch(pdf: pd.DataFrame) -> dict[str, np.ndarray]:
         # bandwidth bound at high worker counts, so stats use one luma
         # array, dot-product second moments (single BLAS pass, no temp)
         # and a shared luma for the phash — precision ~1e-4 is ample for
-        # the dark/light/blur thresholds.
-        luma = px.mean(axis=2, dtype=np.float32)
+        # the dark/light/blur thresholds.  luma32 (uint16 channel add)
+        # replaces the 10×-slower axis-2 mean; it was ~half the kernel.
+        luma = codec.luma32(px)
         out["phash_recomputed"][i] = codec.phash64(px, luma=luma)
         flat = luma.ravel()
         npx = flat.size

@@ -89,7 +89,9 @@ def sample_video_frames(
             rows = {k: [] for k in ("video_id", "frame_index", "frame_ts", "brightness", "pixel_std")}
             for vid in pdf[id_col]:
                 for idx, ts, px in _fake_video_frames(str(vid), n_frames):
-                    luma = px.mean(axis=2, dtype=np.float32)
+                    from .codec import luma32
+
+                    luma = luma32(px)
                     rows["video_id"].append(vid)
                     rows["frame_index"].append(idx)
                     rows["frame_ts"].append(ts)
