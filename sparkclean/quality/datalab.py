@@ -434,13 +434,30 @@ def find_issues(
     cluster_col: str | None = None,
     null_cols: list[str] | None = None,
     exact_quantile: bool = False,
+    vec_col: str | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Run all applicable managers; returns (issues_df, issue_summary).
 
     issues_df: one row per example with is_<name>_issue / <name>_score
     columns (data_issues.py column-join analog).  issue_summary: one row
     per issue type with num_issues + mean score.
+
+    Features-only entry point (reference Datalab.find_issues(features=…)
+    without pred_probs, issue_manager/label.py:148-160): when the probs
+    column is absent and ``vec_col`` names a feature column, the
+    out-of-sample posterior is derived as the KNN-vote fraction over the
+    shared knn_edges graph before the managers run.
     """
+    if probs_col not in df.columns:
+        if vec_col is None or vec_col not in df.columns:
+            raise ValueError(
+                f"find_issues needs {probs_col!r} or a feature column "
+                "(vec_col) to derive it from"
+            )
+        pp = knn_vote_pred_probs(
+            df, num_classes, id_col=id_col, label_col=label_col, vec_col=vec_col
+        ).select(id_col, F.col("pred_probs").alias(probs_col))
+        df = df.join(pp, id_col)
     df = df.persist()
     thresholds = get_confident_thresholds(df, num_classes, label_col, probs_col)
 

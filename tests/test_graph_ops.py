@@ -107,3 +107,21 @@ def test_underperforming_group_from_graph_runs_and_scores(blobs):
     assert by_id[27]["underperforming_group_score"] == 1.0
     # scores are ratios in (0, 1]
     assert all(0.0 < r["underperforming_group_score"] <= 1.0 for r in rows)
+
+
+def test_find_issues_features_only_entry(blobs):
+    """Datalab.find_issues(features=...) parity: no pred_probs column +
+    vec_col → the KNN-vote posterior is derived automatically and every
+    manager runs; missing both raises."""
+    from sparkclean.quality.datalab import find_issues
+
+    issues, summary = find_issues(
+        blobs, K, id_col="vec_id", vec_col="embedding"
+    )
+    rows = issues.collect()
+    assert len(rows) == blobs.count()
+    cols = set(issues.columns)
+    assert {"is_label_issue", "label_score", "outlier_score"} <= cols
+    assert summary.count() >= 2
+    with pytest.raises(ValueError, match="feature column"):
+        find_issues(blobs.drop("embedding"), K, id_col="vec_id")
