@@ -237,7 +237,10 @@ def knn_graph_clusters(
         if prev_sum is not None and csum == prev_sum:
             break
         prev_sum = csum
-    edges.unpersist()
+    # NOTE: edges stays persisted — the returned DataFrame still reads it
+    # lazily (isolated-node anti-join below); an unpersist here would
+    # silently rebuild the knn filter at execution time.  Batch drivers
+    # clear caches between queries.
 
     isolated = nodes.join(
         edges.select(F.col("src").alias("id")).distinct(), "id", "left_anti"
