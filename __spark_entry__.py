@@ -1379,7 +1379,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from sparkclean.quality.datalab import underperforming_group_from_graph
 
         df = _with_probs(_emb(spark, sf))
-        return underperforming_group_from_graph(df, K)
+        return underperforming_group_from_graph(df)
 
     def datalab_issue_summary(spark, sf):
         from sparkclean.quality.datalab import find_issues
@@ -2412,12 +2412,13 @@ FROM classmask c LEFT JOIN countmask cm ON cm.vec_id = c.vec_id"""
     # rescaled (k+1)/k) instead of the softmax CTE; the downstream
     # thresholds → confident bins → calibrate → prune_by_noise_rate
     # chain is byte-identical to issues_prune_by_noise_rate.
+    _LIFF_K = 10  # knn_vote_pred_probs default k — keep both uses below tied
     _KNN_PP_CTE = f"""
-{sim_knn.knn_edges_cte_sql("embeddings", k=10, metric="euclidean", dim=64).lstrip()},
+{sim_knn.knn_edges_cte_sql("embeddings", k=_LIFF_K, metric="euclidean", dim=64).lstrip()},
 votes AS (
   SELECT e.qid, ny.label AS nl FROM knn e JOIN embeddings ny ON ny.vec_id = e.nid
 ),
-vc AS (SELECT qid, nl AS k, count(*)::DOUBLE / 10.0 AS f FROM votes GROUP BY 1, 2),
+vc AS (SELECT qid, nl AS k, count(*)::DOUBLE / {_LIFF_K}.0 AS f FROM votes GROUP BY 1, 2),
 pp AS MATERIALIZED (
   SELECT q.vec_id, q.label, list(coalesce(vc.f, 0.0) ORDER BY r.k) AS p
   FROM embeddings q CROSS JOIN range(0, {K}) r(k)
@@ -2706,8 +2707,13 @@ FROM scored GROUP BY token HAVING sum(CASE WHEN s < 0.2 THEN 1 ELSE 0 END) > 0""
     # hash-based permutations (md5(id:perm:seed) re-rank, first n_a ranks
     # = group A) → per-perm two-sample KS at distinct-value step points →
     # empirical-tail p-value; mirrors valuation.non_iid_ks's single
-    # grouped prefix-sum pass (reference noniid.py:267-299 analog)
-    _NIID_P, _NIID_SEED, _NIID_SIG = 25, 0, 0.05
+    # grouped prefix-sum pass (reference noniid.py:267-299 analog).
+    # Constants imported from the library so the twins cannot drift.
+    from sparkclean.quality.valuation import (
+        NIID_PERMUTATIONS as _NIID_P,
+        NIID_SEED as _NIID_SEED,
+        NIID_SIGNIFICANCE as _NIID_SIG,
+    )
     o["non_iid_check"] = f"""
 WITH {pc},
 scv AS MATERIALIZED (SELECT vec_id, p[label + 1] AS v FROM pp),

@@ -57,16 +57,17 @@ def simhash_from_hashes_udf():
     The bit votes are INTEGER sums (Σ ±1), so unlike the float kernels
     no accumulation-order discipline is needed — bincount over the
     exploded hash array is exact and ~100x the 32-fold interpreted
-    projection.  Empty token lists yield simhash 0 and NULL lists yield
-    NULL — both matching the Catalyst fold (aggregate over an empty
-    array returns the init literal; over NULL it propagates NULL), so
-    null-text corpora behave identically on the fast and oracle paths
-    instead of raising TypeError on len(None)."""
+    projection.  Empty AND NULL token lists both yield simhash 0 —
+    matching the Catalyst fold exactly: each bit contributes
+    ``when(vote > 0, bit).otherwise(0)``, and a NULL vote (aggregate
+    over a NULL array) falls into the otherwise-0 branch, as does the
+    SQL twin's ``CASE WHEN NULL > 0 … ELSE 0``.  Null-text corpora thus
+    behave identically on the fast and oracle paths instead of raising
+    TypeError on len(None)."""
 
     @pandas_udf("long")
     def simhash(hs: pd.Series) -> pd.Series:
         n = len(hs)
-        isnull = np.fromiter((x is None for x in hs), dtype=bool, count=n)
         lens = np.fromiter(
             (0 if x is None else len(x) for x in hs), dtype=np.int64, count=n
         )
@@ -80,9 +81,7 @@ def simhash_from_hashes_udf():
                 ones = np.bincount(rowids, weights=(flat >> j) & 1, minlength=n)
                 votes = 2 * ones - lens
                 out += (votes > 0).astype(np.int64) << j
-        res = pd.Series(out, dtype="Int64")
-        res[isnull] = pd.NA
-        return res
+        return pd.Series(out)
 
     return simhash
 

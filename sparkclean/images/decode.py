@@ -254,8 +254,13 @@ def with_odd_size_flags(stats: DataFrame, ratio: float = 4.0) -> DataFrame:
 
     with_area = stats.withColumn("_area", (F.col("w") * F.col("h")).cast("double"))
     # exact interpolated median without the exact Percentile aggregate
-    # (single-reducer O(distinct) buffer at corpus scale)
-    med = exact_median(with_area, "_area")
+    # (single-reducer O(distinct) buffer at corpus scale).  The band
+    # trick issues ~4 actions; pin the NARROW area projection so they
+    # don't re-execute the upstream plan (often the full decode pass)
+    # once each — without this the median costs 4 decode passes.
+    area = with_area.select("_area").persist()
+    med = exact_median(area, "_area")
+    area.unpersist()
     return (
         with_area.withColumn(
             "is_odd_size",

@@ -150,17 +150,17 @@ def _posterior_udf(stats: dict, num_classes: int, n_folds: int, n_dims: int):
         [[stats[(f, k)][1] for k in range(num_classes)] for f in range(n_folds)]
     )  # (fold, class, dim)
     # precompute the two per-(f,k,d) literals exactly as the old column
-    # built them: 2.0·v and 0.5·(LOG2PI + ln v)
-    v = np.array(
-        [[stats[(f, k)][2] for k in range(num_classes)] for f in range(n_folds)]
+    # built them: 2.0·v and 0.5·(LOG2PI + ln v).  math.log per element,
+    # NOT np.log — numpy's SIMD float64 log is not guaranteed to match
+    # libm (which the old F.lit literal and DuckDB's ln both use) to the
+    # last ULP, and these values must replay literal-for-literal.
+    v = [[stats[(f, k)][2] for k in range(num_classes)] for f in range(n_folds)]
+    v2 = np.array([[[2.0 * vd for vd in ks] for ks in fs] for fs in v])
+    cst = np.array(
+        [[[0.5 * (LOG2PI + math.log(vd)) for vd in ks] for ks in fs] for fs in v]
     )
-    v2 = 2.0 * v
-    cst = 0.5 * (LOG2PI + np.log(v))
 
-    @pandas_udf("array<double>")
-    def post(fold: pd.Series, x: pd.Series) -> pd.Series:
-        fo = fold.to_numpy(dtype=np.int64)
-        X = np.asarray([np.asarray(r, dtype=np.float64) for r in x])
+    def _compute(fo: np.ndarray, X: np.ndarray) -> np.ndarray:
         ll = pri[fo].copy()  # (n, K)
         for d in range(n_dims):
             xd = X[:, d][:, None]
@@ -174,8 +174,29 @@ def _posterior_udf(stats: dict, num_classes: int, n_folds: int, n_dims: int):
         tot = e[:, 0].copy()
         for k in range(1, num_classes):
             tot = tot + e[:, k]
-        p = e / tot[:, None]
-        return pd.Series(list(p))
+        return e / tot[:, None]
+
+    @pandas_udf("array<double>")
+    def post(fold: pd.Series, x: pd.Series) -> pd.Series:
+        n = len(x)
+        valid = np.array(
+            [r is not None and len(r) == n_dims for r in x], dtype=bool
+        )
+        fo = fold.to_numpy(dtype=np.int64)
+        if valid.all():
+            X = np.asarray([np.asarray(r, dtype=np.float64) for r in x])
+            return pd.Series(list(_compute(fo, X)))
+        # null/short vectors → null posterior (the old Catalyst
+        # expression yielded null cells; don't fail the whole batch)
+        out = pd.Series([None] * n, dtype=object)
+        if valid.any():
+            X = np.asarray(
+                [np.asarray(r, dtype=np.float64) for r, ok in zip(x, valid) if ok]
+            )
+            p = _compute(fo[valid], X)
+            for i, arr in zip(np.flatnonzero(valid), p):
+                out.iat[i] = arr
+        return out
 
     return post
 

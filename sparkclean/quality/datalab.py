@@ -128,7 +128,15 @@ def knn_vote_pred_probs(
         F.col("qid").alias(id_col),
         F.array(*[F.col(f"_p{j}") for j in range(num_classes)]).alias("pred_probs"),
     )
-    return df.select(id_col, label_col).join(pp, id_col)
+    # LEFT join + all-zero posterior for edge-less rows — mirrors the
+    # DuckDB twin's LEFT JOIN/coalesce so a vote-less qid (single-row
+    # table, future knn changes) yields p=[0,…,0] instead of vanishing
+    zeros = F.array(*[F.lit(0.0) for _ in range(num_classes)])
+    return (
+        df.select(id_col, label_col)
+        .join(pp, id_col, "left")
+        .withColumn("pred_probs", F.coalesce(F.col("pred_probs"), zeros))
+    )
 
 
 def label_issues_from_features(
@@ -213,6 +221,8 @@ def knn_graph_clusters(
         stepped = (
             comp.join(nbr_min, "id", "left")
             .select("id", F.least(F.col("comp"), F.coalesce("_nc", "comp")).alias("comp"))
+            .localCheckpoint()  # consumed by BOTH sides of the jump join —
+            # without this the edges-join propagation runs twice per round
         )
         # pointer jump: comp <- comp[comp] (roots resolve transitively)
         jumped = (
@@ -255,7 +265,6 @@ def knn_graph_clusters(
 
 def underperforming_group_from_graph(
     df: DataFrame,
-    num_classes: int,
     eps: float | None = None,
     k: int = 10,
     id_col: str = "vec_id",

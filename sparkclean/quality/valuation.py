@@ -28,6 +28,13 @@ from pyspark.sql import functions as F
 
 from ..sim.knn import knn_edges, knn_edges_cte_sql
 
+# non-IID permutation-test defaults (reference noniid.py:108-122) — the
+# DuckDB oracle in __spark_entry__.py imports THESE so the two engines
+# cannot silently drift apart
+NIID_PERMUTATIONS = 25
+NIID_SEED = 0
+NIID_SIGNIFICANCE = 0.05
+
 
 def knn_shapley_scores(
     df: DataFrame,
@@ -112,9 +119,9 @@ def non_iid_ks(
     id_col: str,
     value_col: str,
     ecdf_partitions: int | None = None,
-    num_permutations: int = 25,
-    seed: int = 0,
-    significance: float = 0.05,
+    num_permutations: int = NIID_PERMUTATIONS,
+    seed: int = NIID_SEED,
+    significance: float = NIID_SIGNIFICANCE,
 ) -> DataFrame:
     """One-row result: (ks_statistic, p_value, n_a, n_b, is_non_iid_issue).
 

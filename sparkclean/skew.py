@@ -41,7 +41,7 @@ def _size_conf(spark, key: str, default: int) -> int:
 
 _SHUFFLE_OPS = (
     "Join", "Aggregate", "Repartition", "Window", "Sort", "Deduplicate",
-    "Distinct", "GlobalLimit",
+    "Distinct", "GlobalLimit", "Intersect", "Except",
 )
 
 

@@ -158,8 +158,10 @@ def global_row_number(
         F.coalesce(F.sum("_grr_c").over(w_p), F.lit(0)).alias("_grr_off"),
     )
     join_keys = ["_grr_pid"] + group_cols
+    # long, not int: this helper exists FOR the >2^31-row regime, where
+    # an int cast would overflow (ANSI throw / silent wrap)
     return (
         ranked.join(F.broadcast(offs), join_keys)
-        .withColumn(out_col, (F.col("_grr_rn") + F.col("_grr_off")).cast("int"))
+        .withColumn(out_col, (F.col("_grr_rn") + F.col("_grr_off")).cast("long"))
         .drop("_grr_pid", "_grr_rn", "_grr_off")
     )

@@ -93,22 +93,37 @@ def test_simhash_block_bits_knob(spark, dup_docs):
 
 
 def test_simhash_null_text(spark):
-    """Null text rows must flow through the Arrow kernel as NULL
-    fingerprints (matching the Catalyst fold's null propagation) instead
-    of raising TypeError, and never pair with anything."""
+    """Null text rows must flow through the Arrow kernel as simhash 0 —
+    the value the Catalyst fold produces (each bit's NULL vote falls
+    into the when().otherwise(0) branch) and the SQL twin's CASE
+    mirrors — instead of raising TypeError.  All three paths must agree
+    so null-text corpora hash identically at the gate."""
     df = spark.createDataFrame(
         [(1, "the quick brown fox"), (2, None), (3, "the quick brown fox"), (4, "")],
         "doc_id: long, text: string",
     )
     sh = {r["doc_id"]: r["sh"] for r in
           d_simhash.with_simhash(df, "text", "sh").collect()}
-    assert sh[2] is None
-    assert sh[4] == 0  # empty string → empty token list → 0, like the fold
+    fold = {r["doc_id"]: r["sh"] for r in
+            df.select("doc_id", d_simhash.simhash_col(F.col("text")).alias("sh")).collect()}
+    assert sh == fold  # Arrow kernel == Catalyst fold, including null text
+    assert sh[2] == 0 and sh[4] == 0
     assert sh[1] == sh[3] is not None
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE docs(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO docs VALUES (?, ?)",
+                    [(1, "the quick brown fox"), (2, None),
+                     (3, "the quick brown fox"), (4, "")])
+    oracle = dict(con.execute(
+        f"SELECT doc_id, {d_simhash.simhash_sql('text')} FROM docs"
+    ).fetchall())
+    assert oracle == sh  # DuckDB twin agrees row-for-row
     pairs = {(r["id_a"], r["id_b"])
              for r in d_simhash.simhash_candidate_pairs(df).collect()}
     assert (1, 3) in pairs
-    assert not any(2 in p for p in pairs)
+    assert (2, 4) in pairs  # both fingerprint 0 → hamming 0, both engines
 
 
 @pytest.fixture(scope="module")

@@ -98,7 +98,7 @@ def test_underperforming_group_from_graph_runs_and_scores(blobs):
             ),
         ),
     )
-    out = underperforming_group_from_graph(df, K, eps=2.0, k=5)
+    out = underperforming_group_from_graph(df, eps=2.0, k=5)
     rows = out.collect()
     assert len(rows) == df.count()
     by_id = {r["vec_id"]: r for r in rows}
