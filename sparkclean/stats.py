@@ -45,11 +45,80 @@ def _adaptive_err(n: int, err: float | None) -> float:
     the band is ≤ ~2·_BAND_TARGET_ROWS rows at ANY n: 0.002 for small
     inputs, shrinking as 1e6/n once n passes 5·10^8, floored at 1e-7
     (where the Greenwald-Khanna summary is ~10^7 entries — hundreds of
-    MB of driver memory, the documented ceiling; beyond n≈10^13 switch
-    to a two-stage band refinement)."""
+    MB of driver memory).  Beyond n ≈ 10^13 the floor makes the band
+    exceed the target; :func:`_values_at_ranks` then RECURSES on the
+    band (two-stage refinement), so there is no hard n ceiling."""
     if err is not None:
         return err
     return max(_ERR_FLOOR, min(0.002, _BAND_TARGET_ROWS / max(n, 1)))
+
+
+def _values_at_ranks(
+    vals: DataFrame,
+    need: set[int],
+    n: int,
+    err: float | None,
+    band_target: int,
+    depth: int = 0,
+) -> dict[int, float]:
+    """Exact values of ``vals._v`` at the given 1-indexed ascending
+    global ranks.  Strategy: approxQuantile band around [min, max] rank,
+    exact count below the band, then either a single-task rank of the
+    band (the normal case — the band is ~2·err·n rows) or, when the
+    error floor makes the band bigger than ``band_target``, a RECURSIVE
+    refinement on the band with shifted ranks.  Depth is bounded: each
+    level shrinks n to the band size, so 2-3 levels cover any n; at the
+    guard depth it falls back to the single-task rank regardless."""
+    w = Window.orderBy(F.col("_v").asc())
+
+    def grab(band: DataFrame, ranks: set[int]) -> dict[int, float]:
+        rows = (
+            band.withColumn("_grr_rn", F.row_number().over(w))
+            .where(F.col("_grr_rn").isin(list(ranks)))
+            .select("_grr_rn", "_v")
+            .collect()
+        )
+        return {r["_grr_rn"]: r["_v"] for r in rows}
+
+    if n <= band_target or depth >= 3:
+        return grab(vals, need)
+
+    kmin, kmax = min(need), max(need)
+    e = _adaptive_err(n, err)
+    lo_q = max(0.0, (kmin - 1) / n - 2 * e)
+    hi_q = min(1.0, kmax / n + 2 * e)
+    lo, hi = vals.approxQuantile("_v", [lo_q, hi_q], e / 2)
+    c_below = vals.where(F.col("_v") < lo).count()
+    if c_below > kmin - 1:
+        # heavy ties made the estimate overshoot — rank from the bottom
+        lo, c_below = float("-inf"), 0
+
+    shifted = {k - c_below for k in need}
+    band = vals.where((F.col("_v") >= lo) & (F.col("_v") <= hi))
+    # the floor only binds past n ≈ band_target/err rows — everywhere
+    # else the band is bounded by construction and we skip the count job
+    est_band = 2 * e * n + 2 * (e / 2) * n
+    if est_band > 4 * band_target:
+        n_band = band.count()
+        if band_target < n_band < n:
+            sub = _values_at_ranks(
+                band, shifted, n_band, err, band_target, depth + 1
+            )
+            if all(k in sub for k in shifted):
+                return {k + c_below: v for k, v in sub.items()}
+            # undershoot at this level — refine the open upper tail
+            tail = vals.where(F.col("_v") >= lo)
+            sub = _values_at_ranks(
+                tail, shifted, n - c_below, err, band_target, depth + 1
+            )
+            return {k + c_below: v for k, v in sub.items()}
+
+    got = grab(band, shifted)
+    if any(r not in got for r in shifted):
+        # band undershot the upper rank — drop the upper bound (still a
+        # ~err·n tail, never the whole table unless ties forced lo=-inf)
+        got = grab(vals.where(F.col("_v") >= lo), shifted)
+    return {k + c_below: got[k] for k in shifted}
 
 
 def exact_quantile(
@@ -61,8 +130,9 @@ def exact_quantile(
     Matches ``percentile(col, q)`` (Spark) and ``quantile_cont(col, q)``
     (DuckDB) bit-for-bit: with n non-null values sorted ascending and
     pos = (n-1)·q, the result is v[⌊pos⌋] + (pos-⌊pos⌋)·(v[⌈pos⌉]-v[⌊pos⌋]).
-    Only the approxQuantile band (~2·err·n rows, size-capped by
-    :func:`_adaptive_err`) is ever ranked.
+    Only approxQuantile bands are ever ranked through a single task
+    (~2·err·n rows, recursively refined past the error floor — see
+    :func:`_values_at_ranks`); there is no data-sized sort anywhere.
     """
     vals = df.select(F.col(col).cast("double").alias("_v")).where(
         F.col("_v").isNotNull()
@@ -72,39 +142,13 @@ def exact_quantile(
         return None
     if n == 1:
         return float(vals.first()["_v"])
-    err = _adaptive_err(n, err)
     pos = (n - 1) * q
     k1 = int(math.floor(pos))
     k2 = int(math.ceil(pos))
     g = pos - k1
-
-    lo_q = max(0.0, q - 2 * err)
-    hi_q = min(1.0, q + 2 * err)
-    lo, hi = vals.approxQuantile("_v", [lo_q, hi_q], err / 2)
-    c_below = vals.where(F.col("_v") < lo).count()
-    if c_below > k1:
-        # heavy ties made the estimate overshoot — rank from the bottom
-        lo, c_below = float("-inf"), 0
-
-    w = Window.orderBy(F.col("_v").asc())
-    need = {k1 + 1 - c_below, k2 + 1 - c_below}  # 1-indexed in-band ranks
-
-    def grab(band: DataFrame) -> dict[int, float]:
-        rows = (
-            band.withColumn("_grr_rn", F.row_number().over(w))
-            .where(F.col("_grr_rn").isin(list(need)))
-            .select("_grr_rn", "_v")
-            .collect()
-        )
-        return {r["_grr_rn"]: r["_v"] for r in rows}
-
-    got = grab(vals.where((F.col("_v") >= lo) & (F.col("_v") <= hi)))
-    if any(r not in got for r in need):
-        # band undershot the upper rank — drop the upper bound (still a
-        # ~err·n tail, never the whole table unless ties forced lo=-inf)
-        got = grab(vals.where(F.col("_v") >= lo))
-    v1 = got[k1 + 1 - c_below]
-    v2 = got[k2 + 1 - c_below]
+    got = _values_at_ranks(vals, {k1 + 1, k2 + 1}, n, err, _BAND_TARGET_ROWS)
+    v1 = got[k1 + 1]
+    v2 = got[k2 + 1]
     return float(v1) if k1 == k2 else float(v1 + g * (v2 - v1))
 
 

@@ -57,6 +57,40 @@ def test_exact_quantile_empty_and_singleton(spark):
     assert exact_quantile(one, "v", 0.9) == 42.0
 
 
+def test_values_at_ranks_recursive_refinement(spark):
+    """Force the two-stage band refinement (the n > ~10^13 path where
+    the error floor makes the first band exceed the single-task target)
+    by shrinking band_target and widening err — results must equal the
+    exact order statistics at every level of recursion."""
+    from sparkclean.stats import _values_at_ranks
+
+    rng = np.random.default_rng(11)
+    data = rng.normal(0, 1, 2000)
+    df = spark.createDataFrame([(float(v),) for v in data], "_v: double")
+    want = np.sort(data)
+    need = {1, 500, 1500, 2000}
+    got = _values_at_ranks(df, need, 2000, err=0.1, band_target=100)
+    assert set(got) == need
+    for k in need:
+        assert got[k] == want[k - 1], k
+
+
+def test_exact_quantile_with_forced_recursion(spark):
+    import sparkclean.stats as stats
+
+    rng = np.random.default_rng(13)
+    data = rng.uniform(-5, 5, 3000)
+    df = spark.createDataFrame([(float(v),) for v in data], "v: double")
+    want = df.agg(F.expr("percentile(v, 0.5)")).first()[0]
+    old = stats._BAND_TARGET_ROWS
+    stats._BAND_TARGET_ROWS = 64
+    try:
+        got = stats.exact_quantile(df, "v", 0.5, err=0.05)
+    finally:
+        stats._BAND_TARGET_ROWS = old
+    assert got == want
+
+
 def test_global_row_number_matches_unpartitioned_window(values):
     w = Window.orderBy(F.col("v").asc(), F.col("id").asc())
     want = {
