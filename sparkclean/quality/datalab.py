@@ -221,8 +221,10 @@ def knn_graph_clusters(
         stepped = (
             comp.join(nbr_min, "id", "left")
             .select("id", F.least(F.col("comp"), F.coalesce("_nc", "comp")).alias("comp"))
-            .localCheckpoint()  # consumed by BOTH sides of the jump join —
-            # without this the edges-join propagation runs twice per round
+            .localCheckpoint(eager=False)  # consumed by BOTH sides of the
+            # jump join — without this the edges-join propagation runs
+            # twice per round; lazy, so materialization folds into the
+            # round's first action instead of an extra up-front job
         )
         # pointer jump: comp <- comp[comp] (roots resolve transitively)
         jumped = (
@@ -235,7 +237,7 @@ def knn_graph_clusters(
                 "left",
             )
             .select("id", F.coalesce("_root", "comp").alias("comp"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         # convergence: per-node comp values only ever DECREASE, so the
         # total is strictly decreasing until the fixpoint — one narrow
