@@ -140,6 +140,39 @@ def language_window_counts(scored: DataFrame) -> DataFrame:
     )
 
 
+def windowed_event_counts(
+    stream_df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    window: str = "1 hour",
+    late_threshold: str = "30 minutes",
+) -> DataFrame:
+    """EVENT-time tumbling-window rollup with a late-data watermark —
+    the streaming twin of the batch ``events_hourly`` rollup.
+
+    The watermark bounds state: once the max observed event time moves
+    ``late_threshold`` past a window's end, that window's aggregate is
+    finalized (emitted in append mode) and its state dropped; events
+    arriving later than the watermark are discarded rather than
+    reopening state — the standard Structured Streaming contract for
+    unbounded sources (exercised with genuinely late rows in
+    tests/test_streaming.py)."""
+    return (
+        stream_df.withWatermark(ts_col, late_threshold)
+        .groupBy(F.window(F.col(ts_col), window), F.col(key_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("value_sum"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            key_col,
+            "n_events",
+            "value_sum",
+        )
+    )
+
+
 def stateful_language_stats(
     stream_df: DataFrame,
     lang_col: str = "pred_lang",

@@ -126,3 +126,67 @@ def test_stateful_language_stats(spark, corpus, tmp_path):
     }
     assert got == truth
     assert sum(v[0] for v in got.values()) == 400
+
+
+def test_windowed_event_counts_drops_late_data(spark, tmp_path):
+    """Event-time watermark contract: windows finalize once the
+    watermark passes (append mode), and an event arriving LATER than
+    the watermark is discarded instead of reopening the window."""
+    import datetime as dt
+    import os
+    import time
+
+    from sparkclean.streaming import windowed_event_counts
+
+    src = str(tmp_path / "events_src")
+    os.makedirs(src, exist_ok=True)
+    schema = "event_id long, event_type string, ts timestamp, value double"
+
+    def write_batch(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+
+    def ts(minutes):
+        return t0 + dt.timedelta(minutes=minutes)
+
+    # batch 1: two 10:xx events + one 12:xx event that pushes the
+    # watermark (12:00 - 30min = 11:30) past the 10:00 window's end
+    write_batch("b1", [(1, "a", ts(5), 1.0), (2, "a", ts(20), 2.0),
+                       (3, "b", ts(125), 4.0)])
+
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    out = windowed_event_counts(stream, ts_col="ts", key_col="event_type")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("win_events")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_w"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: a LATE event in the already-finalized 10:00 window
+        # (watermark is 11:30) plus a fresh 13:xx event that finalizes
+        # the 12:00 window
+        write_batch("b2", [(4, "a", ts(30), 8.0), (5, "b", ts(185), 16.0)])
+        q.processAllAvailable()
+        # one more empty-ish advance so 12:00 can emit
+        write_batch("b3", [(6, "b", ts(250), 32.0)])
+        q.processAllAvailable()
+        time.sleep(1)
+        rows = spark.sql("SELECT * FROM win_events").collect()
+    finally:
+        q.stop()
+    by_key = {(r["window_start"].hour, r["event_type"]): r for r in rows}
+    # the 10:00/a window finalized from batch 1 ONLY — the late event
+    # (value 8.0) was dropped by the watermark
+    assert (10, "a") in by_key
+    assert by_key[(10, "a")]["n_events"] == 2
+    assert by_key[(10, "a")]["value_sum"] == 3.0
+    # the 12:00/b window finalized once the watermark passed it
+    assert (12, "b") in by_key and by_key[(12, "b")]["n_events"] == 1
