@@ -137,6 +137,13 @@ def _crowdlab_round(
     annotator-vote mass (multiannotator.py:1598-1636)."""
     from .scores import predicted_label
 
+    # long_df feeds FIVE consumers in this round (counts, agreement, the
+    # pair self-join, the annotator roster, the posterior vote mass) and
+    # cons feeds two — pin both narrow frames so each of the round's
+    # ~6 driver round-trips reads a cache instead of re-deriving the
+    # annotator table / majority-vote window chain
+    long_df = long_df.persist()
+    cons = cons.persist()
     nann = long_df.groupBy("example_id").agg(F.count(F.lit(1)).alias("num_annotations"))
     agree = (
         long_df.join(cons.select("example_id", "consensus_label"), "example_id")
