@@ -75,6 +75,35 @@ def test_values_at_ranks_recursive_refinement(spark):
         assert got[k] == want[k - 1], k
 
 
+def test_values_at_ranks_randomized_matrix(spark):
+    """Randomized sweep over (distribution, rank set, err, band_target)
+    including tie-heavy data and forced multi-level recursion — every
+    returned value must equal the NumPy order statistic."""
+    from sparkclean.stats import _values_at_ranks
+
+    rng = np.random.default_rng(29)
+    for trial in range(6):
+        n = int(rng.integers(50, 1200))
+        kind = trial % 3
+        if kind == 0:
+            data = rng.normal(0, 1, n)
+        elif kind == 1:
+            data = rng.integers(0, 5, n).astype(float)  # heavy ties
+        else:
+            data = np.concatenate([np.zeros(n // 2), rng.uniform(0, 1, n - n // 2)])
+        df = spark.createDataFrame([(float(v),) for v in data], "_v: double")
+        want = np.sort(data)
+        ranks = set(
+            int(r) for r in rng.integers(1, n + 1, size=int(rng.integers(1, 4)))
+        )
+        err = float(rng.choice([None, 0.05, 0.2], p=[0.4, 0.3, 0.3]) or 0) or None
+        band_target = int(rng.choice([50, 10**6]))
+        got = _values_at_ranks(df, ranks, n, err, band_target)
+        assert set(got) == ranks, (trial, ranks, got)
+        for k in ranks:
+            assert got[k] == want[k - 1], (trial, n, k, err, band_target)
+
+
 def test_exact_quantile_with_forced_recursion(spark):
     import sparkclean.stats as stats
 
