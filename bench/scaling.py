@@ -143,8 +143,17 @@ noise and the decode-stage efficiency dominates.
 
 Reproduce: `python bench/scaling.py {n} {lo} {hi}`
 """
-    with open(os.path.join(REPO, "BENCH.md"), "w") as f:
-        f.write(md)
+    # preserve any hand-written sections below the marker (round notes,
+    # multi-sample history) across regenerations
+    bench_path = os.path.join(REPO, "BENCH.md")
+    keep = ""
+    if os.path.exists(bench_path):
+        old = open(bench_path).read()
+        idx = old.find("<!-- KEEP -->")
+        if idx >= 0:
+            keep = old[idx:]
+    with open(bench_path, "w") as f:
+        f.write(md + ("\n" + keep if keep else ""))
 
 
 if __name__ == "__main__":
