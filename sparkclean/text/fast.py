@@ -99,11 +99,14 @@ def caption_features_batch(texts) -> dict[str, np.ndarray]:
         out["punct_ratio"] = s.str.count(r"[!-/:-@\[-`{-~]").to_numpy() / safe_ln
         out["upper_ratio"] = s.str.count(r"[A-Z]").to_numpy() / safe_ln
 
-    stripped = s.str.strip()
-    # pat=None → Python str.split() fast path: splits on whitespace runs,
-    # "" → [], unicode-aware — identical to re.split(r"\s+") on stripped
-    # text (the contract the scalar path used)
-    words = stripped.str.split()
+    # tokenize through the exact engine twin (shared.words_py): Python
+    # str.strip()/str.split() is Unicode-aware and drops the empty
+    # leading token Java's split keeps, so it DIVERGES from the
+    # Catalyst/DuckDB paths on tab-led or NBSP text (round-3 review)
+    from .shared import words_py
+
+    stripped = s.str.strip(" ")
+    words = pd.Series([words_py(t) for t in s], index=s.index)
     nw = words.str.len().to_numpy(dtype=np.int64)
     safe_nw = np.maximum(nw, 1).astype(np.float64)
     out["n_words"] = nw
@@ -118,7 +121,7 @@ def caption_features_batch(texts) -> dict[str, np.ndarray]:
     # constant-size lookup table over unique tokens + one bincount over
     # int codes (accumulation order = row order, same as the per-row
     # fold, so float sums are bit-identical to the scalar path).
-    wl = stripped.str.lower().str.split()
+    wl = pd.Series([words_py(t) for t in stripped.str.lower()], index=s.index)
     exploded = wl.explode().dropna()
     rowids = exploded.index.to_numpy(dtype=np.int64)
     tok_codes, tok_uniq = pd.factorize(exploded.to_numpy())

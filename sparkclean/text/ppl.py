@@ -93,8 +93,12 @@ class NgramTablePpl:
             table = bc.value
             size = len(table)
             out = np.empty(len(texts), dtype=np.float64)
+            from .shared import words_py
+
             for i, t in enumerate(texts.fillna("")):
-                toks = str(t).lower().split()
+                # engine-twin tokenization (ASCII \s, space-only trim) —
+                # str.split() would diverge on tab-led/NBSP text
+                toks = words_py(str(t).lower())
                 if len(toks) < 2:
                     out[i] = np.exp(-FALLBACK_LOGP)
                     continue

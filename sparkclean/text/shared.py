@@ -70,6 +70,27 @@ def words_sql(text: str) -> str:
     )
 
 
+import re as _re  # noqa: E402
+
+#: Java \s == ASCII [ \t\n\x0B\f\r]; Python re.ASCII \s is the same set.
+_WS_ASCII = _re.compile(r"\s+", _re.ASCII)
+
+
+def words_py(text: str) -> list[str]:
+    """Python twin of :func:`words_col` / :func:`words_sql`, byte-exact
+    on EVERY input: space-only trim (Spark/DuckDB ``trim`` strips 0x20
+    only), ASCII ``\\s+`` split (Java/DuckDB ``\\s`` is ASCII-only —
+    Python's default Unicode ``\\s`` would split NBSP/EM-space), empty
+    leading/trailing tokens retained (split limit -1), '' → [].
+    Python ``str.strip().split()`` matches NONE of those on adversarial
+    whitespace — always tokenize through this function in Arrow kernels
+    that must agree with the Catalyst/SQL twins."""
+    t = text.strip(" ")
+    if t == "":
+        return []
+    return _WS_ASCII.split(t)
+
+
 def sql_str_list(items: list[str]) -> str:
     inner = ", ".join("'" + i.replace("'", "''") + "'" for i in items)
     return f"[{inner}]"

@@ -151,3 +151,65 @@ def test_ppl_table_udf_matches_sql_path(spark, docs):
     )
     pdf = sdf.toPandas()
     np.testing.assert_allclose(pdf["sql_ppl"], pdf["udf_ppl"], rtol=1e-9)
+
+
+def test_tokenizer_twin_on_adversarial_whitespace(spark, duck):
+    """words_py must match words_col AND words_sql byte-for-byte on
+    whitespace the engines treat differently from Python str.split():
+    tab-led text (Java split keeps the leading empty token), NBSP /
+    EM-space (Java \\s is ASCII-only), trailing tabs, all-space rows."""
+    from sparkclean.text.shared import words_col, words_py, words_sql
+
+    cases = [
+        "\ta red car parked",
+        "a red car",
+        "x y",
+        "a b\t",
+        "\t",
+        "   ",
+        "",
+        "  plain words  ",
+        "multi\t\nruns  of\fspace",
+    ]
+    df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cases)], "i: int, t: string"
+    )
+    sp = {r["i"]: list(r["w"]) for r in df.select("i", words_col(F.col("t")).alias("w")).collect()}
+    duck.execute("CREATE OR REPLACE TABLE ws_cases(i INT, t VARCHAR)")
+    duck.executemany("INSERT INTO ws_cases VALUES (?, ?)", list(enumerate(cases)))
+    dk = dict(duck.execute(f"SELECT i, {words_sql('t')} FROM ws_cases").fetchall())
+    for i, c in enumerate(cases):
+        py = words_py(c)
+        assert sp[i] == py, (repr(c), sp[i], py)
+        assert list(dk[i]) == py, (repr(c), dk[i], py)
+
+
+def test_fast_features_match_catalyst_on_adversarial_whitespace(spark):
+    """The Arrow fast scorer must produce the SAME word-derived features
+    as the Catalyst path on whitespace-adversarial captions (round-3
+    review: str.strip()/str.split() silently diverged)."""
+    from sparkclean.pipeline import _features
+    from sparkclean.text.fast import caption_features_batch
+
+    cases = [
+        "\tthe quick brown fox jumps",
+        "the quick brown fox jumps over",
+        "the quick brown fox\t",
+        "le chat dort tres bien ici",
+        "x y z w v u",
+        "the the the the the",
+    ]
+    df = spark.createDataFrame([(i, c) for i, c in enumerate(cases)], "i: int, text: string")
+    cat = {
+        r["i"]: r
+        for r in _features(df, "text")
+        .select("i", "n_words", "repetition_ratio", "stopword_ratio", "pred_lang", "ppl")
+        .collect()
+    }
+    fast = caption_features_batch(pd.Series(cases))
+    for i in range(len(cases)):
+        assert fast["n_words"][i] == cat[i]["n_words"], (i, cases[i])
+        np.testing.assert_allclose(fast["repetition_ratio"][i], cat[i]["repetition_ratio"], rtol=1e-9)
+        np.testing.assert_allclose(fast["stopword_ratio"][i], cat[i]["stopword_ratio"], rtol=1e-9)
+        assert fast["pred_lang"][i] == cat[i]["pred_lang"], (i, cases[i])
+        np.testing.assert_allclose(fast["ppl"][i], cat[i]["ppl"], rtol=1e-9)
