@@ -2257,8 +2257,18 @@ gb AS (
               ELSE -1 END AS gk
   FROM jb
 )
-SELECT k AS class_k, yk AS given_k, gk AS true_k, count(*) AS n
-FROM gb WHERE gk >= 0 GROUP BY 1, 2, 3"""
+, sparse AS (
+  SELECT k AS class_k, yk AS given_k, gk AS true_k, count(*) AS n
+  FROM gb WHERE gk >= 0 GROUP BY 1, 2, 3
+)
+-- dense (K,2,2) grid + per-class 2x2 diagonal clip >= 1, mirroring
+-- count.py:612 inside every one-vs-rest binary subproblem
+SELECT g.k::INT AS class_k, g.y::INT AS given_k, g.t::INT AS true_k,
+       CASE WHEN g.y = g.t AND coalesce(s.n, 0) < 1 THEN 1
+            ELSE coalesce(s.n, 0) END::BIGINT AS n
+FROM (SELECT r.k, y.y, t.t FROM range(0, {K}) r(k)
+      CROSS JOIN (VALUES (0), (1)) y(y) CROSS JOIN (VALUES (0), (1)) t(t)) g
+LEFT JOIN sparse s ON s.class_k = g.k AND s.given_k = g.y AND s.true_k = g.t"""
     o["multilabel_label_issues"] = f"""
 WITH {pc},
 ml AS (SELECT vec_id, label, p, list_sort([label::INT, ((label + 3) % 10)::INT]) AS ls FROM pp),

@@ -98,6 +98,14 @@ def caption_scores(
     agg counts issues, then the exact bottom-n selection and the scrub
     projection.  All aggregations are map-side partial; nothing wide
     shuffles.
+
+    Cache ownership: the scored frame stays persisted for the session
+    (the returned DataFrame reads it lazily — unpersisting here would
+    recompute features for the caller's action).  Batch drivers
+    (bench.py, tools/check_correctness.py) clearCache() between queries;
+    long-lived callers issuing many pipelines should do the same or
+    call ``spark.catalog.clearCache()`` when done — the same contract
+    as sim.knn.knn_edges' session-pinned graph.
     """
     if "label" in df.columns and "pred_probs" in df.columns:
         # fast path: features + pseudo-labels already computed upstream

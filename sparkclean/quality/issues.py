@@ -149,7 +149,9 @@ def bottom_n_flags(
     w = Window.orderBy(F.col(score_col).asc(), F.col(id_col).asc())
     r = n - c_below
     if r <= 0:
-        return df.withColumn(flag_col, F.col(score_col) < F.lit(lo))
+        return df.withColumn(
+            flag_col, F.coalesce(F.col(score_col) < F.lit(lo), F.lit(False))
+        )
     cut = (
         band.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") == F.lit(r))
@@ -166,10 +168,19 @@ def bottom_n_flags(
             .collect()
         )
     s_star, id_star = cut[0][0], cut[0][1]
+    # coalesce: a NULL score (e.g. null caption → null features) must
+    # flag a definite False, matching the SQL twins' NULLS-LAST ranking,
+    # not propagate NULL into a boolean output column
     return df.withColumn(
         flag_col,
-        (F.col(score_col) < F.lit(s_star))
-        | ((F.col(score_col) == F.lit(s_star)) & (F.col(id_col) <= F.lit(id_star))),
+        F.coalesce(
+            (F.col(score_col) < F.lit(s_star))
+            | (
+                (F.col(score_col) == F.lit(s_star))
+                & (F.col(id_col) <= F.lit(id_star))
+            ),
+            F.lit(False),
+        ),
     )
 
 

@@ -129,17 +129,15 @@ def _ml_binary_frame(
     return out
 
 
-def _ml_issue_cells(
-    df: DataFrame,
-    num_classes: int,
-    labels_col: str = "labels",
-    probs_col: str = "pred_probs",
-    id_col: str = "id",
-) -> DataFrame:
-    """Per-(example, class) one-vs-rest issue cells: the shared core of
-    multilabel find_label_issues and common_multilabel_issues — binary
-    confident thresholds, confident bins, binary reduce-issues."""
-    ex = _ml_binary_frame(df, num_classes, labels_col, probs_col, id_col=id_col)
+def _ml_guessed(ex: DataFrame) -> DataFrame:
+    """Binary thresholds → confident bins → true-label guess over a
+    :func:`_ml_binary_frame` — THE shared per-class binary
+    confident-joint rule (count.py:625-712) used by both the multilabel
+    confident joint and the issue cells; keeping it in one place keeps
+    the two paths (and their DuckDB twins) from drifting.
+
+    Adds ``_g`` (guess ∈ {0,1}, -1 = not confident) and ``_b0`` (the
+    negative-bin membership, needed by the reduce step)."""
     sc = F.when(F.col("_y") == 1, F.col("_pk")).otherwise(F.lit(1.0) - F.col("_pk"))
     ex = ex.withColumn("_sc", sc)
     th = (
@@ -156,16 +154,35 @@ def _ml_issue_cells(
     b0 = p0 >= F.col("_t0") - F.lit(FLOATING_POINT_COMPARISON)
     b1 = F.col("_pk") >= F.col("_t1") - F.lit(FLOATING_POINT_COMPARISON)
     n_conf = b0.cast("int") + b1.cast("int")
+    # >1 confident → argmax of [1-p, p] (first max wins at ties → class 0)
     argmax = F.when(p0 >= F.col("_pk"), F.lit(0)).otherwise(F.lit(1))
     first_bin = F.when(b0, F.lit(0)).otherwise(F.lit(1))
     guess = F.when(n_conf > 1, argmax).when(n_conf == 1, first_bin).otherwise(F.lit(-1))
+    return j.withColumn("_b0", b0).withColumn("_g", guess)
+
+
+def _ml_issue_cells(
+    df: DataFrame,
+    num_classes: int,
+    labels_col: str = "labels",
+    probs_col: str = "pred_probs",
+    id_col: str = "id",
+) -> DataFrame:
+    """Per-(example, class) one-vs-rest issue cells: the shared core of
+    multilabel find_label_issues and common_multilabel_issues — binary
+    confident thresholds, confident bins, binary reduce-issues."""
+    ex = _ml_binary_frame(df, num_classes, labels_col, probs_col, id_col=id_col)
+    j = _ml_guessed(ex)
     # binary reduce-issues: boosted argmax equals the given binary label
+    p0 = F.lit(1.0) - F.col("_pk")
     bp0 = p0 + F.when(F.col("_y") == 0, F.lit(FLOATING_POINT_COMPARISON)).otherwise(F.lit(0.0))
     bp1 = F.col("_pk") + F.when(F.col("_y") == 1, F.lit(FLOATING_POINT_COMPARISON)).otherwise(
         F.lit(0.0)
     )
     boosted = F.when(bp0 >= bp1, F.lit(0)).otherwise(F.lit(1))
-    issue_k = (guess >= 0) & (guess != F.col("_y")) & (boosted != F.col("_y"))
+    issue_k = (
+        (F.col("_g") >= 0) & (F.col("_g") != F.col("_y")) & (boosted != F.col("_y"))
+    )
     return j.withColumn("_iss", issue_k.cast("int"))
 
 
@@ -234,34 +251,9 @@ def multilabel_confident_joint_counts(
     Returns (class, given_k, true_k, n) with given/true ∈ {0,1}.
     """
     exploded = _ml_binary_frame(df, num_classes, labels_col, probs_col)
-    # binary self-confidence: p of the given binary class
-    sc = F.when(F.col("_y") == 1, F.col("_pk")).otherwise(F.lit(1.0) - F.col("_pk"))
-    exploded = exploded.withColumn("_sc", sc)
-    th = (
-        exploded.groupBy("_k", "_y")
-        .agg(F.greatest(F.avg("_sc"), F.lit(2e-6)).alias("_t"))
-        .groupBy("_k")
-        .agg(
-            F.coalesce(
-                F.max(F.when(F.col("_y") == 0, F.col("_t"))), F.lit(2.0)
-            ).alias("_t0"),
-            F.coalesce(
-                F.max(F.when(F.col("_y") == 1, F.col("_t"))), F.lit(2.0)
-            ).alias("_t1"),
-        )
-    )
-    j = exploded.join(F.broadcast(th), "_k")
-    p0 = F.lit(1.0) - F.col("_pk")
-    b0 = p0 >= F.col("_t0") - F.lit(FLOATING_POINT_COMPARISON)
-    b1 = F.col("_pk") >= F.col("_t1") - F.lit(FLOATING_POINT_COMPARISON)
-    n_conf = b0.cast("int") + b1.cast("int")
-    # >1 confident → argmax of [1-p, p] (first max wins at ties → class 0)
-    argmax = F.when(p0 >= F.col("_pk"), F.lit(0)).otherwise(F.lit(1))
-    first_bin = F.when(b0, F.lit(0)).otherwise(F.lit(1))
-    guess = F.when(n_conf > 1, argmax).when(n_conf == 1, first_bin).otherwise(F.lit(-1))
-    out = (
-        j.withColumn("_g", guess)
-        .where(F.col("_g") >= 0)
+    j = _ml_guessed(exploded)
+    sparse = (
+        j.where(F.col("_g") >= 0)
         .groupBy(
             F.col("_k").alias("class_k"),
             F.col("_y").alias("given_k"),
@@ -269,7 +261,28 @@ def multilabel_confident_joint_counts(
         )
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    return out
+    # densify to the full (K, 2, 2) grid and clip each per-class 2x2
+    # DIAGONAL to >= 1 — the reference's compute_confident_joint applies
+    # np.fill_diagonal(cj, diag.clip(min=1)) (count.py:612) inside every
+    # one-vs-rest binary subproblem, so an empty confident cell reports 1,
+    # not an absent row (round-3 review; single-label joint already clips)
+    spark = df.sparkSession
+    grid = spark.createDataFrame(
+        [(k, y, g) for k in range(num_classes) for y in (0, 1) for g in (0, 1)],
+        "class_k: int, given_k: int, true_k: int",
+    )
+    dense = grid.join(sparse, ["class_k", "given_k", "true_k"], "left").select(
+        "class_k",
+        "given_k",
+        "true_k",
+        F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+    )
+    return dense.withColumn(
+        "n",
+        F.when(
+            (F.col("given_k") == F.col("true_k")) & (F.col("n") < 1), F.lit(1)
+        ).otherwise(F.col("n")).cast("long"),
+    )
 
 
 def estimate_joint(

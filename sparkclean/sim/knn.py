@@ -114,22 +114,8 @@ SELECT query_id, neighbor_id, rank, round(cosine, 6) AS cosine FROM ranked WHERE
 """
 
 
-_N_PLANES = 8
-
-
-def _topk_planes(dim: int, bands: int, seed: int = 99) -> np.ndarray:
-    return np.random.RandomState(seed).randn(bands * _N_PLANES, dim)
-
-
-def _topk_band_bucket_sql(vec_expr: str, planes: np.ndarray, band: int) -> str:
-    terms = []
-    for p_idx in range(_N_PLANES):
-        dot = " + ".join(
-            f"{vec_expr}[{i + 1}]::DOUBLE * ({float(c)!r})::DOUBLE"
-            for i, c in enumerate(planes[band * _N_PLANES + p_idx])
-        )
-        terms.append(f"(CASE WHEN ({dot}) > 0 THEN {1 << p_idx} ELSE 0 END)")
-    return "(" + " + ".join(terms) + ")"
+_N_PLANES = 8  # lsh_topk's per-band bit width (plane/SQL emitters are the
+# shared edge_planes/band_code_sql with bits=_N_PLANES — one source of truth)
 
 
 def lsh_topk_sql(
@@ -144,9 +130,9 @@ def lsh_topk_sql(
 ) -> str:
     """DuckDB twin of :func:`lsh_topk` — same planes, same explicit
     left-associated dot-product order, same OR-of-bands candidates."""
-    planes = _topk_planes(dim, bands, seed)
     band_rows = "\n  UNION ALL ".join(
-        f"SELECT _id, {b} AS _band, {_topk_band_bucket_sql('_v', planes, b)} AS _bucket FROM vr"
+        f"SELECT _id, {b} AS _band, "
+        f"{band_code_sql('_v', dim, b, bands, _N_PLANES, seed)} AS _bucket FROM vr"
         for b in range(bands)
     )
     cos = cosine_sql("qv._v", "cv._v")
@@ -207,10 +193,19 @@ def lsh_topk(
         .select("query_id", "neighbor_id")
         .distinct()
     )
-    vecs = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    # query vectors come from the QUERIES frame, not df — external probe
+    # sets (ids absent from df, or same ids with different embeddings)
+    # must score against their own vectors (cosine_topk already does;
+    # round-3 review caught this one silently refetching from df)
+    qvecs = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
+    )
+    nvecs = df.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cvec")
+    )
     scored = (
-        cand.join(vecs.select(F.col("_id").alias("query_id"), F.col("_v").alias("_qvec")), "query_id")
-        .join(vecs.select(F.col("_id").alias("neighbor_id"), F.col("_v").alias("_cvec")), "neighbor_id")
+        cand.join(F.broadcast(qvecs), "query_id")
+        .join(nvecs, "neighbor_id")
         .withColumn("cosine", cosine_col(F.col("_qvec"), F.col("_cvec")))
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -323,10 +318,18 @@ def band_codes_udf(dim: int, bands: int = EDGE_BANDS, bits: int = EDGE_BITS, see
     return codes
 
 
+_METRICS = ("euclidean", "cosine", "cosine_sim")
+
+
 def pair_dist_udf(dim: int, metric: str):
     """Arrow-vectorized pair distance with per-dimension sequential
     accumulation — same fold order as euclidean_col / cosine_col and the
     DuckDB twins, so results are bit-identical, not merely close."""
+    if metric not in _METRICS:
+        # fail at the source: an unknown string (e.g. "euclidian") used
+        # to fall through to cosine silently — in BOTH twins, so even
+        # the gate agreed on the wrong metric
+        raise ValueError(f"unknown metric {metric!r}; expected one of {_METRICS}")
     @pandas_udf("double")
     def dist(a: pd.Series, b: pd.Series) -> pd.Series:
         ma = np.stack(a.to_numpy()).astype(np.float64)
@@ -401,7 +404,13 @@ def knn_edges(
     rely on it).
     """
     if dim is None:
-        dim = int(df.select(F.size(F.col(vec_col))).first()[0])
+        row = df.select(F.size(F.col(vec_col))).first()
+        if row is None or row[0] is None:
+            raise ValueError(
+                f"cannot infer dim from an empty {vec_col!r} column — "
+                "pass dim= explicitly"
+            )
+        dim = int(row[0])
     vecs = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
 
     dist_udf = pair_dist_udf(dim, metric)
@@ -528,7 +537,13 @@ def embedding_near_duplicates(
     band collision probability is ≈1, and recall vs the brute path is
     asserted in tests/test_knn_edges.py."""
     if dim is None:
-        dim = int(df.select(F.size(F.col(vec_col))).first()[0])
+        row = df.select(F.size(F.col(vec_col))).first()
+        if row is None or row[0] is None:
+            raise ValueError(
+                f"cannot infer dim from an empty {vec_col!r} column — "
+                "pass dim= explicitly"
+            )
+        dim = int(row[0])
     cand = _candidate_pairs(df, id_col, vec_col, dim, bands, bits, seed, block_col=block_col).where(
         F.col("qid") < F.col("nid")
     )

@@ -294,3 +294,32 @@ def test_every_query_has_an_oracle():
     spec.loader.exec_module(mod)
     q, o = set(mod.queries()), set(mod.oracle_sql())
     assert q == o, f"missing oracles: {sorted(q - o)}; orphans: {sorted(o - q)}"
+
+
+def test_multilabel_cj_dense_grid_with_diagonal_clip(spark):
+    """The one-vs-rest confident joint must return the FULL (K, 2, 2)
+    grid with each per-class 2x2 diagonal clipped to >= 1 — the
+    reference applies count.py:612's fill_diagonal(clip(min=1)) inside
+    every binary subproblem, so empty confident cells report 1, never an
+    absent row (round-3 review)."""
+    from sparkclean.quality.joint import multilabel_confident_joint_counts
+
+    K2 = 3
+    # every example carries label {0}; class 2 never appears → its
+    # (given=1, *) cells are empty and its (1,1) diagonal must clip to 1
+    rows = [
+        (i, [0], [0.9, 0.05, 0.05]) for i in range(30)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id: long, labels: array<int>, pred_probs: array<double>"
+    )
+    out = {
+        (r["class_k"], r["given_k"], r["true_k"]): r["n"]
+        for r in multilabel_confident_joint_counts(df, K2).collect()
+    }
+    assert len(out) == K2 * 4  # dense grid, no absent rows
+    for k in range(K2):
+        assert out[(k, 0, 0)] >= 1 and out[(k, 1, 1)] >= 1  # clipped diagonal
+    # class 2 has no positive examples: its (1, 1) cell is the pure clip
+    assert out[(2, 1, 1)] == 1
+    assert out[(2, 1, 0)] == 0

@@ -24,6 +24,7 @@ from sparkclean.sim.knn import (
     embedding_near_duplicates,
     euclidean_col,
     knn_edges,
+    lsh_topk,
 )
 
 K = 10
@@ -191,3 +192,39 @@ def test_no_cartesian_in_consumer_plans(clustered, spark):
         )
     # the builder itself contains exactly the one bounded rescue BNLJ
     assert plans["knn_edges"].count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_lsh_topk_external_query_vectors(spark):
+    """Probe vectors NOT drawn from the indexed table must score against
+    their OWN embeddings (round-3 review: the query vector was silently
+    re-fetched from df by id, dropping external ids entirely)."""
+    rng = np.random.RandomState(17)
+    base = rng.randn(40, DIM)
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in base[i]]) for i in range(40)],
+        "vec_id: long, embedding: array<double>",
+    )
+    # external probes: ids far outside df's id space, vectors equal to
+    # two existing rows (so their true top-1 is that row at cosine ~1)
+    probes = spark.createDataFrame(
+        [(1000, [float(v) for v in base[3]]), (1001, [float(v) for v in base[7]])],
+        "vec_id: long, embedding: array<double>",
+    )
+    out = lsh_topk(df, probes, dim=DIM, k=3).collect()
+    assert out, "external probes returned no candidates"
+    top = {}
+    for r in out:
+        if r["rank"] == 1:
+            top[r["query_id"]] = (r["neighbor_id"], r["cosine"])
+    assert top[1000][0] == 3 and top[1000][1] == pytest.approx(1.0, abs=1e-6)
+    assert top[1001][0] == 7 and top[1001][1] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_knn_edges_rejects_bad_metric_and_empty_df(spark):
+    from sparkclean.sim.knn import pair_dist_udf
+
+    with pytest.raises(ValueError, match="unknown metric"):
+        pair_dist_udf(4, "euclidian")
+    empty = spark.createDataFrame([], "vec_id: long, embedding: array<double>")
+    with pytest.raises(ValueError, match="cannot infer dim"):
+        knn_edges(empty, k=3)
