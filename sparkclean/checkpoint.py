@@ -61,24 +61,33 @@ def run_checkpointed(
     buckets already recorded in the manifest.  Returns the manifest.
     """
     spark = df.sparkSession
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
     manifest = load_manifest(output_dir)
     done = set(int(b) for b in manifest["buckets"])
     pending = [b for b in range(n_buckets) if b not in done]
     if not pending:
         return manifest
+    # dynamic partition overwrite ONLY for this write — restore the
+    # session's prior setting so unrelated partitioned overwrites keep
+    # their delete-all semantics (round-3 review: the leak left stale
+    # partitions behind for later callers)
+    _POM = "spark.sql.sources.partitionOverwriteMode"
+    prior_pom = spark.conf.get(_POM, "STATIC")
+    spark.conf.set(_POM, "dynamic")
 
     work = df.withColumn("_bucket", bucket_col(id_col, n_buckets))
     if done:
         work = work.where(~F.col("_bucket").isin([int(b) for b in done]))
     work = work.persist()
 
-    (
-        work.write.mode("overwrite")
-        .partitionBy("_bucket")
-        .parquet(output_dir)
-    )
+    try:
+        (
+            work.write.mode("overwrite")
+            .partitionBy("_bucket")
+            .parquet(output_dir)
+        )
+    finally:
+        spark.conf.set(_POM, prior_pom)
 
     # lineage counters per bucket, computed from the same cached frame
     aggs = [F.count(F.lit(1)).alias("rows")]

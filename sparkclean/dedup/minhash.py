@@ -151,6 +151,14 @@ def near_duplicate_pairs(
     # Filter on the word count, NOT on size(_sh) > 0: an equivalent
     # predicate on the shingle array gets pushed below the exchange and
     # re-inlines the whole O(len^2) shingle expression over raw text.
+    # NOTE on the apparent triple shingle computation: `base` appears in
+    # three plan subtrees (bucket path + the two verify join-backs), but
+    # the a/b sides are IDENTICAL exchanges and Spark's ReuseExchange
+    # deduplicates them at execution — measured: an "optimized" rewrite
+    # that persisted the small bucket frame and re-shingled only
+    # candidate rows ran 1.5-1.8x SLOWER at sf0.1 (extra distinct +
+    # semi-join + cache round-trips outweigh the reused shingle pass).
+    # Keep the declarative form and let the optimizer share the subtree.
     base = (
         ensure_parallelism(df)
         .withColumn("_w", words_col(F.lower(F.col(text_col))))

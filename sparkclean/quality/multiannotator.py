@@ -40,6 +40,14 @@ def majority_vote_label(
     One groupBy((example, label)) + one window — no driver-side state
     except nothing at all; class frequencies ride along via a broadcast
     join of the K-row frequency table.
+
+    Tie-break order vs the reference (multiannotator_utils.py:
+    votes → model prob → EMPIRICAL class frequency → then the reference
+    consults per-annotator quality and finally a seeded random pick):
+    this engine substitutes SMALLEST CLASS ID for the last two levels —
+    a documented divergence (the annotator-quality level is a circular
+    dependency in the streaming shape, and the random level is
+    tie-unspecified); every earlier level matches exactly.
     """
     votes = long_df.groupBy("example_id", "label").agg(F.count(F.lit(1)).alias("n_votes"))
     freqs = long_df.groupBy("label").agg(F.count(F.lit(1)).alias("class_freq"))
@@ -141,7 +149,11 @@ def _crowdlab_round(
     # pair self-join, the annotator roster, the posterior vote mass) and
     # cons feeds two — pin both narrow frames so each of the round's
     # ~6 driver round-trips reads a cache instead of re-deriving the
-    # annotator table / majority-vote window chain
+    # annotator table / majority-vote window chain.  Cache ownership:
+    # the returned posterior reads these lazily, so they stay pinned for
+    # the session (same contract as pipeline.caption_scores and
+    # sim.knn.knn_edges — batch drivers clearCache() between queries;
+    # long-lived callers clear when done).
     long_df = long_df.persist()
     cons = cons.persist()
     nann = long_df.groupBy("example_id").agg(F.count(F.lit(1)).alias("num_annotations"))
@@ -169,6 +181,19 @@ def _crowdlab_round(
         ).alias("cl"),
         F.avg(F.col("num_annotations").cast("double")).alias("mean_n"),
     ).first()
+    if row["cl"] is None:
+        # every example has exactly one annotation — the consensus
+        # likelihood is undefined here.  The reference routes fully
+        # single-annotated data through a dedicated path
+        # (multiannotator.py:646-661: model_weight=1, no temperature
+        # scaling) that this engine does not implement; fail loudly with
+        # the routing advice instead of a bare TypeError(float(None)).
+        raise ValueError(
+            "CROWDLAB needs at least one example with multiple "
+            "annotations; for fully single-annotated data use "
+            "majority_vote_label/consensus_quality (the reference's "
+            "single-annotator path is a documented gap)"
+        )
     consensus_likelihood = float(row["cl"])
     non_consensus_likelihood = (1.0 - consensus_likelihood) / (num_classes - 1)
     mean_n = float(row["mean_n"])
@@ -484,6 +509,36 @@ def temp_scale_probs(
     return df.drop("_pc", "_s1", "_pt", "_s2")
 
 
+def _activelab_blend(
+    long_df: DataFrame,
+    posterior_df: DataFrame,
+    weights: dict,
+    model_weight_mass: float,
+    num_classes: int,
+) -> DataFrame:
+    """The shared ActiveLab blend (multiannotator.py:646-694 / 827-870):
+    consensus quality weighted by (annotation weight + model-weight
+    mass), mixed with the 1/K prior at the average annotator weight.
+    ``model_weight_mass`` is the single model weight for the one-model
+    path and the SUM of weights for the ensemble path — the ONLY
+    difference between the two callers."""
+    avg_w = sum(weights.values()) / len(weights)
+    w_map = F.create_map(
+        *[x for a, w in sorted(weights.items()) for x in (F.lit(a), F.lit(float(w)))]
+    )
+    ann_w = (
+        long_df.withColumn("_w", F.element_at(w_map, F.col("annotator_id")))
+        .groupBy("example_id")
+        .agg(F.sum("_w").alias("_W"))
+    )
+    out = posterior_df.join(ann_w, "example_id")
+    labeled_w = F.col("_W") + F.lit(model_weight_mass)
+    score = (
+        F.col("consensus_quality_score") * labeled_w + F.lit((1.0 / num_classes) * avg_w)
+    ) / (labeled_w + F.lit(avg_w))
+    return out.select("example_id", score.alias("active_learning_score"))
+
+
 def active_learning_scores(
     long_df: DataFrame,
     probs_df: DataFrame,
@@ -497,23 +552,8 @@ def active_learning_scores(
     temp = find_best_temp(long_df, probs_df, num_classes, probs_col)
     scaled = temp_scale_probs(probs_df, temp, probs_col)
     df, info = crowdlab_posterior(long_df, scaled, num_classes, probs_col)
-    weights = info["annotator_weights"]
-    mw = info["model_weight"]
-    avg_w = sum(weights.values()) / len(weights)
-    w_map = F.create_map(
-        *[x for a, w in sorted(weights.items()) for x in (F.lit(a), F.lit(float(w)))]
-    )
-    ann_w = (
-        long_df.withColumn("_w", F.element_at(w_map, F.col("annotator_id")))
-        .groupBy("example_id")
-        .agg(F.sum("_w").alias("_W"))
-    )
-    out = df.join(ann_w, "example_id")
-    labeled_w = F.col("_W") + F.lit(mw)
-    score = (
-        F.col("consensus_quality_score") * labeled_w + F.lit((1.0 / num_classes) * avg_w)
-    ) / (labeled_w + F.lit(avg_w))
-    return out.select("example_id", score.alias("active_learning_score"))
+    return _activelab_blend(long_df, df, info["annotator_weights"],
+                            float(info["model_weight"]), num_classes)
 
 
 def active_learning_scores_ensemble(
@@ -527,20 +567,5 @@ def active_learning_scores_ensemble(
     (annotation weight + SUM of model weights) vs the average annotator
     weight."""
     df, info = crowdlab_ensemble_posterior(long_df, probs_dfs, num_classes, probs_col)
-    weights = info["annotator_weights"]
-    mw_total = float(sum(info["model_weights"]))
-    avg_w = sum(weights.values()) / len(weights)
-    w_map = F.create_map(
-        *[x for a, w in sorted(weights.items()) for x in (F.lit(a), F.lit(float(w)))]
-    )
-    ann_w = (
-        long_df.withColumn("_w", F.element_at(w_map, F.col("annotator_id")))
-        .groupBy("example_id")
-        .agg(F.sum("_w").alias("_W"))
-    )
-    out = df.join(ann_w, "example_id")
-    labeled_w = F.col("_W") + F.lit(mw_total)
-    score = (
-        F.col("consensus_quality_score") * labeled_w + F.lit((1.0 / num_classes) * avg_w)
-    ) / (labeled_w + F.lit(avg_w))
-    return out.select("example_id", score.alias("active_learning_score"))
+    return _activelab_blend(long_df, df, info["annotator_weights"],
+                            float(sum(info["model_weights"])), num_classes)

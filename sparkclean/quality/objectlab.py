@@ -209,14 +209,38 @@ def swap_box_scores(
     return out.select("image_id", "lab_box", score.alias("score_swap"))
 
 
+def _require_global_box_ids(lab: DataFrame, pred: DataFrame) -> None:
+    """Every per-box aggregation and join in this module keys on bare
+    ``box_id`` — the input contract is that box ids are GLOBALLY unique
+    across images (unlike the reference's per-image 0..L-1 indices).
+    Per-image ids would silently blend boxes across images, so validate
+    loudly up front (one cheap agg per table — box tables are small
+    relative to the corpus).  Callers with per-image indices should key
+    as e.g. ``concat(image_id, '#', idx)`` first."""
+    for name, df in (("lab", lab), ("pred", pred)):
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("box_id").alias("d"),
+        ).first()
+        if row["n"] != row["d"]:
+            raise ValueError(
+                f"{name} box_id values are not globally unique "
+                f"({row['n']} rows, {row['d']} distinct) — objectlab "
+                "keys per-box state on bare box_id; derive a global id "
+                "(e.g. concat(image_id, '#', index)) first"
+            )
+
+
 def objectlab_scores_from_boxes(
     lab: DataFrame, pred: DataFrame, alpha: float = ALPHA
 ) -> DataFrame:
     """End-to-end ObjectLab image scores from raw box tables
     (rank.py:50-205): subtype box scores -> per-image softmin pooling ->
-    weighted geometric combine."""
+    weighted geometric combine.  ``box_id`` must be globally unique
+    (validated; see :func:`_require_global_box_ids`)."""
     from .task_scores import objectlab_image_scores
 
+    _require_global_box_ids(lab, pred)
     pairs = box_pairs(lab, pred, alpha).persist()
     minsim = min_possible_similarity(pairs)
     over = overlooked_box_scores(pred, pairs, minsim).select(
@@ -350,12 +374,14 @@ def objectlab_find_label_issues(
     per-box subtype scores compared against per-class thresholds
     ``AP_k * 0.25 * 0.8``; an image is an issue when ANY of its boxes
     (predicted or annotated) falls at or below its threshold.  NaN box
-    scores count as 1.0 (never an issue)."""
+    scores count as 1.0 (never an issue).  ``box_id`` must be globally
+    unique (validated; see :func:`_require_global_box_ids`)."""
     # lab/pred feed ~8 separate jobs (AP collect, gt counts, minsim,
     # three subtype DAGs, final union) — pin the small box tables once
     # instead of re-deriving them per job
     lab = lab.persist()
     pred = pred.persist()
+    _require_global_box_ids(lab, pred)
     ap = per_class_ap(lab, pred, num_classes)
     thr = {k: ap[k] * AP_SCALE_FACTOR for k in range(num_classes)}
     thr_map = F.create_map(*[x for k, v in thr.items() for x in (F.lit(k), F.lit(float(v)))])

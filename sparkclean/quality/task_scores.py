@@ -80,7 +80,9 @@ WITH {extra_cte}puf AS (
          sum(CASE WHEN pred THEN 1 ELSE 0 END)::DOUBLE / count(*) AS fp
   FROM puf
 )
-SELECT round((tp / ap) * (tp / ap) / (2.0 * fp), 6) AS pu_f1 FROM agg WHERE fp <> 0"""
+SELECT CASE WHEN fp <> 0
+            THEN round((tp / ap) * (tp / ap) / (2.0 * fp), 6) END AS pu_f1
+FROM agg"""
 
 
 # ------------------------------------------------------------ regression OUTRE

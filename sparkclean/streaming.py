@@ -112,9 +112,22 @@ class StreamingLabelInspector:
                 "thresholds": self.thresholds(),
             }
         )
-        result = scored
-        feats.unpersist()
-        return result
+        # NOTE: feats stays persisted — the returned frame reads it
+        # lazily, and an unpersist here made attach()'s parquet write
+        # recompute the whole feature DAG a third time per micro-batch
+        # (round-3 review).  The consumer owns the cache: attach()
+        # unpersists after its write; direct callers unpersist (or
+        # clearCache) once the result is materialized.
+        self._last_feats = feats
+        return scored
+
+    def release_batch_cache(self) -> None:
+        """Drop the previous micro-batch's feature cache (call after the
+        scored output has been materialized)."""
+        feats = getattr(self, "_last_feats", None)
+        if feats is not None:
+            feats.unpersist()
+            self._last_feats = None
 
     def attach(self, stream_df: DataFrame, output_path: str, text_col: str = "caption"):
         """foreachBatch wiring for a real streaming query."""
@@ -122,6 +135,7 @@ class StreamingLabelInspector:
         def handle(batch_df: DataFrame, batch_id: int) -> None:
             out = self.process_batch(batch_df, text_col)
             out.write.mode("append").parquet(output_path)
+            self.release_batch_cache()
 
         return stream_df.writeStream.foreachBatch(handle)
 
@@ -146,6 +160,7 @@ def windowed_event_counts(
     key_col: str = "event_type",
     window: str = "1 hour",
     late_threshold: str = "30 minutes",
+    value_col: str = "value",
 ) -> DataFrame:
     """EVENT-time tumbling-window rollup with a late-data watermark —
     the streaming twin of the batch ``events_hourly`` rollup.
@@ -162,7 +177,7 @@ def windowed_event_counts(
         .groupBy(F.window(F.col(ts_col), window), F.col(key_col))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum("value").alias("value_sum"),
+            F.sum(value_col).alias("value_sum"),
         )
         .select(
             F.col("window.start").alias("window_start"),
