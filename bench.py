@@ -74,9 +74,9 @@ def run(sf_dir: str, cpus: int, image_n: int, include_headline: bool = True) -> 
     # scrub).  Corpus is generated once to /tmp (deterministic, keyed by
     # N) and scanned with the python-native reader; generation is setup,
     # not workload.
-    # v2: luma32 phash definition (codec.py) — cached corpora generated
-    # with the old luma formula would fail phash validation
-    corpus_path = f"/tmp/sparkclean_bench_corpus_v2_{image_n}"
+    # v3: luma32 phash + seed-derived duplicate dimensions (synth.py) —
+    # cached corpora from older definitions would fail phash validation
+    corpus_path = f"/tmp/sparkclean_bench_corpus_v3_{image_n}"
     if not os.path.exists(os.path.join(corpus_path, "_SUCCESS")):
         synth_images(
             spark, image_n, with_images=True, partitions=max(cpus * 8, 64),

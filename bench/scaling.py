@@ -90,8 +90,8 @@ def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 120_000
     lo = int(sys.argv[2]) if len(sys.argv) > 2 else 8
     hi = int(sys.argv[3]) if len(sys.argv) > 3 else 32
-    # v2: luma32 phash definition (codec.py) — old cached corpora invalid
-    path = os.environ.get("SPARKCLEAN_SCALING_CORPUS", f"/tmp/sparkclean_corpus_v2_{n}")
+    # v3: luma32 phash + seed-derived dup dimensions — old corpora invalid
+    path = os.environ.get("SPARKCLEAN_SCALING_CORPUS", f"/tmp/sparkclean_corpus_v3_{n}")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         gen_corpus(n, path)
     r_lo = run_config(lo, n, path)

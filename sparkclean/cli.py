@@ -28,8 +28,11 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--id-col", default="image_id")
     p.add_argument("--text-col", default="caption")
     p.add_argument(
-        "--fast-scan", action="store_true", default=True,
-        help="python-native parquet scan (bytes never cross the JVM boundary)",
+        "--fast-scan", action=argparse.BooleanOptionalAction, default=True,
+        help="python-native parquet scan (bytes never cross the JVM "
+        "boundary); --no-fast-scan forces the JVM reader, e.g. for "
+        "partitioned directory layouts or object-store paths the "
+        "worker-local glob cannot reach",
     )
     p.add_argument("--master", default=None)
     args = p.parse_args(argv)

@@ -175,8 +175,27 @@ def decode_scan(
             s = "double"
         elif _pa.types.is_float32(t):
             s = "float"
+        elif _pa.types.is_boolean(t):
+            s = "boolean"
+        elif _pa.types.is_binary(t) or _pa.types.is_large_binary(t):
+            s = "binary"
+        elif _pa.types.is_int16(t):
+            s = "smallint"
+        elif _pa.types.is_int8(t):
+            s = "tinyint"
+        elif _pa.types.is_date(t):
+            s = "date"
+        elif _pa.types.is_timestamp(t):
+            s = "timestamp"
+        elif _pa.types.is_large_string(t):
+            s = "string"
         else:
-            s = t.to_pandas_dtype().__name__
+            # numpy dtype names like 'bool_'/'object' are NOT Spark DDL —
+            # fail with the column named instead of a ParseException later
+            raise ValueError(
+                f"decode_scan cannot map arrow type {t} of column "
+                f"{f.name!r} to a Spark type; drop or cast it first"
+            )
         spark_types[f.name] = s
     schema = (
         ", ".join(f"{c} {spark_types[c]}" for c in narrow_cols) + ", " + STATS_FIELDS

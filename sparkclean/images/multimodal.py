@@ -45,16 +45,29 @@ def _require_real_codec(kind: str) -> None:  # pragma: no cover
     )
 
 
-def resize_images(df: DataFrame, target_w: int, target_h: int) -> DataFrame:
+def resize_images(
+    df: DataFrame, target_w: int, target_h: int, image_codec: str = "synthetic"
+) -> DataFrame:
     """Decode → nearest-neighbour resize → re-encode, one mapInPandas
     pass.  Real pixels via our own codec; the resize kernel is exact and
-    deterministic."""
+    deterministic.  Null or undecodable payloads are SKIPPED (dropped
+    from the output, like decode_stats leaves their stats null) instead
+    of failing the task — a single corrupt row must not kill the job.
+    ``image_codec`` other than "synthetic" raises NotImplementedError
+    (the external-codec contract of the module docstring)."""
+    if image_codec != "synthetic":
+        _require_real_codec(image_codec)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {"image_id": [], "bytes": [], "w": [], "h": [], "fmt": []}
             for iid, blob, fmt in zip(pdf["image_id"], pdf["bytes"], pdf["fmt"]):
-                px, got_fmt = codec.decode(bytes(blob))
+                if blob is None:
+                    continue
+                try:
+                    px, got_fmt = codec.decode(bytes(blob))
+                except Exception:
+                    continue
                 ys = (np.arange(target_h) * px.shape[0]) // target_h
                 xs = (np.arange(target_w) * px.shape[1]) // target_w
                 resized = px[ys][:, xs]

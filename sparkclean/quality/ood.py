@@ -100,7 +100,10 @@ def with_ood_scores(
     if adjust:
         if thresholds is None:
             raise ValueError("adjust=True requires precomputed confident thresholds")
-        probs = adjust_pred_probs(probs, thresholds)
+        from .scores import with_adjusted_probs
+
+        df = with_adjusted_probs(df, probs_col, thresholds, "_adj_probs")
+        probs = F.col("_adj_probs")
     if method == "entropy":
         col = ood_entropy_score(probs, num_classes)
     elif method == "least_confidence":
@@ -109,4 +112,5 @@ def with_ood_scores(
         col = ood_gen_score(probs, num_classes)
     else:
         raise ValueError(f"unknown OOD method {method!r}")
-    return df.withColumn(out_col, col)
+    out = df.withColumn(out_col, col)
+    return out.drop("_adj_probs") if adjust else out

@@ -51,7 +51,7 @@ def softmin_sql(scores: str, temperature: float = 0.05) -> str:
  ))"""
 
 
-def ema_col(scores: Column, alpha: float | None = None, num_scores: int | None = None) -> Column:
+def ema_col(scores: Column, alpha: float | None = None) -> Column:
     desc = F.reverse(F.array_sort(scores))
     k = F.size(scores).cast("double")
     a = F.lit(float(alpha)) if alpha is not None else F.lit(2.0) / (k + F.lit(1.0))

@@ -54,19 +54,35 @@ def log_loss_search_weights(
     import math
 
     lls = log_loss_per_model(df, label_col, probs_cols, clip)
-    best_weights, best_eval = None, float("inf")
-    for t in t_values:
+    # every temperature's weighted-average log loss is an independent
+    # column expression — evaluate ALL of them in ONE aggregation pass
+    # instead of one full scan per temperature (round-3 review)
+    per_t_weights: list[list[float]] = []
+    aggs = []
+    for ti, t in enumerate(t_values):
         ws = [math.exp(-t * ll) for ll in lls]
         s = sum(ws)
         ws = [w / s for w in ws]
+        per_t_weights.append(ws)
+
+        # bind w through a factory, NOT a defaulted lambda parameter:
+        # pyspark counts defaulted params, so `lambda x, _w=w:` is seen
+        # as the (element, index) signature and _w receives the INDEX
+        def _scaled(col_name: str, w: float):
+            return F.transform(
+                F.col(col_name), lambda x: x.cast("double") * F.lit(w)
+            )
+
         avg_probs = None
         for w, c in zip(ws, probs_cols):
-            term = F.transform(F.col(c), lambda x: x.cast("double") * F.lit(w))
+            term = _scaled(c, w)
             avg_probs = term if avg_probs is None else F.zip_with(avg_probs, term, lambda a, b: a + b)
         p_label = F.element_at(avg_probs, F.col(label_col).cast("int") + 1)
-        ev = float(
-            df.agg(F.avg(-F.log(F.greatest(p_label, F.lit(clip))))).collect()[0][0]
-        )
+        aggs.append(F.avg(-F.log(F.greatest(p_label, F.lit(clip)))).alias(f"_ev{ti}"))
+    row = df.agg(*aggs).collect()[0]
+    best_weights, best_eval = None, float("inf")
+    for ti in range(len(t_values)):
+        ev = float(row[f"_ev{ti}"])
         if ev < best_eval:
-            best_eval, best_weights = ev, ws
+            best_eval, best_weights = ev, per_t_weights[ti]
     return best_weights

@@ -81,12 +81,45 @@ def boosted_predicted_label(label: Column, probs: Column) -> Column:
 def adjust_pred_probs(probs: Column, thresholds: list[float]) -> Column:
     """Subtract per-class confident thresholds, shift by max(t), renormalise
     rows (label_quality_utils.py:11-65). ``thresholds`` is the collected
-    K-vector, inlined as a literal array (broadcast-by-value)."""
+    K-vector, inlined as a literal array (broadcast-by-value).
+
+    Column-expression form for SMALL data / oracle parity only: the
+    normalising sum is referenced inside the per-element lambda, so
+    interpreted HOFs re-evaluate the K-term fold per element (O(K²)).
+    DataFrame callers use :func:`with_adjusted_probs`, which materialises
+    the shifted array and its sum as columns first — identical values,
+    single evaluation."""
     t = _arr(thresholds)
     t_max = float(max(thresholds))
     shifted = F.zip_with(probs, t, lambda p, th: p.cast("double") - th + F.lit(t_max))
     row_sum = F.aggregate(shifted, F.lit(0.0), lambda acc, x: acc + x)
     return F.transform(shifted, lambda x: x / row_sum)
+
+
+def with_adjusted_probs(
+    df, probs_col: str, thresholds: list[float], out_col: str
+):
+    """DataFrame form of :func:`adjust_pred_probs` with the shifted array
+    and its row sum materialised as their own columns, so the fold
+    evaluates once per row instead of once per ELEMENT (the
+    interpreted-HOF O(K²) hazard; same discipline as with_pyx_posterior).
+    Bit-identical values — same operations in the same order."""
+    t = _arr(thresholds)
+    t_max = float(max(thresholds))
+    shifted = F.zip_with(
+        F.col(probs_col), t, lambda p, th: p.cast("double") - th + F.lit(t_max)
+    )
+    return (
+        df.withColumn("_adj_shift", shifted)
+        .withColumn(
+            "_adj_sum",
+            F.aggregate(F.col("_adj_shift"), F.lit(0.0), lambda acc, x: acc + x),
+        )
+        .withColumn(
+            out_col, F.transform(F.col("_adj_shift"), lambda x: x / F.col("_adj_sum"))
+        )
+        .drop("_adj_shift", "_adj_sum")
+    )
 
 
 def label_quality_score(
@@ -126,7 +159,11 @@ def with_label_quality_scores(
     if adjust:
         if thresholds is None:
             raise ValueError("adjust=True requires precomputed thresholds")
-        probs = adjust_pred_probs(probs, thresholds)
+        df = with_adjusted_probs(df, probs_col, thresholds, "_adj_probs")
+        probs = F.col("_adj_probs")
+        return df.withColumn(
+            out_col, label_quality_score(label, probs, num_classes, method)
+        ).drop("_adj_probs")
     return df.withColumn(out_col, label_quality_score(label, probs, num_classes, method))
 
 

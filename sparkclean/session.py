@@ -25,9 +25,12 @@ def get_spark(
     extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
     master = master or os.environ.get("SPARKCLEAN_MASTER", "local[*]")
-    cores = os.environ.get("SPARK_GRAFT_CPUS")
-    if master == "env" and cores:
-        master = f"local[{cores}]"
+    if master == "env":
+        # the taskset-pinned scaling convention: local[$SPARK_GRAFT_CPUS],
+        # falling back to local[*] when the var is unset instead of
+        # letting the literal sentinel reach Spark's master-URL parser
+        cores = os.environ.get("SPARK_GRAFT_CPUS")
+        master = f"local[{cores}]" if cores else "local[*]"
     if shuffle_partitions is None:
         shuffle_partitions = int(os.environ.get("SPARKCLEAN_SHUFFLE_PARTITIONS", "32"))
 

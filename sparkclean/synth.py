@@ -139,13 +139,18 @@ def synth_images(
             ids = pdf["id"].to_numpy().astype(np.uint64)
             m = len(ids)
             captions, _ = _gen_captions(ids)
-            sizes = base_px + (mix64(ids, 9) % np.uint64(5)).astype(np.int64) * px_step
             fmt_jpeg = _u(ids, 10) < 0.30
             seeds = _image_seed(ids, n_total)
+            # dimensions derive from the SEED, not the row id: pixels are
+            # synth_pixels(seed, w, h), so duplicate-cluster members must
+            # share (w, h) to actually share pixels/phash — id-derived
+            # sizes silently shrank the advertised ~2% phash clusters
+            # ~25x on the with_images path (round-3 review)
+            su = seeds.astype(np.uint64)
+            ws = base_px + (mix64(su, 9) % np.uint64(5)).astype(np.int64) * px_step
+            hs = base_px + (mix64(su, 11) % np.uint64(5)).astype(np.int64) * px_step
             blobs: list[bytes | None] = [None] * m
             phashes = np.zeros(m, dtype=np.int64)
-            ws = sizes
-            hs = base_px + (mix64(ids, 11) % np.uint64(5)).astype(np.int64) * px_step
             if gen_images:
                 for i in range(m):
                     px = codec.synth_pixels(int(seeds[i]), int(ws[i]), int(hs[i]))

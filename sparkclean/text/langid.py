@@ -80,9 +80,12 @@ def _make_weights(seed: int = 7) -> np.ndarray:
     w = rng.randn(BUCKETS, len(LANG_ORDER)).astype(np.float32) * 0.05
     for li, lang in enumerate(LANG_ORDER):
         for word in LANG_MARKERS[lang]:
-            padded = f" {word} "
-            for i in range(len(padded) - NGRAM_N + 1):
-                h = _ngram_bucket(padded[i : i + NGRAM_N].encode("utf-8", "ignore"))
+            # hash BYTE windows, exactly as _score_batch rolls them — a
+            # char window of a multi-byte marker (zh) would hash 4-9
+            # bytes into a bucket the 3-byte scorer can never reach
+            pb = f" {word} ".encode("utf-8", "ignore")
+            for i in range(max(len(pb) - NGRAM_N + 1, 0)):
+                h = _ngram_bucket(pb[i : i + NGRAM_N])
                 w[h, li] += 1.0
     return w
 

@@ -132,11 +132,15 @@ def test_fasttext_langid_smoke(spark):
         (1, "le chat est dans la maison pour les enfants et le chien"),
         (2, "el perro y el gato es que en la casa por los"),
         (3, "der hund und die katze ist ein mit von nicht das"),
+        # multi-byte markers: the weight table must hash BYTE windows
+        # like the scorer, or zh priors land in unreachable buckets
+        (4, "的 是 了 在 和 有 我 他 这 个"),
     ]
     df = spark.createDataFrame(rows, "id: int, t: string")
     model = langid.FastTextLangId(spark)
     got = {r["id"]: r["lang"] for r in df.select("id", model.udf()(F.col("t")).alias("lang")).collect()}
     assert got[0] == "en" and got[1] == "fr" and got[2] == "es" and got[3] == "de"
+    assert got[4] == "zh"
     # determinism across invocations
     got2 = {r["id"]: r["lang"] for r in df.select("id", model.udf()(F.col("t")).alias("lang")).collect()}
     assert got == got2
