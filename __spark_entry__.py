@@ -25,6 +25,7 @@ from sparkclean.dedup import exact as dedup_exact
 from sparkclean.dedup import minhash as dedup_minhash
 from sparkclean.dedup import simhash as dedup_simhash
 from sparkclean.quality import issues as q_issues
+from sparkclean.quality.datalab import IMBALANCE_THRESHOLD_FACTOR as _IMB_FACTOR
 from sparkclean.quality import scores as q_scores
 from sparkclean.quality import thresholds as q_thresholds
 from sparkclean.quality.joint import with_confident_bins
@@ -301,7 +302,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "token_idx",
             (hash60_col(F.concat(F.col("_t"), F.lit("#lbl"))) % F.lit(2)).cast("int").alias("label"),
             F.array(F.lit(1.0) - s, s).alias("pred_probs"),
-        ).withColumn("_tid", F.col("doc_id") * 10000 + F.col("token_idx"))
+        ).withColumn(
+            # collision-proof internal id: doc_id * 2^32 + idx (a 10000
+            # multiplier would alias tokens across >=10k-token docs)
+            "_tid", F.col("doc_id") * F.lit(1 << 32) + F.col("token_idx")
+        )
         out = q_issues.find_label_issues(
             toks, 2, id_col="_tid", filter_by="confident_learning"
         )
@@ -325,7 +330,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "token",
             (hash60_col(F.concat(F.col("token"), F.lit("#lbl"))) % F.lit(2)).cast("int").alias("label"),
             F.array(F.lit(1.0) - s, s).alias("pred_probs"),
-        ).withColumn("_tid", F.col("doc_id") * 10000 + F.col("token_idx"))
+        ).withColumn(
+            # collision-proof internal id: doc_id * 2^32 + idx (a 10000
+            # multiplier would alias tokens across >=10k-token docs)
+            "_tid", F.col("doc_id") * F.lit(1 << 32) + F.col("token_idx")
+        )
         out = q_issues.find_label_issues(
             toks, 2, id_col="_tid", filter_by="confident_learning"
         )
@@ -340,10 +349,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from sparkclean.quality.task_scores import filter_pixel_issues_by_class
 
         df = _emb(spark, sf)
+        # carry the embedding through the explode — a join-back against a
+        # second scan of the table would shuffle 12xN exploded rows for
+        # nothing (round-3 review)
         px = df.select(
-            "vec_id", F.posexplode(F.sequence(F.lit(0), F.lit(11))).alias("_j", "j")
+            "vec_id",
+            "embedding",
+            F.posexplode(F.sequence(F.lit(0), F.lit(11))).alias("_j", "j"),
         ).drop("_j")
-        px = px.join(_emb(spark, sf), "vec_id")
         idx = ((F.col("vec_id") + F.col("j")) % 4).cast("int")
         terms = [
             F.exp(
@@ -674,10 +687,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # confident learning over the flattened pixel table (downsample=1),
         # reported as #flagged pixels per image
         df = _emb(spark, sf)
+        # carry the embedding through the explode — a join-back against a
+        # second scan of the table would shuffle 12xN exploded rows for
+        # nothing (round-3 review)
         px = df.select(
-            "vec_id", F.posexplode(F.sequence(F.lit(0), F.lit(11))).alias("_j", "j")
+            "vec_id",
+            "embedding",
+            F.posexplode(F.sequence(F.lit(0), F.lit(11))).alias("_j", "j"),
         ).drop("_j")
-        px = px.join(_emb(spark, sf), "vec_id")
         idx = ((F.col("vec_id") + F.col("j")) % 4).cast("int")
         terms = [
             F.exp(
@@ -959,7 +976,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "label",
             "n",
             F.round(F.col("n").cast("double") / F.lit(float(total)), 6).alias("prior"),
-            (F.col("n").cast("double") / F.lit(float(total)) < F.lit(0.1 / K)).alias(
+            (
+                F.col("n").cast("double") / F.lit(float(total))
+                < F.lit(_IMB_FACTOR / K)
+            ).alias(
                 "is_imbalance_issue"
             ),
         )
@@ -1304,18 +1324,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out = q_issues.find_label_issues(
             df, K, id_col="vec_id", filter_by="confident_learning"
         )
+        # rank on the RAW score — cleanlab's order_label_issues ordering
+        # is specified on unrounded values; rounding belongs only at the
+        # output boundary (a rank computed on the rounded score would
+        # swap rows whose raw scores differ inside the 6th decimal)
         scored = out.where(F.col("is_label_issue")).select(
             "vec_id",
-            F.round(
-                q_scores.self_confidence(F.col("label"), F.col("pred_probs")), 6
-            ).alias("score"),
+            q_scores.self_confidence(F.col("label"), F.col("pred_probs")).alias(
+                "_raw"
+            ),
         )
         # distributed global rank (range-partition + broadcast prefix-sum
         # offsets) — the flagged subset is a constant fraction of N, so an
         # unpartitioned Window.orderBy would serialise it through one task
         from sparkclean.stats import global_row_number
 
-        return global_row_number(scored, ["score", "vec_id"], out_col="rank")
+        ranked = global_row_number(scored, ["_raw", "vec_id"], out_col="rank")
+        return ranked.select(
+            "vec_id", F.round("_raw", 6).alias("score"), "rank"
+        )
 
     def normalized_margin_adjusted(spark, sf):
         # rank.get_label_quality_scores(method=normalized_margin,
@@ -1628,6 +1655,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     pc = _probs_cte()
+    # the second ensemble member's probs CTE — ONE definition; three
+    # oracles share it (pc2e/pc_b/pc2 were three identical copies)
+    pc2 = _probs_cte(lo=11, sfx="2")
     o: dict[str, str] = {}
 
     o["self_confidence_scores"] = (
@@ -2191,7 +2221,7 @@ WITH ev_o AS (
 SELECT qid AS event_id, round(exp(-avg_dist / med_o.m), 6) AS score
 FROM avgd_o CROSS JOIN med_o"""
 
-    pc2e = _probs_cte(lo=11, sfx="2")
+    pc2e = pc2
     o["ensemble_accuracy_weighted"] = f"""
 WITH {pc}, {pc2e.lstrip()},
 joined AS (
@@ -2200,7 +2230,11 @@ joined AS (
   SELECT avg(CASE WHEN list_position(pa, list_max(pa)) - 1 = label THEN 1.0 ELSE 0.0 END) AS a1,
          avg(CASE WHEN list_position(pb, list_max(pb)) - 1 = label THEN 1.0 ELSE 0.0 END) AS a2
   FROM joined
-), w AS (SELECT a1 / (a1 + a2) AS w1, a2 / (a1 + a2) AS w2 FROM accs)
+-- zero-total guard mirrors the Spark side (tot or 1.0): both members at
+-- exactly 0 accuracy must give weights 0, not NaN
+), w AS (
+  SELECT a1 / (CASE WHEN a1 + a2 = 0 THEN 1.0 ELSE a1 + a2 END) AS w1,
+         a2 / (CASE WHEN a1 + a2 = 0 THEN 1.0 ELSE a1 + a2 END) AS w2 FROM accs)
 SELECT j.vec_id,
        round(j.pa[j.label + 1] * w.w1 + j.pb[j.label + 1] * w.w2, 6) AS score
 FROM joined j CROSS JOIN w"""
@@ -2554,7 +2588,7 @@ SELECT vec_id, rank, round(s, 6) AS score FROM ranked WHERE rank <= 50"""
 WITH t AS (SELECT count(*)::DOUBLE AS total FROM embeddings)
 SELECT label::INT AS label, count(*) AS n,
        round(count(*) / t.total, 6) AS prior,
-       (count(*) / t.total < {0.1 / K}) AS is_imbalance_issue
+       (count(*) / t.total < {_IMB_FACTOR / K}) AS is_imbalance_issue
 FROM embeddings CROSS JOIN t GROUP BY label, t.total"""
     o["ood_entropy"] = f"WITH {pc} SELECT vec_id, round(1.0 - {_ENT_SQL}, 6) AS score FROM pp"
     o["ood_least_confidence"] = f"WITH {pc} SELECT vec_id, round(list_max(p), 6) AS score FROM pp"
@@ -2569,7 +2603,7 @@ sm AS (
 SELECT vec_id,
   round(1.0 - list_aggregate(list_transform(sp, x -> pow(x, 0.1) * pow(1.0 - x, 0.1)), 'sum') / 100.0, 6) AS score
 FROM sm"""
-    pc_b = _probs_cte(lo=11, sfx="2")
+    pc_b = pc2
     o["ensemble_label_quality"] = f"""
 WITH {pc}, {pc_b.lstrip()}
 SELECT pp.vec_id, round((pp.p[pp.label + 1] + pp2.p[pp2.label + 1]) / 2.0, 6) AS score
@@ -2782,7 +2816,6 @@ SELECT e.event_id,
        round({regression_residual_score_sql('e.value / 100.0', 'm._pred / 100.0')}, 6) AS score
 FROM events e JOIN m USING (event_type)"""
 
-    pc2 = _probs_cte(lo=11, sfx="2")
     _ANNOT_CTE = f"""
 wide AS (
   SELECT pp.vec_id AS example_id, pp.label::INT AS a1,
@@ -3055,11 +3088,14 @@ FROM squaleb sq CROSS JOIN smweb_0 m0 CROSS JOIN smweb_1 m1 CROSS JOIN savgwe a"
     o["order_label_issues"] = f"""
 WITH {pc}, {_TH_CTE}, {_BIN_CTE},
 iss AS (
-  SELECT vec_id, round(self_conf, 6) AS score
+  SELECT vec_id, self_conf
   FROM guessed
   WHERE n_conf >= 1 AND guess <> label AND {_BOOST_SQL} <> label
 )
-SELECT vec_id, score, row_number() OVER (ORDER BY score ASC, vec_id ASC) AS rank FROM iss"""
+-- rank on the RAW score (cleanlab's order_label_issues ordering is
+-- specified on unrounded values); round only at the output boundary
+SELECT vec_id, round(self_conf, 6) AS score,
+       row_number() OVER (ORDER BY self_conf ASC, vec_id ASC) AS rank FROM iss"""
 
     o["normalized_margin_adjusted"] = f"""
 WITH {pc}, {_TH_CTE},
@@ -3098,7 +3134,7 @@ WITH {pc}, {_UPG_CTE}
 SELECT s.vec_id,
        round(CASE WHEN s.cluster = w.cluster
                   THEN least(w.cluster_mean / o.overall, 1.0) ELSE 1.0 END, 6) AS score,
-       (s.cluster = w.cluster AND w.cluster_mean / o.overall < 0.1) AS is_underperforming_group_issue
+       (s.cluster = w.cluster AND w.cluster_mean / o.overall < {UNDERPERF_T}) AS is_underperforming_group_issue
 FROM sc s CROSS JOIN worst w CROSS JOIN ov o"""
 
     # reuse _TH_CTE's `sc` (vec_id, label, p, self_conf); cluster on top
@@ -3122,7 +3158,7 @@ outl AS (
 rare AS (SELECT label, n FROM cls ORDER BY n ASC, label ASC LIMIT 1),
 tot AS (SELECT count(*)::DOUBLE AS total FROM embeddings),
 imb AS (
-  SELECT CASE WHEN r.n / t.total < {0.1 / K} THEN r.n ELSE 0 END AS n,
+  SELECT CASE WHEN r.n / t.total < {_IMB_FACTOR / K} THEN r.n ELSE 0 END AS n,
          (SELECT avg(CASE WHEN e.label = r.label THEN r.n / t.total ELSE 1.0 END) FROM embeddings e) AS s
   FROM rare r CROSS JOIN tot t
 ), nul AS (
@@ -3130,7 +3166,7 @@ imb AS (
          avg(CASE WHEN embedding IS NULL THEN 0.0 ELSE 1.0 END) AS s
   FROM embeddings
 ), upg AS (
-  SELECT count(*) FILTER (WHERE s.cluster = w.cluster AND w.cluster_mean / o.overall < 0.1) AS n,
+  SELECT count(*) FILTER (WHERE s.cluster = w.cluster AND w.cluster_mean / o.overall < {UNDERPERF_T}) AS n,
          avg(CASE WHEN s.cluster = w.cluster THEN least(w.cluster_mean / o.overall, 1.0) ELSE 1.0 END) AS s
   FROM scc s CROSS JOIN worst w CROSS JOIN ov o
 )

@@ -74,10 +74,13 @@ def compare(name: str, a: pd.DataFrame, b: pd.DataFrame) -> list[str]:
             bad = None
             try:
                 if av.dtype.kind in "fc":
-                    diffs = ~np.isclose(av.astype(float), bv.astype(float), rtol=1e-9, atol=1e-9)
+                    diffs = ~np.isclose(
+                        av.astype(float), bv.astype(float),
+                        rtol=1e-9, atol=1e-9, equal_nan=True,
+                    )
                 else:
-                    diffs = av.astype(str) != bv.astype(str)
-                i = int(np.argmax(diffs.to_numpy()))
+                    diffs = (av.astype(str) != bv.astype(str)).to_numpy()
+                i = int(np.argmax(diffs))
                 bad = f" e.g. row {i}: {av.iloc[i]!r} vs {bv.iloc[i]!r} ({int(diffs.sum())} diffs)"
             except Exception:
                 pass
@@ -95,6 +98,10 @@ def main():
 
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
+    unknown = only - set(qs)
+    if unknown:
+        print(f"ERROR: unknown query name(s): {sorted(unknown)}")
+        sys.exit(2)
     n_pass = n_fail = 0
     for name, fn in qs.items():
         if only and name not in only:
@@ -105,6 +112,9 @@ def main():
         except Exception as e:
             print(f"FAIL {name}: spark error: {type(e).__name__} {str(e)[:300]}")
             n_fail += 1
+            # a failing query may have persisted intermediates — clear so
+            # later queries don't run under its cache pressure
+            spark.catalog.clearCache()
             continue
         # queries may persist intermediates (shared knn graph, datalab
         # frames); drop them so caches never accumulate across the run
