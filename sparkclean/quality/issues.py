@@ -110,6 +110,7 @@ def bottom_n_flags(
     id_col: str,
     flag_col: str = "is_label_issue",
     total: int | None = None,
+    task_cap: int | None = None,
 ) -> DataFrame:
     """Flag exactly the n smallest rows by (score, id) total order.
 
@@ -117,10 +118,12 @@ def bottom_n_flags(
     whole table through one task.  Instead: (1) bound a quantile band
     around the cutoff with ``approxQuantile``; (2) rows strictly below
     the band are flagged by predicate alone; (3) only the (small) band
-    is ranked; (4) the result is a three-branch union of disjoint
-    filters — no join, no broadcast, each branch one pass over the
-    (cached) input.  At 100 TB the band is ~2·err·N rows, independent
-    of n.
+    is ranked — if ties at the cutoff inflate the measured band past
+    ``task_cap``, the cutoff comes from the range-partitioned exact
+    selection (stats._rows_at_ranks_selection) instead of a single-task
+    window; (4) the result is a pure predicate — no join, no broadcast.
+    At 100 TB no task ever sorts more than ~max(band/P, task_cap) rows,
+    regardless of the score distribution.
     """
     if total is None:
         total = df.count()
@@ -132,42 +135,69 @@ def bottom_n_flags(
     frac = n / total
     # band half-width shrinks with the data so the single-task band rank
     # stays ≤ ~2e6 rows at ANY corpus size (see stats._adaptive_err)
-    from ..stats import _adaptive_err
+    from ..stats import (
+        _BAND_TARGET_ROWS,
+        _adaptive_err,
+        _rows_at_ranks_selection,
+    )
 
     err = min(0.005, _adaptive_err(total, None) * 2.5)
     lo_q, hi_q = max(0.0, frac - 2 * err), min(1.0, frac + 2 * err)
     lo, hi = df.approxQuantile(score_col, [lo_q, hi_q], err / 2)
 
-    c_below = df.where(F.col(score_col) < lo).count()
+    # ONE agg measures the band's ACTUAL size along with the below-count:
+    # heavy ties at the cutoff can inflate the true band far past the
+    # 2·err·N estimate without tripping the overshoot branch at all
+    cnt = df.agg(
+        F.count(F.when(F.col(score_col) < lo, 1)).alias("_below"),
+        F.count(
+            F.when((F.col(score_col) >= lo) & (F.col(score_col) <= hi), 1)
+        ).alias("_band"),
+        F.count(F.col(score_col)).alias("_nn"),
+    ).first()
+    c_below, c_band, c_nonnull = int(cnt["_below"]), int(cnt["_band"]), int(cnt["_nn"])
+    band_cond = (F.col(score_col) >= F.lit(lo)) & (F.col(score_col) <= F.lit(hi))
     if c_below > n:
-        # quantile estimate overshot (heavy ties) — fall back to full rank
-        lo, c_below = float("-inf"), 0
-
-    # rank only the small band to find the exact n-th (score, id) cutoff,
-    # then flag with a pure predicate — zero joins, one final pass
-    band = df.where((F.col(score_col) >= lo) & (F.col(score_col) <= hi))
-    w = Window.orderBy(F.col(score_col).asc(), F.col(id_col).asc())
+        # quantile estimate overshot (heavy ties) — extend band downward
+        band_cond = F.col(score_col) <= F.lit(hi)
+        c_band += c_below
+        c_below = 0
     r = n - c_below
     if r <= 0:
         return df.withColumn(
             flag_col, F.coalesce(F.col(score_col) < F.lit(lo), F.lit(False))
         )
-    cut = (
-        band.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") == F.lit(r))
-        .select(score_col, id_col)
-        .collect()
-    )
-    if not cut:
-        # band smaller than r (quantile undershoot) — rank everything ≥ lo
-        band = df.where(F.col(score_col) >= lo)
+    if r > c_band:
+        # upper estimate undershot — extend band upward (nulls excluded,
+        # matching the SQL twins' NULLS-LAST ranking)
+        band_cond = (
+            (F.col(score_col) >= F.lit(lo))
+            if c_below
+            else F.col(score_col).isNotNull()
+        )
+        c_band = c_nonnull - c_below
+
+    # rank only the band to find the exact n-th (score, id) cutoff, then
+    # flag with a pure predicate — zero joins, one final pass.  A band
+    # within the task budget ranks through one (tiny) task; a bigger one
+    # (tie blocks, error floor) routes to the range-partitioned exact
+    # selection, which never sorts a data-sized band in one task.
+    cap = task_cap if task_cap is not None else _BAND_TARGET_ROWS
+    band = df.where(band_cond)
+    if c_band <= cap:
+        w = Window.orderBy(F.col(score_col).asc(), F.col(id_col).asc())
         cut = (
             band.withColumn("_rn", F.row_number().over(w))
             .where(F.col("_rn") == F.lit(r))
             .select(score_col, id_col)
             .collect()
         )
-    s_star, id_star = cut[0][0], cut[0][1]
+        s_star, id_star = cut[0][0], cut[0][1]
+    else:
+        row = _rows_at_ranks_selection(
+            band.select(score_col, id_col), [score_col, id_col], {r}, cap
+        )[r]
+        s_star, id_star = row[score_col], row[id_col]
     # coalesce: a NULL score (e.g. null caption → null features) must
     # flag a definite False, matching the SQL twins' NULLS-LAST ranking,
     # not propagate NULL into a boolean output column

@@ -53,6 +53,83 @@ def _adaptive_err(n: int, err: float | None) -> float:
     return max(_ERR_FLOOR, min(0.002, _BAND_TARGET_ROWS / max(n, 1)))
 
 
+def _rows_at_ranks_selection(
+    df: DataFrame,
+    order_cols: list[str],
+    need: set[int],
+    band_target: int,
+    depth: int = 0,
+) -> dict[int, "object"]:
+    """Exact rows at the given 1-indexed global ranks under the total
+    order ``order_cols``, with no data-sized single-task sort anywhere.
+
+    Distributed selection: range-partition on the order keys, collect
+    ONLY the P per-partition counts (P = shuffle partitions, constant at
+    any data scale), locate each needed rank's partition by prefix sum,
+    and rank just those partitions with a partition-local window.  A
+    target partition still bigger than ``band_target`` recurses — each
+    level shrinks the candidate set ~P×, so 2-3 levels cover any n.
+    ``order_cols`` must be a total order (unique keys) for the range
+    partitioner to make progress under heavy ties; callers append a
+    unique id or a synthetic tiebreak column.  Returns {rank: Row}.
+    """
+    spark = df.sparkSession
+    num_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    keys = [F.col(c).asc() for c in order_cols]
+    part = (
+        df.repartitionByRange(num_parts, *keys)
+        .withColumn("_grr_pid", F.spark_partition_id())
+        .persist()
+    )
+    try:
+        cnts = sorted(
+            (r["_grr_pid"], r["_grr_c"])
+            for r in part.groupBy("_grr_pid")
+            .agg(F.count(F.lit(1)).alias("_grr_c"))
+            .collect()
+        )
+        total = sum(c for _, c in cnts)
+        offsets: dict[int, tuple[int, int]] = {}
+        run = 0
+        for pid, c in cnts:
+            offsets[pid] = (run, c)
+            run += c
+        groups: dict[int, set[int]] = {}
+        for k in need:
+            if not 1 <= k <= total:
+                raise ValueError(f"rank {k} outside [1, {total}]")
+            for pid, (off, c) in offsets.items():
+                if off < k <= off + c:
+                    groups.setdefault(pid, set()).add(k)
+                    break
+        w = Window.partitionBy("_grr_pid").orderBy(*keys)
+        out: dict[int, object] = {}
+        for pid, ks in groups.items():
+            off, c = offsets[pid]
+            shifted = sorted(int(k - off) for k in ks)
+            sub = part.where(F.col("_grr_pid") == pid)
+            if c > band_target and depth < 4 and c < total:
+                rows = _rows_at_ranks_selection(
+                    sub.drop("_grr_pid"),
+                    order_cols,
+                    set(shifted),
+                    band_target,
+                    depth + 1,
+                )
+            else:
+                rows = {
+                    r["_grr_rnk"]: r
+                    for r in sub.withColumn("_grr_rnk", F.row_number().over(w))
+                    .where(F.col("_grr_rnk").isin(shifted))
+                    .collect()
+                }
+            for k in ks:
+                out[k] = rows[k - off]
+        return out
+    finally:
+        part.unpersist()
+
+
 def _values_at_ranks(
     vals: DataFrame,
     need: set[int],
@@ -63,12 +140,15 @@ def _values_at_ranks(
 ) -> dict[int, float]:
     """Exact values of ``vals._v`` at the given 1-indexed ascending
     global ranks.  Strategy: approxQuantile band around [min, max] rank,
-    exact count below the band, then either a single-task rank of the
-    band (the normal case — the band is ~2·err·n rows) or, when the
-    error floor makes the band bigger than ``band_target``, a RECURSIVE
-    refinement on the band with shifted ranks.  Depth is bounded: each
-    level shrinks n to the band size, so 2-3 levels cover any n; at the
-    guard depth it falls back to the single-task rank regardless."""
+    then ONE agg job measuring the band's actual size (not the err-based
+    estimate — heavy ties at the band edge can inflate the true band
+    arbitrarily beyond 2·err·n).  A band within ``band_target`` is
+    ranked through a single (tiny) task; anything larger — error-floor
+    bands at n ≳ 10^13 as well as tie-block bands — routes to the
+    range-partitioned :func:`_rows_at_ranks_selection`, which never
+    sorts more than ~max(band/P, band_target) rows in one task.  A
+    synthetic tiebreak column keeps the range partitioner splitting
+    tie blocks."""
     w = Window.orderBy(F.col("_v").asc())
 
     def grab(band: DataFrame, ranks: set[int]) -> dict[int, float]:
@@ -80,7 +160,7 @@ def _values_at_ranks(
         )
         return {r["_grr_rn"]: r["_v"] for r in rows}
 
-    if n <= band_target or depth >= 3:
+    if n <= band_target:
         return grab(vals, need)
 
     kmin, kmax = min(need), max(need)
@@ -88,37 +168,40 @@ def _values_at_ranks(
     lo_q = max(0.0, (kmin - 1) / n - 2 * e)
     hi_q = min(1.0, kmax / n + 2 * e)
     lo, hi = vals.approxQuantile("_v", [lo_q, hi_q], e / 2)
-    c_below = vals.where(F.col("_v") < lo).count()
+    cnt = vals.agg(
+        F.count(F.when(F.col("_v") < lo, 1)).alias("_grr_below"),
+        F.count(
+            F.when((F.col("_v") >= lo) & (F.col("_v") <= hi), 1)
+        ).alias("_grr_band"),
+    ).first()
+    c_below, c_band = int(cnt["_grr_below"]), int(cnt["_grr_band"])
+    band_cond = (F.col("_v") >= F.lit(lo)) & (F.col("_v") <= F.lit(hi))
     if c_below > kmin - 1:
-        # heavy ties made the estimate overshoot — rank from the bottom
-        lo, c_below = float("-inf"), 0
+        # heavy ties pushed the lower estimate past the target rank —
+        # extend the band to the bottom; its true size is still known
+        band_cond = F.col("_v") <= F.lit(hi)
+        c_band += c_below
+        c_below = 0
+    if kmax - c_below > c_band:
+        # upper estimate undershot the top rank — extend the band upward
+        band_cond = (
+            (F.col("_v") >= F.lit(lo)) if c_below else F.col("_v").isNotNull()
+        )
+        c_band = n - c_below
 
     shifted = {k - c_below for k in need}
-    band = vals.where((F.col("_v") >= lo) & (F.col("_v") <= hi))
-    # the floor only binds past n ≈ band_target/err rows — everywhere
-    # else the band is bounded by construction and we skip the count job
-    est_band = 2 * e * n + 2 * (e / 2) * n
-    if est_band > 4 * band_target:
-        n_band = band.count()
-        if band_target < n_band < n:
-            sub = _values_at_ranks(
-                band, shifted, n_band, err, band_target, depth + 1
-            )
-            if all(k in sub for k in shifted):
-                return {k + c_below: v for k, v in sub.items()}
-            # undershoot at this level — refine the open upper tail
-            tail = vals.where(F.col("_v") >= lo)
-            sub = _values_at_ranks(
-                tail, shifted, n - c_below, err, band_target, depth + 1
-            )
-            return {k + c_below: v for k, v in sub.items()}
-
-    got = grab(band, shifted)
-    if any(r not in got for r in shifted):
-        # band undershot the upper rank — drop the upper bound (still a
-        # ~err·n tail, never the whole table unless ties forced lo=-inf)
-        got = grab(vals.where(F.col("_v") >= lo), shifted)
-    return {k + c_below: got[k] for k in shifted}
+    band = vals.where(band_cond)
+    if c_band <= band_target:
+        got = grab(band, shifted)
+        return {k + c_below: got[k] for k in shifted}
+    # measured band exceeds the single-task budget (ties or error floor)
+    # — exact distributed selection; the tiebreak column is arbitrary
+    # but the VALUE at a rank is tie-order-invariant
+    sel = band.withColumn("_grr_tb", F.monotonically_increasing_id())
+    rows = _rows_at_ranks_selection(
+        sel, ["_v", "_grr_tb"], shifted, band_target, depth
+    )
+    return {k + c_below: float(rows[k]["_v"]) for k in shifted}
 
 
 def exact_quantile(

@@ -197,3 +197,86 @@ def test_no_exact_percentile_in_scale_paths(spark):
     )
     plan = _physical_plan(near_duplicate_issues(df, k=3))
     assert "Percentile" not in plan, "exact Percentile aggregate leaked into plan"
+
+
+def test_values_at_ranks_heavy_ties_capped_band(spark):
+    """Adversarial tie block at the band edge: ≥40% of rows share one
+    value straddling the needed ranks.  With a tiny band_target the
+    measured-band router must take the range-partitioned selection path
+    (never a data-sized single-task rank) and still return the exact
+    order statistics."""
+    import sparkclean.stats as stats
+
+    rng = np.random.default_rng(41)
+    n = 1200
+    data = np.concatenate(
+        [rng.uniform(-2, -1, n // 3), np.full(n // 2, 0.5), rng.uniform(1, 2, n - n // 3 - n // 2)]
+    )
+    df = spark.createDataFrame([(float(v),) for v in data], "_v: double")
+    want = np.sort(data)
+    # ranks straddle the tie block: inside, at both edges, and outside
+    need = {1, n // 3, n // 3 + 1, n // 2, n // 3 + n // 2, n}
+    calls = []
+    orig = stats._rows_at_ranks_selection
+
+    def spy(df_, cols, ranks, cap, depth=0):
+        calls.append((sorted(ranks), cap, depth))
+        return orig(df_, cols, ranks, cap, depth)
+
+    stats._rows_at_ranks_selection = spy
+    try:
+        got = stats._values_at_ranks(df, need, n, err=0.02, band_target=50)
+    finally:
+        stats._rows_at_ranks_selection = orig
+    for k in need:
+        assert got[k] == want[k - 1], k
+    assert calls, "tie-inflated band must route through the selection path"
+
+
+def test_rows_at_ranks_selection_direct(spark):
+    """The selection primitive itself: tie-heavy data, multiple ranks,
+    forced recursion via a tiny cap — rows must match NumPy order
+    statistics under the (v, id) total order."""
+    from sparkclean.stats import _rows_at_ranks_selection
+
+    rng = np.random.default_rng(43)
+    n = 800
+    vals = np.concatenate([np.zeros(n // 2), rng.integers(0, 6, n - n // 2)]).astype(float)
+    ids = rng.permutation(n)
+    df = spark.createDataFrame(
+        [(int(i), float(v)) for i, v in zip(ids, vals)], "id: long, v: double"
+    )
+    order = np.lexsort((ids, vals))
+    need = {1, 5, n // 2, n // 2 + 1, n - 1, n}
+    got = _rows_at_ranks_selection(df, ["v", "id"], need, band_target=40)
+    for k in need:
+        i = order[k - 1]
+        assert (got[k]["v"], got[k]["id"]) == (vals[i], ids[i]), k
+
+
+def test_bottom_n_flags_heavy_ties_capped(spark):
+    """bottom_n_flags with the cutoff inside a 40% tie block and a tiny
+    task_cap: flags must still be exactly the n smallest (score, id)
+    pairs — via the selection path, not a data-sized window."""
+    from sparkclean.quality.issues import bottom_n_flags
+
+    rng = np.random.default_rng(47)
+    n_rows = 1000
+    scores = np.concatenate(
+        [rng.uniform(0, 0.2, 250), np.full(400, 0.25), rng.uniform(0.3, 1, 350)]
+    )
+    ids = rng.permutation(n_rows)
+    df = spark.createDataFrame(
+        [(int(i), float(s)) for i, s in zip(ids, scores)],
+        "id: long, score: double",
+    )
+    for n_flag in (300, 500, 650):
+        got = {
+            r["id"]
+            for r in bottom_n_flags(
+                df, n_flag, "score", "id", task_cap=50
+            ).where(F.col("is_label_issue")).collect()
+        }
+        order = np.lexsort((ids, scores))
+        want = {int(ids[i]) for i in order[:n_flag]}
+        assert got == want, n_flag
