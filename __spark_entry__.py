@@ -2485,20 +2485,34 @@ FROM guessed g LEFT JOIN countmask cm ON cm.vec_id = g.vec_id"""
 WITH RECURSIVE {pc}, {sim_knn.knn_edges_cte_sql("embeddings", k=10, metric="euclidean", dim=64).lstrip()},
 nn1 AS (SELECT d FROM knn WHERE rk = 1),
 epsv AS (SELECT quantile_cont(d, 0.5) AS eps FROM nn1),
-half AS (SELECT qid AS src, nid AS dst FROM knn CROSS JOIN epsv WHERE d <= epsv.eps),
-edges AS MATERIALIZED (SELECT src, dst FROM half UNION SELECT dst, src FROM half),
-reach AS (
-  SELECT vec_id AS id, vec_id AS comp FROM embeddings
-  UNION
-  SELECT e.dst AS id, r.comp FROM reach r JOIN edges e ON e.src = r.id
+half AS MATERIALIZED (
+  SELECT qid AS src, nid AS dst FROM knn CROSS JOIN epsv WHERE d <= epsv.eps
 ),
-comp AS (SELECT id, min(comp) AS comp FROM reach GROUP BY id),
+core AS MATERIALIZED (SELECT src AS id FROM half GROUP BY src HAVING count(*) >= 5),
+cce AS MATERIALIZED (
+  SELECT h.src, h.dst FROM half h
+  JOIN core a ON a.id = h.src JOIN core b ON b.id = h.dst
+  UNION
+  SELECT h.dst, h.src FROM half h
+  JOIN core a ON a.id = h.src JOIN core b ON b.id = h.dst
+),
+reach AS (
+  SELECT id, id AS comp FROM core
+  UNION
+  SELECT e.dst AS id, r.comp FROM reach r JOIN cce e ON e.src = r.id
+),
+ccomp AS MATERIALIZED (SELECT id, min(comp) AS comp FROM reach GROUP BY id),
+border AS (
+  SELECT h.dst AS id, min(c.comp) AS comp
+  FROM half h JOIN ccomp c ON c.id = h.src
+  WHERE h.dst NOT IN (SELECT id FROM core)
+  GROUP BY h.dst
+),
+assign AS (SELECT * FROM ccomp UNION ALL SELECT * FROM border),
 withc AS MATERIALIZED (
   SELECT p.vec_id, p.label, p.p[p.label + 1] AS sc,
-         CASE WHEN s.src IS NULL THEN -1 ELSE c.comp END AS cluster_id
-  FROM pp p
-  LEFT JOIN (SELECT DISTINCT src FROM edges) s ON s.src = p.vec_id
-  JOIN comp c ON c.id = p.vec_id
+         coalesce(a.comp, -1) AS cluster_id
+  FROM pp p LEFT JOIN assign a ON a.id = p.vec_id
 ),
 sizes AS (SELECT cluster_id, count(*) AS n FROM withc GROUP BY 1),
 valid AS (SELECT cluster_id FROM sizes WHERE cluster_id >= 0 AND n >= 5),

@@ -170,6 +170,57 @@ def label_issues_from_features(
     )
 
 
+#: DBSCAN defaults mirrored from sklearn (the reference instantiates
+#: DBSCAN(metric="precomputed") with default min_samples=5,
+#: underperforming_group.py:135-155)
+DBSCAN_MIN_SAMPLES = 5
+#: collect-and-union-find cutoff: within-eps directed edge lists up to
+#: this many rows resolve on the driver in one job (an id-pair list of
+#: 5M rows is ~80 MB — the same order as a broadcast-join threshold);
+#: larger graphs run the distributed pointer-jumping rounds
+SMALL_GRAPH_EDGE_LIMIT = 5_000_000
+
+
+def _dbscan_labels_driver(edge_rows, min_samples: int) -> list[tuple[int, int]]:
+    """Driver-side DBSCAN-over-knn-graph on a collected directed edge
+    list [(qid, nid)] — union-find over core-core pairs, then border
+    attach.  Pure python; bounded by SMALL_GRAPH_EDGE_LIMIT rows."""
+    deg: dict[int, int] = {}
+    for q, _ in edge_rows:
+        deg[q] = deg.get(q, 0) + 1
+    core = {q for q, c in deg.items() if c >= min_samples}
+    parent = {i: i for i in core}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for q, n in edge_rows:
+        if q in core and n in core:
+            ra, rb = find(q), find(n)
+            if ra != rb:
+                parent[ra] = rb
+    members: dict[int, list[int]] = {}
+    for i in core:
+        members.setdefault(find(i), []).append(i)
+    label = {}
+    for mem in members.values():
+        lab = min(mem)
+        for i in mem:
+            label[i] = lab
+    border: dict[int, int] = {}
+    for q, n in edge_rows:
+        if q in core and n not in core:
+            lab = label[q]
+            if n not in border or lab < border[n]:
+                border[n] = lab
+    out = [(int(i), int(c)) for i, c in label.items()]
+    out += [(int(i), int(c)) for i, c in border.items()]
+    return out
+
+
 def knn_graph_clusters(
     df: DataFrame,
     eps: float,
@@ -178,39 +229,80 @@ def knn_graph_clusters(
     vec_col: str = "embedding",
     max_iter: int = 20,
     edges_df: DataFrame | None = None,
+    min_samples: int = DBSCAN_MIN_SAMPLES,
+    small_graph_edges: int = SMALL_GRAPH_EDGE_LIMIT,
 ) -> DataFrame:
-    """Connected components of the eps-thresholded KNN graph — the
-    distributed analog of the reference's DBSCAN(metric="precomputed")
-    over the sparse knn_graph (underperforming_group.py:140-154): the
-    knn graph already sparsifies to each point's k nearest, and
-    thresholding at eps + transitive closure reproduces DBSCAN's
-    density-reachability with min_samples at its sparse-matrix floor
-    (documented divergence: no core/border distinction).
+    """DBSCAN over the eps-thresholded KNN graph — the distributed
+    analog of the reference's DBSCAN(metric="precomputed") on the
+    sparse knn_graph (underperforming_group.py:135-155), with the
+    core/border/noise distinction:
 
-    Returns (id, cluster_id) where cluster_id = min member id, or -1
-    (DBSCAN's noise label) for points with no within-eps neighbor.
+    * **core** — a point whose OWN knn row has ≥ ``min_samples``
+      within-eps neighbors (sklearn counts row-i entries of the csr
+      graph; the point itself is not an entry);
+    * clusters = connected components over core-core pairs adjacent in
+      EITHER direction (expansion from a core reaches any core in its
+      row, which then expands symmetrically), labeled min core-member
+      id;
+    * **border** — a non-core point j appearing in some core i's row
+      within eps; j attaches to the min cluster id over such i
+      (documented tie-break: sklearn's assignment is scan-order
+      dependent when multiple clusters reach j);
+    * everything else is **noise** (-1) — including a non-core point
+      whose own row sees cores that do not see it back (the reference's
+      asymmetric-reach behavior).
 
-    Iteration strategy: min-label propagation with pointer-jumping —
-    each round every node takes min(own, neighbors') component, then
-    components shortcut through their current root (comp = comp[comp]),
-    so convergence is O(log diameter) rounds, each one equi-join +
-    groupBy.  Lineage is truncated with localCheckpoint every round to
-    keep plans bounded.  ``max_iter`` is a backstop; the loop exits on a
-    converged (zero-changes) round."""
+    Strategy is size-adaptive, like a broadcast-vs-shuffle join choice:
+    the within-eps directed edge list is counted once; at or below
+    ``small_graph_edges`` rows it is collected and resolved with driver
+    union-find (one job instead of O(log diameter) rounds), otherwise
+    min-label propagation with pointer-jumping runs over the CORE-CORE
+    edges — each round one equi-join + groupBy, lineage truncated with
+    localCheckpoint, O(log diameter) rounds, ``max_iter`` backstop.
+    Both paths implement the identical deterministic spec (asserted by
+    tests on the same inputs)."""
     if edges_df is None:
         from ..sim.knn import knn_edges
 
         edges_df = knn_edges(df, k=k, id_col=id_col, vec_col=vec_col, metric="euclidean")
-    half = (
+    ew = (
         edges_df.where(F.col("d") <= F.lit(float(eps)))
         .select(F.col("qid").alias("src"), F.col("nid").alias("dst"))
+        .persist()
     )
-    edges = half.unionByName(
-        half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    nodes = df.select(F.col(id_col).alias("id"))
+    n_edges = ew.count()
+    spark = df.sparkSession
+
+    if n_edges <= small_graph_edges:
+        pairs = [(r["src"], r["dst"]) for r in ew.collect()]
+        ew.unpersist()
+        labeled = _dbscan_labels_driver(pairs, min_samples)
+        if labeled:
+            comp_df = spark.createDataFrame(labeled, "id: long, cluster_id: long")
+        else:
+            comp_df = spark.createDataFrame([], "id: long, cluster_id: long")
+        return (
+            nodes.join(F.broadcast(comp_df), "id", "left")
+            .select(
+                F.col("id").alias(id_col),
+                F.coalesce("cluster_id", F.lit(-1)).cast("long").alias("cluster_id"),
+            )
+        )
+
+    deg = ew.groupBy(F.col("src").alias("id")).agg(F.count(F.lit(1)).alias("_deg"))
+    core = deg.where(F.col("_deg") >= min_samples).select("id").persist()
+    # core-core edges, symmetric closure (adjacency in either direction)
+    cc_half = (
+        ew.join(core.select(F.col("id").alias("src")), "src")
+        .join(core.select(F.col("id").alias("dst")), "dst")
+        .select("src", "dst")
+    )
+    edges = cc_half.unionByName(
+        cc_half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct().persist()
 
-    nodes = df.select(F.col(id_col).alias("id"))
-    comp = nodes.withColumn("comp", F.col("id")).localCheckpoint()
+    comp = core.withColumn("comp", F.col("id")).localCheckpoint()
     prev_sum = None
     for _ in range(max_iter):
         nbr_min = (
@@ -249,19 +341,23 @@ def knn_graph_clusters(
         if prev_sum is not None and csum == prev_sum:
             break
         prev_sum = csum
-    # NOTE: edges stays persisted — the returned DataFrame still reads it
-    # lazily (isolated-node anti-join below); an unpersist here would
-    # silently rebuild the knn filter at execution time.  Batch drivers
-    # clear caches between queries.
-
-    isolated = nodes.join(
-        edges.select(F.col("src").alias("id")).distinct(), "id", "left_anti"
-    ).withColumn("cluster_id", F.lit(-1).cast("long"))
-    clustered = comp.join(
-        isolated.select("id"), "id", "left_anti"
-    ).select("id", F.col("comp").alias("cluster_id"))
-    return clustered.unionByName(isolated.select("id", "cluster_id")).select(
-        F.col("id").alias(id_col), "cluster_id"
+    # border: non-core dst reached from a core src's row — min cluster id
+    border = (
+        ew.join(comp.select(F.col("id").alias("src"), "comp"), "src")
+        .join(core.select(F.col("id").alias("dst")), "dst", "left_anti")
+        .groupBy(F.col("dst").alias("id"))
+        .agg(F.min("comp").alias("comp"))
+    )
+    # NOTE: ew/core/edges stay persisted — the returned DataFrame reads
+    # them lazily; an unpersist here would silently rebuild the knn
+    # filter at execution time.  Batch drivers clear caches per query.
+    assigned = comp.unionByName(border)
+    return (
+        nodes.join(assigned, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("comp", F.lit(-1)).cast("long").alias("cluster_id"),
+        )
     )
 
 
@@ -281,8 +377,9 @@ def underperforming_group_from_graph(
     (underperforming_group.py:79-230) instead of a caller-supplied
     cluster column:
 
-    * clusters = connected components of the eps-thresholded knn graph
-      (eps defaults to the exact median nearest-neighbor distance);
+    * clusters = DBSCAN over the eps-thresholded knn graph with the
+      core/border/noise distinction (see :func:`knn_graph_clusters`;
+      eps defaults to the exact median nearest-neighbor distance);
     * noise (-1) and clusters below ``min_cluster_samples`` are excluded
       (filter_cluster_ids), and mean performance is computed over the
       REMAINING rows only;

@@ -173,15 +173,34 @@ def _crowdlab_round(
         base = base.join(p.withColumnRenamed("_prior", f"_prior_{i}"), "example_id")
     base = base.persist()
 
-    # scalar pass 1: consensus likelihood over multi-annotated subset +
-    # mean annotation count over ALL examples (multiannotator.py:1454-1456)
-    row = base.agg(
-        F.avg(
-            F.when(F.col("num_annotations") != 1, F.col("annotator_agreement"))
-        ).alias("cl"),
-        F.avg(F.col("num_annotations").cast("double")).alias("mean_n"),
-    ).first()
-    if row["cl"] is None:
+    # ONE grouped pass delivers every scalar the round needs — the
+    # K-row per-consensus-label stats fold together what used to be
+    # three driver round-trips (consensus likelihood + mean annotation
+    # count, modal class, most-likely-class / per-model argmax errors):
+    # each action at gate scale costs a full recompute of the upstream
+    # chain, so round-trip count IS the round's latency
+    multi = F.col("num_annotations") != 1
+    gag = [
+        F.count(F.when(multi, 1)).alias("_nm"),
+        F.sum(F.when(multi, F.col("annotator_agreement"))).alias("_sa"),
+        F.count(F.lit(1)).alias("_na"),
+        F.sum(F.col("num_annotations").cast("double")).alias("_sn"),
+    ] + [
+        F.count(
+            F.when(
+                multi
+                & (predicted_label(F.col(f"_prior_{i}")) != F.col("consensus_label")),
+                1,
+            )
+        ).alias(f"_err_{i}")
+        for i in range(len(priors))
+    ]
+    stats = sorted(
+        base.groupBy("consensus_label").agg(*gag).collect(),
+        key=lambda r: r["consensus_label"],
+    )
+    n_multi = sum(r["_nm"] for r in stats)
+    if n_multi == 0:
         # every example has exactly one annotation — the consensus
         # likelihood is undefined here.  The reference routes fully
         # single-annotated data through a dedicated path
@@ -194,34 +213,20 @@ def _crowdlab_round(
             "majority_vote_label/consensus_quality (the reference's "
             "single-annotator path is a documented gap)"
         )
-    consensus_likelihood = float(row["cl"])
+    consensus_likelihood = sum(r["_sa"] or 0.0 for r in stats) / n_multi
     non_consensus_likelihood = (1.0 - consensus_likelihood) / (num_classes - 1)
-    mean_n = float(row["mean_n"])
-
+    mean_n = sum(r["_sn"] for r in stats) / sum(r["_na"] for r in stats)
     # modal consensus class on the multi-annotated subset
-    # (np.argmax(bincount) tie-break = smallest label)
-    mode_row = (
-        base.where(F.col("num_annotations") != 1)
-        .groupBy("consensus_label")
-        .agg(F.count(F.lit(1)).alias("_c"))
-        .orderBy(F.col("_c").desc(), F.col("consensus_label").asc())
-        .first()
-    )
-    mode_label = int(mode_row["consensus_label"])
-
-    # scalar pass 2: most-likely-class error + per-model argmax error
-    aggs = [
-        F.avg((F.col("consensus_label") != F.lit(mode_label)).cast("double")).alias("mlce")
-    ] + [
-        F.avg(
-            (predicted_label(F.col(f"_prior_{i}")) != F.col("consensus_label")).cast("double")
-        ).alias(f"me_{i}")
-        for i in range(len(priors))
-    ]
-    row2 = base.where(F.col("num_annotations") != 1).agg(*aggs).first()
-    mlce = max(float(row2["mlce"]), _CLIP)
+    # (np.argmax(bincount) tie-break = smallest label; stats is sorted
+    # by label so max() resolves ties to the smallest)
+    mode_label = int(max(stats, key=lambda r: r["_nm"])["consensus_label"])
+    n_mode = next(r["_nm"] for r in stats if r["consensus_label"] == mode_label)
+    # (n_multi - n_mode)/n_multi, NOT 1 - n_mode/n_multi: the former is
+    # what avg(indicator) evaluates to in both engines (ulp-different)
+    mlce = max((n_multi - n_mode) / n_multi, _CLIP)
     model_weights = [
-        max(1.0 - float(row2[f"me_{i}"]) / mlce, _CLIP) * (mean_n ** 0.5)
+        max(1.0 - (sum(r[f"_err_{i}"] for r in stats) / n_multi) / mlce, _CLIP)
+        * (mean_n ** 0.5)
         for i in range(len(priors))
     ]
 
@@ -240,10 +245,21 @@ def _crowdlab_round(
         .where(F.col("_a") != F.col("_b"))
         .groupBy("_a")
         .agg(F.avg((F.col("_la") == F.col("_lb")).cast("double")).alias("agree"))
+    )
+    # roster ⟕ pair stats in ONE round-trip (annotators with no
+    # co-annotations surface as agree=NULL and take the imputed mean)
+    roster_rows = (
+        long_df.select("annotator_id")
+        .distinct()
+        .join(pair_agree.withColumnRenamed("_a", "annotator_id"), "annotator_id", "left")
         .collect()
     )
-    agree_by_annot = {r["_a"]: float(r["agree"]) for r in pair_agree}
-    all_annotators = [r[0] for r in long_df.select("annotator_id").distinct().collect()]
+    agree_by_annot = {
+        r["annotator_id"]: float(r["agree"])
+        for r in roster_rows
+        if r["agree"] is not None
+    }
+    all_annotators = [r["annotator_id"] for r in roster_rows]
     if agree_by_annot:
         impute = sum(agree_by_annot.values()) / len(agree_by_annot)
     else:

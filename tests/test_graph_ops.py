@@ -22,7 +22,11 @@ def blobs(spark):
     labels mostly follow the blob with a few planted flips."""
     rng = np.random.RandomState(5)
     rows = []
-    centers = [(0.0, 0.0), (10.0, 10.0), (-10.0, 8.0)]
+    # blob centers sit away from the origin: the banded-LSH candidate
+    # hash takes hyperplane SIGNS, and a cluster straddling the origin
+    # gets incoherent codes (documented recall edge; the DBSCAN core
+    # rule, unlike the old closure, is sensitive to missing knn edges)
+    centers = [(3.0, 3.0), (10.0, 10.0), (-10.0, 8.0)]
     sizes = [12, 8, 6]
     i = 0
     for b, ((cx, cy), n) in enumerate(zip(centers, sizes)):
@@ -125,3 +129,61 @@ def test_find_issues_features_only_entry(blobs):
     assert summary.count() >= 2
     with pytest.raises(ValueError, match="feature column"):
         find_issues(blobs.drop("embedding"), K, id_col="vec_id")
+
+
+def _line_edges(spark, xs, k):
+    """Exact knn edge list (qid, nid, d, rk) for 1-D points, brute force."""
+    xs = np.asarray(xs, dtype=float)
+    rows = []
+    for i, x in enumerate(xs):
+        d = np.abs(xs - x)
+        d[i] = np.inf
+        order = np.lexsort((np.arange(len(xs)), d))[:k]
+        for rk, j in enumerate(order, start=1):
+            rows.append((i, int(j), float(d[j]), rk))
+    return spark.createDataFrame(rows, "qid: long, nid: long, d: double, rk: int")
+
+
+def _line_df(spark, xs):
+    return spark.createDataFrame(
+        [(i, [float(x), 0.0]) for i, x in enumerate(xs)],
+        "vec_id: long, embedding: array<double>",
+    )
+
+
+def test_dbscan_bridge_no_longer_merges(spark):
+    """The closure-vs-DBSCAN divergence fixture: two 6-point line blobs
+    joined only through a non-core bridge.  The old transitive closure
+    merged them through the bridge's OWN knn row; DBSCAN keeps two
+    clusters, and the bridge — seen by no core's row — is noise."""
+    xs = [0.0, 0.1, 0.2, 0.3, 0.4, 0.5, 4.5, 4.6, 4.7, 4.8, 4.9, 5.0, 2.5]
+    df, edges = _line_df(spark, xs), _line_edges(spark, xs, k=5)
+    for cap in (0, 10**6):  # distributed path and driver union-find path
+        out = {
+            r["vec_id"]: r["cluster_id"]
+            for r in knn_graph_clusters(
+                df, eps=2.05, k=5, edges_df=edges, small_graph_edges=cap
+            ).collect()
+        }
+        assert {out[i] for i in range(6)} == {0}, (cap, out)
+        assert {out[i] for i in range(6, 12)} == {6}, (cap, out)
+        assert out[12] == -1, (cap, out)
+
+
+def test_dbscan_border_and_noise(spark):
+    """Core/border/noise trichotomy with k=3, min_samples=3: the chain
+    0..3 plus outpost 4 are core; 5 is non-core but appears in core 4's
+    row within eps -> border of cluster 0; 6 sees others but is seen by
+    no core -> noise (the reference's asymmetric-reach behavior)."""
+    xs = [0.0, 0.1, 0.2, 0.3, 0.8, 1.35, 2.2]
+    df, edges = _line_df(spark, xs), _line_edges(spark, xs, k=3)
+    want = {0: 0, 1: 0, 2: 0, 3: 0, 4: 0, 5: 0, 6: -1}
+    for cap in (0, 10**6):
+        out = {
+            r["vec_id"]: r["cluster_id"]
+            for r in knn_graph_clusters(
+                df, eps=0.7, k=3, edges_df=edges,
+                min_samples=3, small_graph_edges=cap,
+            ).collect()
+        }
+        assert out == want, (cap, out)
