@@ -2629,9 +2629,7 @@ FROM pp JOIN pp2 ON pp.vec_id = pp2.vec_id"""
         for k, e in feats.items()
     )
     o["text_quality_features"] = f"SELECT doc_id, {feat_sel} FROM documents"
-    o["langid_markers"] = (
-        f"SELECT doc_id, {t_langid.langid_markers_sql('text')} AS pred_lang FROM documents"
-    )
+    o["langid_markers"] = t_langid.langid_markers_query_sql("documents", "doc_id")
     o["perplexity"] = f"SELECT doc_id, round({t_ppl.ppl_hash_sql('text')}, 6) AS ppl FROM documents"
     o["token_stats"] = f"""
 SELECT doc_id, {t_tok.ws_token_count_sql('text')} AS ws_tokens,

@@ -25,7 +25,7 @@ from .constants import CONFIDENT_THRESHOLDS_LOWER_BOUND, FLOATING_POINT_COMPARIS
 from .quality.issues import bottom_n_flags
 from .quality.scores import boosted_predicted_label, predicted_label, self_confidence
 from .quality.thresholds import get_confident_thresholds
-from .text.langid import langid_markers_col, langid_markers_sql
+from .text.langid import langid_markers_col
 from .text.ppl import ppl_hash_col, ppl_hash_sql
 from .text.rules import quality_features_sql_exprs, with_quality_features
 from .text.scrub import scrub_col, scrub_sql
@@ -275,12 +275,21 @@ def oracle_sql_for(table: str, id_col: str = "doc_id", text_col: str = "text") -
     # feats/labeled MATERIALIZED: un-hinted, DuckDB inlines them into
     # every downstream column reference and recomputes the md5 bigram
     # perplexity ~12x (measured 8.4 s -> ~1 s at sf0.01)
+    from .text.langid import (
+        langid_best_from_hits_sql,
+        langid_hits_cols_sql,
+        langid_pred_from_hits_sql,
+    )
+
     return f"""
-WITH feats AS MATERIALIZED (
+WITH feats0 AS MATERIALIZED (
   SELECT {id_col}, {text_col} AS _txt, {feat_cols},
-         {langid_markers_sql(text_col)} AS pred_lang,
+         {langid_hits_cols_sql(text_col)},
          {ppl_hash_sql(text_col)} AS ppl
   FROM {table}
+), feats1 AS (SELECT *, {langid_best_from_hits_sql()} AS _best FROM feats0),
+feats AS (
+  SELECT *, {langid_pred_from_hits_sql()} AS pred_lang FROM feats1
 ), labeled AS MATERIALIZED (
   SELECT {id_col}, _txt, {probs}, {label} AS label FROM feats
 ), arr AS MATERIALIZED (

@@ -14,6 +14,8 @@ Managers implemented (registry analog of issue_manager_factory.py:47-74):
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -449,6 +451,41 @@ def underperforming_group_from_graph(
     )
 
 
+def _gnb_correct_udf(M, A, B, C, classes: list[int]):
+    """Arrow kernel: per-row leave-fold-out 1-D GNB argmax correctness.
+
+    ``M/A/B/C`` are (n_folds, n_classes) literal-stat arrays (mean, 2v,
+    0.5·ln(2πv), ln(n/nf)); the kernel evaluates
+    ``ll_j = -(x-M)·(x-M)/A - B + C`` per class in ``classes`` order and
+    tracks the argmax with the same strict-greater update as the
+    when-chain it replaces (first class wins ties).  Returns 1.0/0.0 for
+    predicted == given label, ready for ``avg``."""
+    from pyspark.sql.functions import pandas_udf
+
+    Mc, Ac, Bc, Cc = (np.ascontiguousarray(x, dtype=np.float64) for x in (M, A, B, C))
+    ks = np.asarray(classes, dtype=np.int64)
+
+    @pandas_udf("double")
+    def fn(x: pd.Series, fold: pd.Series, label: pd.Series) -> pd.Series:
+        xv = x.to_numpy(dtype=np.float64)
+        fv = fold.to_numpy(dtype=np.int64)
+        lv = label.to_numpy(dtype=np.int64)
+        pred = np.full(len(xv), ks[0], dtype=np.int64)
+        best = None
+        for j in range(len(ks)):
+            d = xv - Mc[fv, j]
+            ll = -(d * d) / Ac[fv, j] - Bc[fv, j] + Cc[fv, j]
+            if best is None:
+                best = ll
+            else:
+                upd = ll > best
+                pred[upd] = ks[j]
+                best = np.where(upd, ll, best)
+        return pd.Series((pred == lv).astype(np.float64))
+
+    return fn
+
+
 def spurious_correlation_scores(
     df: DataFrame,
     property_cols: list[str],
@@ -473,61 +510,79 @@ def spurious_correlation_scores(
 
     from .cv import with_cv_fold
 
-    total = df.count()
-    base_acc = (
-        df.groupBy(label_col).count().agg(F.max("count")).collect()[0][0] / total
-    )
+    # THREE driver round-trips total, independent of the property count:
+    # class counts (baseline), one shared (fold, class) moment pass for
+    # every property, one fused accuracy agg — at gate scale each action
+    # re-pays plan analysis of the fold CASE-trees, so the action count
+    # is the operator's latency
+    lab_counts = df.groupBy(label_col).agg(F.count(F.lit(1)).alias("_c")).collect()
+    total = sum(r["_c"] for r in lab_counts)
+    base_acc = max(r["_c"] for r in lab_counts) / total
     folded = with_cv_fold(df, id_col, label_col, n_folds).persist()
-    rows = []
+    cell_aggs = [F.count(F.lit(1)).alias("_n")]
+    for prop in property_cols:
+        cell_aggs += [
+            F.sum(F.col(prop)).alias(f"_s_{prop}"),
+            F.sum(F.col(prop) * F.col(prop)).alias(f"_q_{prop}"),
+        ]
+    cell_rows = folded.groupBy("_fold", label_col).agg(*cell_aggs).collect()
+
+    acc_aggs = []
     for prop in property_cols:
         cells = {
-            (r["_fold"], r[label_col]): r
-            for r in folded.groupBy("_fold", label_col)
-            .agg(
-                F.count(F.lit(1)).alias("_n"),
-                F.sum(F.col(prop)).alias("_s"),
-                F.sum(F.col(prop) * F.col(prop)).alias("_q"),
-            )
-            .collect()
+            (r["_fold"], r[label_col]): (r["_n"], r[f"_s_{prop}"], r[f"_q_{prop}"])
+            for r in cell_rows
         }
         classes = sorted({k for _, k in cells})
         tot = {k: [0.0, 0.0, 0.0] for k in classes}
-        for (_, k), r in cells.items():
-            tot[k][0] += r["_n"]
-            tot[k][1] += r["_s"]
-            tot[k][2] += r["_q"]
+        for (_, k), (n, s, q) in cells.items():
+            tot[k][0] += n
+            tot[k][1] += s
+            tot[k][2] += q
 
         # leave-fold-out stats per (fold, class): n, mean, var, prior
         def lofo(f: int, k: int):
             r = cells.get((f, k))
-            n = max(tot[k][0] - (r["_n"] if r else 0.0), 1.0)
-            s = tot[k][1] - (r["_s"] if r else 0.0)
-            q = tot[k][2] - (r["_q"] if r else 0.0)
+            n = max(tot[k][0] - (r[0] if r else 0.0), 1.0)
+            s = tot[k][1] - (r[1] if r else 0.0)
+            q = tot[k][2] - (r[2] if r else 0.0)
             m = s / n
             v = max(q / n - m * m, 1e-12)
             return n, m, v
 
-        pred = None
+        # ll_k(x) = -(x-m)^2 / (2v) - 0.5·ln(2πv) + ln(n/nf), evaluated
+        # per (fold, class) — an Arrow kernel, not a fold×class CASE
+        # chain: the ~1000-node literal tree costs seconds of
+        # analysis+codegen PER JOB (constant in data size; the r3 cv
+        # lesson).  Same left-assoc arithmetic, same strict-> argmax
+        # update as the when-chain it replaces; fl((x-m)·(x-m)) is the
+        # correctly-rounded square both engines' pow(x, 2) computes.
+        M = np.zeros((n_folds, len(classes)))
+        A = np.zeros_like(M)  # 2v
+        B = np.zeros_like(M)  # 0.5·ln(2πv)
+        C = np.zeros_like(M)  # ln(n/nf)
         for f in range(n_folds):
             stats_f = {k: lofo(f, k) for k in classes}
             nf = sum(s[0] for s in stats_f.values())
-            pred_f, best_ll = None, None
-            for k in classes:
+            for j, k in enumerate(classes):
                 n, m, v = stats_f[k]
-                ll = (
-                    -F.pow(F.col(prop) - F.lit(float(m)), F.lit(2.0)) / F.lit(2.0 * v)
-                    - F.lit(0.5 * math.log(2 * math.pi * v))
-                    + F.lit(math.log(n / nf))
+                M[f, j] = m
+                A[f, j] = 2.0 * v
+                B[f, j] = 0.5 * math.log(2 * math.pi * v)
+                C[f, j] = math.log(n / nf)
+        acc_aggs.append(
+            F.avg(
+                _gnb_correct_udf(M, A, B, C, [int(k) for k in classes])(
+                    F.col(prop).cast("double"),
+                    F.col("_fold").cast("int"),
+                    F.col(label_col).cast("int"),
                 )
-                if pred_f is None:
-                    pred_f, best_ll = F.lit(int(k)), ll
-                else:
-                    pred_f = F.when(ll > best_ll, F.lit(int(k))).otherwise(pred_f)
-                    best_ll = F.greatest(ll, best_ll)
-            pred = pred_f if pred is None else F.when(F.col("_fold") == f, pred_f).otherwise(pred)
-        acc = (
-            folded.agg(F.avg((pred == F.col(label_col)).cast("double"))).collect()[0][0]
+            ).alias(f"_acc_{prop}")
         )
+    arow = folded.agg(*acc_aggs).first()
+    rows = []
+    for prop in property_cols:
+        acc = float(arow[f"_acc_{prop}"])
         score = min(1.0, (1.0 - acc) / max(1.0 - base_acc, 1e-12))
         rows.append((prop, float(round(acc, 6)), float(round(score, 6))))
     folded.unpersist()

@@ -46,7 +46,10 @@ def langid_markers_col(text: Column) -> Column:
 
 
 def langid_markers_sql(text: str) -> str:
-    """DuckDB twin of :func:`langid_markers_col`."""
+    """DuckDB twin of :func:`langid_markers_col` (inline-expression
+    form; prefer :func:`langid_markers_query_sql` for whole-table
+    oracles — the inline form re-evaluates every hit count O(L²) times
+    per row inside the greatest/CASE chain)."""
     w = words_sql(f"lower({text})")
     hit_exprs = {
         lang: f"len(list_filter({w}, t -> list_contains({sql_str_list(LANG_MARKERS[lang])}, t)))"
@@ -60,6 +63,49 @@ def langid_markers_sql(text: str) -> str:
             f"THEN '{lang}' ELSE {chain} END"
         )
     return chain
+
+
+def langid_hits_cols_sql(text: str) -> str:
+    """SELECT-list fragment computing one ``_h_<lang>`` marker-hit count
+    per language from ``text`` — stage these ONCE in a MATERIALIZED CTE
+    (DuckDB re-evaluates inline subexpressions per reference, so the
+    single-expression form costs O(L²) list scans per row)."""
+    w = words_sql(f"lower({text})")
+    return ",\n         ".join(
+        f"len(list_filter({w}, t -> list_contains({sql_str_list(LANG_MARKERS[lang])}, t))) AS _h_{lang}"
+        for lang in LANG_ORDER
+    )
+
+
+def langid_pred_from_hits_sql() -> str:
+    """The first-wins argmax chain over staged ``_h_<lang>`` columns
+    (requires a ``_best`` column = greatest of them, see
+    :func:`langid_best_from_hits_sql`)."""
+    chain = "'und'"
+    for lang in reversed(LANG_ORDER):
+        chain = (
+            f"CASE WHEN _h_{lang} = _best AND _best > 0 "
+            f"THEN '{lang}' ELSE {chain} END"
+        )
+    return chain
+
+
+def langid_best_from_hits_sql() -> str:
+    return "greatest(" + ", ".join(f"_h_{lang}" for lang in LANG_ORDER) + ")"
+
+
+def langid_markers_query_sql(table: str, id_col: str, text: str = "text") -> str:
+    """Whole-table DuckDB twin of :func:`langid_markers_col`: hit counts
+    staged once per language, then the same first-wins argmax chain
+    over plain columns."""
+    return f"""
+WITH _lh AS MATERIALIZED (
+  SELECT {id_col},
+         {langid_hits_cols_sql(text)}
+  FROM {table}
+),
+_lb AS (SELECT *, {langid_best_from_hits_sql()} AS _best FROM _lh)
+SELECT {id_col}, {langid_pred_from_hits_sql()} AS pred_lang FROM _lb"""
 
 
 # ------------------------------------------------- fastText-style langid
