@@ -18,8 +18,11 @@ Input is the long format (example_id, annotator_id, label); the wide
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 
 def convert_long_to_wide(long_df: DataFrame) -> DataFrame:
@@ -410,42 +413,46 @@ def crowdlab_ensemble_posterior(
     return _crowdlab_round(long_df, scaled, cons2, num_classes)
 
 
-def _with_soft_ce_cols(df: DataFrame, temps: list[float], num_classes: int) -> DataFrame:
-    """Append one soft-cross-entropy column ``_ce{i}`` per temperature
-    (internal/multiannotator_utils.py:255-305): scaled_c = p_c^(1/t) / sum,
-    CE = -sum_c emp_c * ln(clip(scaled_c, 1e-30)) / ln K.  All temps share
-    one projection so the temp search is a single distributed pass; the
-    per-temp softmax denominator is materialised as its own column first
-    (interpreted HOFs re-evaluate referenced subexpressions per element)."""
+def _soft_ce_udf(temps: list[float], num_classes: int):
+    """Arrow kernel: per-row soft-cross-entropy vector over ``temps``
+    (internal/multiannotator_utils.py:255-305): scaled_c = p_c^(1/t) /
+    Σ, CE = -Σ_c emp_c · ln(clip(scaled_c, 1e-30)) / ln K.
+
+    Replaces the per-temp interpreted-HOF projection (pow/log over K
+    classes × ~13 temps ≈ a multi-hundred-node tree whose analysis +
+    codegen dominated the whole temperature search at gate scale — the
+    r3 literal-tree lesson).  The powed-sum fold accumulates ONE CLASS
+    at a time for left-assoc parity with the Catalyst fold; the CE sum
+    iterates classes with frac 0 contributing exactly 0.0, which equals
+    the entry-fold value up to summation order (the entry order itself
+    is a nondeterministic collect_list)."""
     import math
 
-    def _pow_fn(t):
-        def fn(x):
-            return F.pow(x.cast("double"), F.lit(1.0 / t))
+    lnK = math.log(num_classes)
+    inv_ts = [1.0 / t for t in temps]
 
-        return fn
+    @pandas_udf("array<double>")
+    def fn(p: pd.Series, ek: pd.Series, ef: pd.Series) -> pd.Series:
+        n = len(p)
+        P = np.asarray([np.asarray(x, dtype=np.float64) for x in p])
+        K = P.shape[1]
+        Fm = np.zeros((n, K))
+        for i, (ks, fs) in enumerate(zip(ek, ef)):
+            Fm[i, np.asarray(ks, dtype=np.int64)] = np.asarray(fs, dtype=np.float64)
+        out = np.empty((n, len(inv_ts)))
+        for j, it in enumerate(inv_ts):
+            pw = P**it
+            s = pw[:, 0].copy()
+            for c in range(1, K):
+                s = s + pw[:, c]
+            lo = np.log(np.maximum(pw / s[:, None], _SMALL))
+            acc = np.zeros(n)
+            for c in range(K):
+                acc = acc + Fm[:, c] * lo[:, c]
+            out[:, j] = -acc / lnK
+        return pd.Series(list(out))
 
-    def _ce_fn(t, i):
-        def fn(acc, e):
-            return acc + e["frac"] * F.log(
-                F.greatest(
-                    F.pow(F.element_at(F.col("_p"), e["k"] + 1).cast("double"), F.lit(1.0 / t))
-                    / F.col(f"_s{i}"),
-                    F.lit(_SMALL),
-                )
-            )
-
-        return fn
-
-    for i, t in enumerate(temps):
-        powed = F.transform(F.col("_p"), _pow_fn(t))
-        df = df.withColumn(f"_s{i}", F.aggregate(powed, F.lit(0.0), lambda a, x: a + x))
-    for i, t in enumerate(temps):
-        ce = -F.aggregate(F.col("_emp"), F.lit(0.0), _ce_fn(t, i)) / F.lit(
-            math.log(num_classes)
-        )
-        df = df.withColumn(f"_ce{i}", ce)
-    return df
+    return fn
 
 
 def find_best_temp(
@@ -472,12 +479,10 @@ def find_best_temp(
         )
         .select(
             "example_id",
+            F.transform(F.col("_raw"), lambda e: e["k"]).alias("_ek"),
             F.transform(
-                F.col("_raw"),
-                lambda e: F.struct(
-                    e["k"].alias("k"), (e["c"].cast("double") / F.col("_n")).alias("frac")
-                ),
-            ).alias("_emp"),
+                F.col("_raw"), lambda e: e["c"].cast("double") / F.col("_n")
+            ).alias("_ef"),
         )
     )
     joined = emp.join(
@@ -485,9 +490,15 @@ def find_best_temp(
     ).persist()
 
     def _mean_ces(temps: list[float]) -> list[float]:
-        ced = _with_soft_ce_cols(joined, temps, num_classes)
+        ces = _soft_ce_udf(temps, num_classes)(
+            F.col("_p"), F.col("_ek"), F.col("_ef")
+        )
+        ced = joined.withColumn("_ces", ces)
         row = ced.agg(
-            *[F.avg(F.col(f"_ce{i}")).alias(f"t{i}") for i in range(len(temps))]
+            *[
+                F.avg(F.element_at(F.col("_ces"), i + 1)).alias(f"t{i}")
+                for i in range(len(temps))
+            ]
         ).first()
         return [float(row[f"t{i}"]) for i in range(len(temps))]
 
