@@ -22,6 +22,7 @@ from sparkclean import pipeline as pl
 from sparkclean.constants import CONFIDENT_THRESHOLDS_LOWER_BOUND as T_LOWER
 from sparkclean.constants import FLOATING_POINT_COMPARISON as FPC
 from sparkclean.dedup import exact as dedup_exact
+from sparkclean.dedup import hamming as dedup_hamming
 from sparkclean.dedup import minhash as dedup_minhash
 from sparkclean.dedup import simhash as dedup_simhash
 from sparkclean.quality import issues as q_issues
@@ -113,6 +114,54 @@ binned AS (
 
 # boosted argmax; requires a `bp` column in scope (see _BIN_CTE / _BP_CTE)
 _BOOST_SQL = "(list_position(bp, list_max(bp)) - 1)"
+
+
+def _synthetic_phash(id_col: F.Column) -> F.Column:
+    """Deterministic 64-bit phash fixture with planted near-duplicate
+    structure: rows group by ``id >> 2``; member ``id & 3`` flips 0/1/2/3
+    disjoint bits of the group base, so within-group Hamming distances
+    are exactly i+j and cross-group bases differ by ~40 bits (Knuth
+    multiplicative mix + shift-xor fold — no 64-bit multiply, ANSI-safe).
+    Bit-identical to :data:`_SYNPHASH_SQL`."""
+    g = F.shiftrightunsigned(id_col, 2).bitwiseAND(F.lit(0x7FFFFFFF))
+    a = g * F.lit(2654435761)
+    base = a.bitwiseXOR(F.shiftleft(a, 29)).bitwiseXOR(F.shiftleft(a, 47))
+    m = id_col.bitwiseAND(F.lit(3))
+    flip = (
+        F.when(m == 1, F.lit(1 << 3))
+        .when(m == 2, F.lit((1 << 17) | (1 << 41)))
+        .when(m == 3, F.lit((1 << 9) | (1 << 29) | (1 << 55)))
+        .otherwise(F.lit(0))
+    )
+    return base.bitwiseXOR(flip)
+
+
+# DuckDB twin of _synthetic_phash, as an unsigned HUGEINT (hamming_pairs_sql
+# masks to the low 64 bits, so signedness never matters downstream)
+_SYNPHASH_M64 = (1 << 64) - 1
+_SYNPHASH_SQL = (
+    "xor(xor(xor((_a::HUGEINT & {m}), ((_a::HUGEINT << 29) & {m})),"
+    " ((_a::HUGEINT << 47) & {m})),"
+    " (CASE ({id} & 3) WHEN 1 THEN {f1} WHEN 2 THEN {f2} WHEN 3 THEN {f3}"
+    " ELSE 0 END)::HUGEINT)"
+)
+
+
+def _synphash_oracle_args(table: str, id_col: str) -> tuple[str, str]:
+    """(table_subquery, hash_expr) for :func:`hamming_pairs_sql` computing
+    the fixture hash in DuckDB."""
+    expr = _SYNPHASH_SQL.format(
+        m=_SYNPHASH_M64,
+        id=id_col,
+        f1=1 << 3,
+        f2=(1 << 17) | (1 << 41),
+        f3=(1 << 9) | (1 << 29) | (1 << 55),
+    )
+    sub = (
+        f"(SELECT {id_col}, (({id_col} >> 2) & 2147483647) * 2654435761 AS _a"
+        f" FROM {table}) psrc"
+    )
+    return sub, expr
 
 _BP_CTE = f"""
 ppb AS (
@@ -1074,6 +1123,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(spark, sf).select("doc_id", "text"), "text", "simhash"
         ).select("doc_id", "simhash")
 
+    def phash_near_duplicates(spark, sf):
+        # Hamming-ball near-dup on a 64-bit phash column (dedup/hamming.py):
+        # blocked equi-join candidates + popcount verify, exact for
+        # max_distance <= nblocks-1.  The phash itself is the deterministic
+        # planted-structure fixture (_synthetic_phash) since the gate
+        # tables carry no image bytes; images get the same operator over
+        # their real phash column via images/decode.phash_near_duplicates.
+        docs = _docs(spark, sf).select(
+            "doc_id", _synthetic_phash(F.col("doc_id")).alias("phash")
+        )
+        return dedup_hamming.hamming_pairs(
+            docs, "doc_id", "phash", max_distance=3, block_bits=16
+        )
+
     def caption_quality_pipeline(spark, sf):
         return pl.run_caption_quality(_docs(spark, sf), id_col="doc_id", text_col="text")
 
@@ -1580,6 +1643,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         minhash_near_duplicates=minhash_near_duplicates,
         simhash_fingerprints=simhash_fingerprints,
         simhash_candidate_pairs=simhash_candidate_pairs,
+        phash_near_duplicates=phash_near_duplicates,
         caption_quality_pipeline=caption_quality_pipeline,
         knn_bruteforce=knn_bruteforce,
         embedding_near_duplicates=embedding_near_duplicates,
@@ -2645,6 +2709,10 @@ FROM documents"""
         f"SELECT doc_id, {dedup_simhash.simhash_sql('text')} AS simhash FROM documents"
     )
     o["simhash_candidate_pairs"] = dedup_simhash.simhash_candidate_pairs_sql("documents")
+    _ph_tab, _ph_expr = _synphash_oracle_args("documents", "doc_id")
+    o["phash_near_duplicates"] = dedup_hamming.hamming_pairs_sql(
+        _ph_tab, "doc_id", _ph_expr, max_distance=3, block_bits=16
+    )
     o["caption_quality_pipeline"] = pl.oracle_sql_for("documents", "doc_id", "text")
     o["knn_bruteforce"] = sim_knn.cosine_topk_sql("embeddings", "vec_id < 20", k=5)
     o["embedding_near_duplicates"] = sim_knn.embedding_near_duplicates_sql(

@@ -303,3 +303,30 @@ def phash_duplicate_clusters(df: DataFrame, id_col: str = "image_id") -> DataFra
         .where(F.col("cluster_size") > 1)
         .select(id_col, "phash", "cluster_size", "cluster_rep")
     )
+
+
+def phash_near_duplicates(
+    df: DataFrame,
+    id_col: str = "image_id",
+    phash_col: str = "phash",
+    max_distance: int = 3,
+    block_bits: int = 16,
+    n_perms: int = 1,
+) -> DataFrame:
+    """Hamming-ball NEAR-duplicate pairs on the perceptual hash — the
+    "hamming-ball (near)" half of the reference's near_duplicate intent
+    (duplicate.py:20-228; SURVEY.md §2.6); :func:`phash_duplicate_clusters`
+    is the exact half.  Delegates to the generic blocked search
+    (dedup/hamming.py): exact whenever ``max_distance <= 64/block_bits - 1``;
+    at 10^12 rows raise ``block_bits`` (buckets ~N/2^block_bits) and add
+    rotations (``n_perms``) to recover recall."""
+    from sparkclean.dedup.hamming import hamming_pairs
+
+    return hamming_pairs(
+        df,
+        id_col,
+        phash_col,
+        max_distance=max_distance,
+        block_bits=block_bits,
+        n_perms=n_perms,
+    )

@@ -210,3 +210,81 @@ def test_near_duplicate_issues_matches_numpy(spark):
         exp_score = 0.0 if abs(nn_dist[i]) <= 1e-8 else 1 - np.exp(-nn_dist[i] / med)
         assert abs(got[i]["near_duplicate_score"] - exp_score) < 1e-9
     assert 20 in flagged and 17 in flagged and 3 in flagged and 5 in flagged
+
+
+# ---------------------------------------------------------------- hamming
+
+
+def _rand_hashes(n, seed, planted_flips):
+    """n random 64-bit fingerprints; every 10th row gets a partner at
+    exactly ``planted_flips`` Hamming distance.  Returns (int64 list,
+    planted pair set)."""
+    rng = np.random.default_rng(seed)
+    h = rng.integers(0, 1 << 64, size=n, dtype=np.uint64)
+    planted = set()
+    for i in range(0, n - 1, 10):
+        pos = rng.choice(64, size=planted_flips, replace=False)
+        mask = np.uint64(0)
+        for p in pos:
+            mask |= np.uint64(1) << np.uint64(p)
+        h[i + 1] = h[i] ^ mask
+        planted.add((i, i + 1))
+    return [int(x) for x in h.view(np.int64)], planted
+
+
+def _brute_pairs(hashes, max_d):
+    out = set()
+    for i in range(len(hashes)):
+        for j in range(i + 1, len(hashes)):
+            if ((hashes[i] ^ hashes[j]) & ((1 << 64) - 1)).bit_count() <= max_d:
+                out.add((i, j))
+    return out
+
+
+def test_hamming_pairs_exact_vs_brute(spark):
+    """block_bits=16 (4 blocks) is pigeonhole-EXACT for distance <= 3:
+    blocked search == brute force, including negative int64 hashes."""
+    from sparkclean.dedup.hamming import hamming_pairs
+
+    hashes, planted = _rand_hashes(240, seed=7, planted_flips=3)
+    df = spark.createDataFrame(
+        list(enumerate(hashes)), "id: long, phash: long"
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in hamming_pairs(df, "id", "phash", max_distance=3).collect()
+    }
+    exp = _brute_pairs(hashes, 3)
+    assert set(got) == exp and planted <= exp
+    for (a, b), d in got.items():
+        assert d == ((hashes[a] ^ hashes[b]) & ((1 << 64) - 1)).bit_count()
+        assert d <= 3
+
+
+def test_hamming_rotation_recall(spark):
+    """Growth path: at block_bits=32 (2 blocks — exact only to distance 1)
+    the rotation union lifts recall on planted distance-3 pairs while
+    bucket sizes stay ~N/2^32 (VERDICT r3 item 4)."""
+    from sparkclean.dedup.hamming import hamming_pairs
+
+    hashes, planted = _rand_hashes(400, seed=13, planted_flips=3)
+    df = spark.createDataFrame(
+        list(enumerate(hashes)), "id: long, phash: long"
+    ).cache()
+
+    def recall(n_perms):
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in hamming_pairs(
+                df, "id", "phash", max_distance=3, block_bits=32, n_perms=n_perms
+            ).collect()
+        }
+        assert got <= _brute_pairs(hashes, 3)  # verify step: no false pairs
+        return len(got & planted) / len(planted)
+
+    r1, r4 = recall(1), recall(4)
+    # single 32-bit split finds a random distance-3 pair iff one half is
+    # flip-free: P = 2*(1/2)^3 = 0.25; four rotations ~ 1-(3/4)^4 = 0.68
+    assert 0.1 <= r1 <= 0.45
+    assert r4 >= r1 + 0.2 and r4 >= 0.5
+    df.unpersist()
