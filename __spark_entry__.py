@@ -2823,13 +2823,16 @@ FROM scored GROUP BY token HAVING sum(CASE WHEN s < 0.2 THEN 1 ELSE 0 END) > 0""
     # observed split at the exact median id (perm -1) + 25 frozen
     # hash-based permutations (md5(id:perm:seed) re-rank, first n_a ranks
     # = group A) → per-perm two-sample KS at distinct-value step points →
-    # empirical-tail p-value; mirrors valuation.non_iid_ks's single
-    # grouped prefix-sum pass (reference noniid.py:267-299 analog).
-    # Constants imported from the library so the twins cannot drift.
+    # Gaussian-KDE tail p-value (Scott bandwidth, A&S erf — the same
+    # formula valuation.kde_tail_p evaluates); mirrors non_iid_ks's
+    # single grouped prefix-sum pass (reference noniid.py:267-299).
+    # Constants + the pv CTE imported from the library so the twins
+    # cannot drift.
     from sparkclean.quality.valuation import (
         NIID_PERMUTATIONS as _NIID_P,
         NIID_SEED as _NIID_SEED,
         NIID_SIGNIFICANCE as _NIID_SIG,
+        kde_pvalue_cte_sql,
     )
     o["non_iid_check"] = f"""
 WITH {pc},
@@ -2862,9 +2865,7 @@ dstat AS (
   SELECT perm, max(abs(ca / c.na - cb / c.nb)) AS d
   FROM ecdf CROSS JOIN cnts c GROUP BY perm),
 dobs AS (SELECT d FROM dstat WHERE perm = -1),
-pv AS (
-  SELECT (1.0 + count(*) FILTER (WHERE s.perm >= 0 AND s.d >= o.d)) / (1.0 + {_NIID_P}) AS p_value
-  FROM dstat s CROSS JOIN dobs o)
+{kde_pvalue_cte_sql(_NIID_P).strip().lstrip(",")}
 SELECT round(o.d, 6) AS ks_statistic, round(pv.p_value, 6) AS p_value,
        c.na::BIGINT AS n_a, c.nb::BIGINT AS n_b,
        (pv.p_value < {_NIID_SIG}) AS is_non_iid_issue

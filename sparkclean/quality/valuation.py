@@ -15,7 +15,8 @@
   the dataset into two halves by median id, D = max |ECDF_a - ECDF_b|
   over the distinct-value step points, then rerun D under 25 frozen
   hash-based permutations (all P+1 statistics from ONE grouped
-  prefix-sum ECDF pass) and report the empirical-tail p-value; issue
+  prefix-sum ECDF pass) and report the Gaussian-KDE tail p-value
+  (:func:`kde_tail_p`, the reference's integrate_box semantics); issue
   flag at p < 0.05, matching the reference's decision rule.
 """
 
@@ -34,6 +35,89 @@ from ..sim.knn import knn_edges, knn_edges_cte_sql
 NIID_PERMUTATIONS = 25
 NIID_SEED = 0
 NIID_SIGNIFICANCE = 0.05
+
+# Abramowitz & Stegun 7.1.26 rational erf approximation, |err| <= 1.5e-7.
+# Used INSTEAD of libm erf on BOTH engines: DuckDB has no erf built-in,
+# and a same-formula/same-op-order evaluation keeps the two p-values
+# ulp-identical where exact-vs-approximate would differ by ~1e-7 — enough
+# to flip a 6dp-rounded gate value.
+_ERF_P = 0.3275911
+_ERF_A1 = 0.254829592
+_ERF_A2 = -0.284496736
+_ERF_A3 = 1.421413741
+_ERF_A4 = -1.453152027
+_ERF_A5 = 1.061405429
+
+
+def erf_approx(x: float) -> float:
+    """A&S 7.1.26 erf; the exact float-op-order twin of :func:`erf_sql`."""
+    t = 1.0 / (1.0 + _ERF_P * abs(x))
+    poly = ((((_ERF_A5 * t + _ERF_A4) * t + _ERF_A3) * t + _ERF_A2) * t + _ERF_A1) * t
+    s = -1.0 if x < 0 else 1.0
+    return s * (1.0 - poly * math.exp(-(x * x)))
+
+
+def erf_sql(z: str) -> str:
+    """DuckDB expression mirroring :func:`erf_approx` term by term."""
+    t = f"(1.0 / (1.0 + {_ERF_P} * abs({z})))"
+    poly = (
+        f"((((({_ERF_A5} * {t} + {_ERF_A4}) * {t} + {_ERF_A3}) * {t} "
+        f"+ {_ERF_A2}) * {t} + {_ERF_A1}) * {t})"
+    )
+    return (
+        f"((CASE WHEN ({z}) < 0 THEN -1.0 ELSE 1.0 END) "
+        f"* (1.0 - {poly} * exp(-(({z}) * ({z})))))"
+    )
+
+
+def kde_tail_p(d_obs: float, stats: list[float]) -> float:
+    """Gaussian-KDE tail mass above ``d_obs`` — scipy semantics
+    (reference noniid.py:292-299: ``gaussian_kde(ks_stats)
+    .integrate_box(obs, 100)``): Scott bandwidth h = std(stats, ddof=1)
+    * P^(-1/5), p = mean_i [Φ((100-x_i)/h) - Φ((d-x_i)/h)] with Φ via
+    :func:`erf_approx`.  Degenerate (zero-bandwidth) permutation
+    distributions fall back to the empirical tail — scipy would raise
+    on the singular covariance."""
+    n = len(stats)
+    if n < 2 or min(stats) == max(stats):
+        # exact-tie degeneracy (var may still round to a subnormal — the
+        # SQL twin tests max(d) = min(d) for the same reason)
+        return (1.0 + sum(1 for s in stats if s >= d_obs)) / (1.0 + n)
+    mean = sum(stats) / n
+    var = sum((x - mean) ** 2 for x in stats) / (n - 1)
+    h = math.sqrt(var) * n ** (-0.2)
+    rt2h = h * math.sqrt(2.0)
+    return (
+        sum(
+            0.5 * (erf_approx((100.0 - x) / rt2h) - erf_approx((d_obs - x) / rt2h))
+            for x in stats
+        )
+        / n
+    )
+
+
+def kde_pvalue_cte_sql(num_permutations: int) -> str:
+    """DuckDB CTE block computing :func:`kde_tail_p` over the oracle's
+    ``dstat(perm, d)`` / ``dobs(d)`` CTEs; yields ``pv(p_value)``.  The
+    zero-bandwidth CASE arm goes NULL so coalesce lands on the same
+    empirical tail as the Python fallback."""
+    hi = erf_sql("(100.0 - x) / (h * sqrt(2.0))")
+    lo = erf_sql("(dob - x) / (h * sqrt(2.0))")
+    return f"""
+bw AS (SELECT CASE WHEN max(d) = min(d) THEN 0.0
+              ELSE sqrt(var_samp(d)) * pow({num_permutations}.0, -0.2) END AS h
+       FROM dstat WHERE perm >= 0),
+kterms AS (
+  SELECT s.d AS x, o.d AS dob, b.h AS h
+  FROM dstat s CROSS JOIN dobs o CROSS JOIN bw b WHERE s.perm >= 0),
+pkde AS (
+  SELECT avg(CASE WHEN h > 0 THEN 0.5 * ({hi} - {lo}) ELSE NULL END) AS p
+  FROM kterms),
+pemp AS (
+  SELECT (1.0 + count(*) FILTER (WHERE s.perm >= 0 AND s.d >= o.d))
+         / (1.0 + {num_permutations}) AS p
+  FROM dstat s CROSS JOIN dobs o),
+pv AS (SELECT coalesce(pkde.p, pemp.p) AS p_value FROM pkde CROSS JOIN pemp)"""
 
 
 def knn_shapley_scores(
@@ -130,17 +214,19 @@ def non_iid_ks(
     at the ECDF's step points (the DISTINCT values), which is both the
     textbook definition and tie-robust.
 
-    p-value (reference noniid.py:267-299 analog): the reference reruns
-    its statistic under ``num_permutations`` seeded index permutations
-    and reads the observed stat's tail mass off a KDE of the permuted
-    stats.  Here each permutation is a frozen hash-based one — rows are
+    p-value (reference noniid.py:267-299): the reference reruns its
+    statistic under ``num_permutations`` seeded index permutations and
+    reads the observed stat's tail mass off a Gaussian KDE of the
+    permuted stats (``gaussian_kde(ks).integrate_box(obs, 100)``).
+    Here each permutation is a frozen hash-based one — rows are
     re-ranked by md5(id:perm:seed) and the first n_a ranks form group A,
     which is exactly a uniformly-drawn size-preserving relabelling —
-    and the p-value is the empirical tail (1 + #{d_perm >= d_obs}) /
-    (1 + P) (documented divergence: empirical tail instead of the
-    reference's Gaussian-KDE smoothing of the same 25 draws; erf is not
-    portable across both engines).  Issue flag: p_value < significance,
-    matching the reference's decision rule (noniid.py:199).
+    and the p-value is the same Scott-bandwidth KDE tail
+    (:func:`kde_tail_p`, erf via the A&S formula shared with the DuckDB
+    twin; remaining divergence vs the reference is only the frozen
+    hash permutations themselves and the 1.5e-7 erf approximation).
+    Issue flag: p_value < significance, matching the reference's
+    decision rule (noniid.py:199).
 
     Everything is one grouped ECDF pass: the observed split rides along
     as perm = -1, so P+1 KS statistics come out of ONE prefix-sum over
@@ -250,8 +336,11 @@ def non_iid_ks(
     g.unpersist()
     dmap = {r["_perm"]: float(r["_d"]) for r in drows}
     d = dmap[-1]
-    n_ge = sum(1 for p, s in dmap.items() if p >= 0 and s >= d)
-    p_value = (1.0 + n_ge) / (1.0 + num_permutations) if num_permutations else 0.0
+    if num_permutations:
+        # perm-index order keeps the mixture sums deterministic
+        p_value = kde_tail_p(d, [dmap[p] for p in range(num_permutations)])
+    else:
+        p_value = 0.0
     flag = (
         p_value < significance
         if num_permutations

@@ -262,3 +262,39 @@ def test_simhash_permutation_invariant(spark):
     out = {r["doc_id"]: r["simhash"] for r in with_simhash(df).collect()}
     assert out[0] == out[1] == out[2]
     assert out[0] != out[3]
+
+
+# ------------------------------------------------------- non-IID KDE tail
+
+
+@given(st.integers(0, 2**32 - 1))
+@settings(max_examples=40, deadline=None)
+def test_kde_tail_matches_scipy_semantics(seed):
+    """kde_tail_p == gaussian_kde(stats).integrate_box(d, 100) re-derived
+    in NumPy with EXACT libm erf (scipy itself is not installed here):
+    Scott bandwidth h = std(ddof=1) * P^(-1/5), tail = mean_i
+    [ndtr((100-x_i)/h) - ndtr((d-x_i)/h)].  The A&S-erf twin must agree
+    to 1e-6 (its |err| bound is 1.5e-7)."""
+    import math
+
+    from sparkclean.quality.valuation import kde_tail_p
+
+    rng = np.random.default_rng(seed)
+    stats = list(rng.uniform(0.01, 0.4, size=25))
+    d = float(rng.uniform(0.0, 0.6))
+
+    h = float(np.std(stats, ddof=1)) * 25 ** (-0.2)
+
+    def ndtr(z):
+        return 0.5 * (1.0 + math.erf(z / math.sqrt(2.0)))
+
+    exp = sum(ndtr((100.0 - x) / h) - ndtr((d - x) / h) for x in stats) / 25
+    assert abs(kde_tail_p(d, stats) - exp) < 1e-6
+
+
+def test_kde_tail_degenerate_falls_back_to_empirical():
+    from sparkclean.quality.valuation import kde_tail_p
+
+    # all-identical permutation stats → singular KDE → empirical tail
+    assert kde_tail_p(0.5, [0.2] * 25) == (1.0 + 0) / 26.0
+    assert kde_tail_p(0.1, [0.2] * 25) == (1.0 + 25) / 26.0
