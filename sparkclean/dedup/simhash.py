@@ -123,27 +123,22 @@ def simhash_candidate_pairs_sql(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     block_bits: int = 16,
+    n_perms: int = 1,
 ) -> str:
-    """DuckDB twin of :func:`simhash_candidate_pairs` (same block-key
-    blocking, same popcount verify)."""
-    nblocks = _check_block_bits(block_bits)
-    mask = (1 << block_bits) - 1
-    sh = simhash_sql(text_col)
-    blocks = "\n  UNION ALL\n".join(
-        f"  SELECT _id, _sh, '{b}:' || (((_sh >> {b * block_bits}) & {mask}))::VARCHAR AS _half FROM sh"
-        for b in range(nblocks)
+    """DuckDB twin of :func:`simhash_candidate_pairs` (same block keys,
+    same popcount verify — both delegate to dedup/hamming.py)."""
+    from .hamming import hamming_pairs_sql
+
+    _check_block_bits(block_bits)
+    return hamming_pairs_sql(
+        table,
+        id_col,
+        simhash_sql(text_col),
+        max_distance=max_hamming,
+        bits=BITS,
+        block_bits=block_bits,
+        n_perms=n_perms,
     )
-    return f"""
-WITH sh AS MATERIALIZED (SELECT {id_col} AS _id, {sh} AS _sh FROM {table}),
-halves AS (
-{blocks}
-),
-pairs AS (
-  SELECT DISTINCT l._id AS id_a, r._id AS id_b, l._sh AS sh_a, r._sh AS sh_b
-  FROM halves l JOIN halves r ON l._half = r._half AND l._id < r._id
-)
-SELECT id_a, id_b, bit_count(xor(sh_a, sh_b))::INT AS hamming
-FROM pairs WHERE bit_count(xor(sh_a, sh_b)) <= {max_hamming}"""
 
 
 def simhash_candidate_pairs(
@@ -152,52 +147,34 @@ def simhash_candidate_pairs(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     block_bits: int = 16,
+    n_perms: int = 1,
 ) -> DataFrame:
     """Candidate near-dup pairs sharing a ``block_bits``-wide simhash
     block, verified by exact popcount Hamming distance <= max_hamming.
+    Fingerprinting is simhash's; the blocked search itself delegates to
+    the shared Hamming-ball machinery (dedup/hamming.py).
 
     ``block_bits`` is the scale knob (the simhash analog of knn_edges'
     EDGE_BITS): expected bucket size grows ~N/2^block_bits, so at 10^12
-    rows keep block_bits=16 but RAISE the block count by LOWERING
-    block_bits only when recall for larger Hamming radii matters — by
-    pigeonhole, d <= nblocks-1 pairs are guaranteed to share a block
-    (2 blocks of 16 guarantee d<=1; 4 blocks of 8 guarantee d<=3).  The
-    complementary growth path for huge corpora is the permuted-table
-    scheme (rotate the fingerprint by block_bits and re-block), which
-    keeps bucket sizes at N/2^16 while restoring multi-block recall;
-    plumb it as extra explode keys here if needed."""
-    nblocks = _check_block_bits(block_bits)
-    mask = (1 << block_bits) - 1
+    rows keep blocks wide; by pigeonhole, d <= nblocks-1 pairs are
+    guaranteed to share a block (2 blocks of 16 guarantee d<=1; 4 blocks
+    of 8 guarantee d<=3).  ``n_perms`` is the recall growth path for
+    huge corpora — the permuted-table scheme re-blocks cyclic rotations
+    of the fingerprint, keeping bucket sizes at N/2^block_bits while
+    restoring multi-block recall (planted-flip recall pinned in
+    tests/test_dedup_sim.py)."""
+    from .hamming import hamming_pairs
+
+    _check_block_bits(block_bits)
     s = with_simhash(
         df.select(F.col(id_col).alias("_id"), text_col), text_col, "_sh"
     ).select("_id", "_sh")
-    halves = s.select(
+    return hamming_pairs(
+        s,
         "_id",
         "_sh",
-        F.explode(
-            F.array(
-                *[
-                    F.concat_ws(
-                        ":",
-                        F.lit(str(b)),
-                        (
-                            F.shiftright(F.col("_sh"), b * block_bits)
-                            .bitwiseAND(F.lit(mask))
-                        ).cast("string"),
-                    )
-                    for b in range(nblocks)
-                ]
-            )
-        ).alias("_half"),
-    )
-    l = halves.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"), "_half")
-    r = halves.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"), "_half")
-    pairs = (
-        l.join(r, "_half")
-        .where(F.col("id_a") < F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    return pairs.withColumn("hamming", ham).where(F.col("hamming") <= max_hamming).select(
-        "id_a", "id_b", "hamming"
+        max_distance=max_hamming,
+        bits=BITS,
+        block_bits=block_bits,
+        n_perms=n_perms,
     )
