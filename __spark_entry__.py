@@ -94,12 +94,14 @@ def _with_probs(df: DataFrame, lo: int = 1) -> DataFrame:
     return df.withColumn("pred_probs", F.transform(F.col("_e"), lambda x: x / total)).drop("_e")
 
 
+# pp is MATERIALIZED: DuckDB inlines plain CTEs per consumer, and most
+# oracles read it 2-4x (softmax re-evaluation dominated several twins)
 _PROBS_CTE = """
 ev{sfx} AS (
   SELECT vec_id, label,
          list_transform(embedding[{lo}:{hi}], x -> exp(x::DOUBLE * 4.0)) AS e
   FROM embeddings
-), pp{sfx} AS (
+), pp{sfx} AS MATERIALIZED (
   SELECT vec_id, label,
          list_transform(e, v -> v / list_aggregate(e, 'sum')) AS p
   FROM ev{sfx}
@@ -130,7 +132,7 @@ binned AS (
   SELECT s.vec_id, s.label, s.p, s.self_conf,
          list_transform(range(1, {K + 1}), i -> s.p[i] >= t.tvec[i] - {FPC}) AS bins
   FROM sc s CROSS JOIN tv t
-), guessed AS (
+), guessed AS MATERIALIZED (
   SELECT vec_id, label, p, self_conf,
          len(list_filter(bins, b -> b)) AS n_conf,
          CASE WHEN len(list_filter(bins, b -> b)) > 1
