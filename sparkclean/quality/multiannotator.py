@@ -385,14 +385,13 @@ def crowdlab_ensemble_posterior(
     per-model temperature scaling, majority vote over the model-averaged
     probs, CROWDLAB round with per-model weights, consensus refinement,
     round 2."""
-    scaled = []
-    for p in probs_dfs:
-        t = find_best_temp(long_df, p, num_classes, probs_col)
-        scaled.append(
-            temp_scale_probs(p, t, probs_col).select(
-                "example_id", F.col(probs_col).alias("_prior")
-            )
+    temps = find_best_temps(long_df, probs_dfs, num_classes, probs_col)
+    scaled = [
+        temp_scale_probs(p, t, probs_col).select(
+            "example_id", F.col(probs_col).alias("_prior")
         )
+        for p, t in zip(probs_dfs, temps)
+    ]
     # model-average probs drive the majority-vote tie-break (:441-447)
     avg = scaled[0].select("example_id", F.col("_prior").alias("_p0"))
     for i, s in enumerate(scaled[1:], start=1):
@@ -455,18 +454,23 @@ def _soft_ce_udf(temps: list[float], num_classes: int):
     return fn
 
 
-def find_best_temp(
+def find_best_temps(
     long_df: DataFrame,
-    probs_df: DataFrame,
+    probs_dfs: list[DataFrame],
     num_classes: int,
     probs_col: str = "pred_probs",
     coarse_search_range=(0.1, 0.2, 0.5, 0.8, 1, 2, 3, 5, 8),
     fine_search_size: int = 4,
-) -> float:
-    """Temperature minimising mean soft cross-entropy between annotators'
-    empirical label distribution and scaled pred_probs
-    (internal/multiannotator_utils.py:277-337). Coarse pass + fine pass =
-    two distributed aggregations total."""
+) -> list[float]:
+    """Temperatures minimising mean soft cross-entropy between the
+    annotators' empirical label distribution and each model's scaled
+    pred_probs (internal/multiannotator_utils.py:277-337).
+
+    ALL models share one coarse pass and one fine pass — the empirical
+    distribution depends only on ``long_df``, so the P searches ride the
+    same joined frame with one CE-vector column per model (two
+    distributed aggregations total instead of 2·P; at scale that is one
+    data pass per phase instead of P)."""
     emp = (
         long_df.groupBy("example_id", "label")
         .agg(F.count(F.lit(1)).alias("_c"))
@@ -485,37 +489,69 @@ def find_best_temp(
             ).alias("_ef"),
         )
     )
-    joined = emp.join(
-        probs_df.select("example_id", F.col(probs_col).alias("_p")), "example_id"
-    ).persist()
-
-    def _mean_ces(temps: list[float]) -> list[float]:
-        ces = _soft_ce_udf(temps, num_classes)(
-            F.col("_p"), F.col("_ek"), F.col("_ef")
+    joined = emp
+    for m, p in enumerate(probs_dfs):
+        joined = joined.join(
+            p.select("example_id", F.col(probs_col).alias(f"_p{m}")), "example_id"
         )
-        ced = joined.withColumn("_ces", ces)
-        row = ced.agg(
-            *[
-                F.avg(F.element_at(F.col("_ces"), i + 1)).alias(f"t{i}")
+    joined = joined.persist()
+    P = len(probs_dfs)
+
+    def _mean_ces(temps_per_model: list[list[float]]) -> list[list[float]]:
+        """One action: the CE means for every (model, temperature)."""
+        ced = joined
+        aggs = []
+        for m, temps in enumerate(temps_per_model):
+            if not temps:
+                continue
+            ces = _soft_ce_udf(temps, num_classes)(
+                F.col(f"_p{m}"), F.col("_ek"), F.col("_ef")
+            )
+            ced = ced.withColumn(f"_ces{m}", ces)
+            aggs += [
+                F.avg(F.element_at(F.col(f"_ces{m}"), i + 1)).alias(f"m{m}t{i}")
                 for i in range(len(temps))
             ]
-        ).first()
-        return [float(row[f"t{i}"]) for i in range(len(temps))]
+        row = ced.agg(*aggs).first()
+        return [
+            [float(row[f"m{m}t{i}"]) for i in range(len(temps))]
+            for m, temps in enumerate(temps_per_model)
+        ]
 
     coarse = list(coarse_search_range)
-    ces = _mean_ces(coarse)
-    idx = min(range(len(coarse)), key=lambda i: (ces[i], i))
-    fine: list[float] = []
-    if idx != 0:
-        lo, hi = coarse[idx - 1], coarse[idx]
-        fine += [lo + j * (hi - lo) / fine_search_size for j in range(fine_search_size)]
-    if idx != len(coarse) - 1:
-        lo, hi = coarse[idx], coarse[idx + 1]
-        fine += [lo + j * (hi - lo) / fine_search_size for j in range(fine_search_size + 1)]
-    fces = _mean_ces(fine)
-    best = min(range(len(fine)), key=lambda i: (fces[i], i))
+    all_ces = _mean_ces([coarse] * P)
+    fines: list[list[float]] = []
+    for ces in all_ces:
+        idx = min(range(len(coarse)), key=lambda i: (ces[i], i))
+        fine: list[float] = []
+        if idx != 0:
+            lo, hi = coarse[idx - 1], coarse[idx]
+            fine += [lo + j * (hi - lo) / fine_search_size for j in range(fine_search_size)]
+        if idx != len(coarse) - 1:
+            lo, hi = coarse[idx], coarse[idx + 1]
+            fine += [lo + j * (hi - lo) / fine_search_size for j in range(fine_search_size + 1)]
+        fines.append(fine)
+    all_fces = _mean_ces(fines)
     joined.unpersist()
-    return float(fine[best])
+    out = []
+    for fine, fces in zip(fines, all_fces):
+        best = min(range(len(fine)), key=lambda i: (fces[i], i))
+        out.append(float(fine[best]))
+    return out
+
+
+def find_best_temp(
+    long_df: DataFrame,
+    probs_df: DataFrame,
+    num_classes: int,
+    probs_col: str = "pred_probs",
+    coarse_search_range=(0.1, 0.2, 0.5, 0.8, 1, 2, 3, 5, 8),
+    fine_search_size: int = 4,
+) -> float:
+    """Single-model :func:`find_best_temps`."""
+    return find_best_temps(
+        long_df, [probs_df], num_classes, probs_col, coarse_search_range, fine_search_size
+    )[0]
 
 
 def temp_scale_probs(
