@@ -198,10 +198,59 @@ def _crowdlab_round(
         ).alias(f"_err_{i}")
         for i in range(len(priors))
     ]
-    stats = sorted(
-        base.groupBy("consensus_label").agg(*gag).collect(),
-        key=lambda r: r["consensus_label"],
+    # per-annotator agreement with co-annotators: every (a, b) co-annotation
+    # pair contributes one Bernoulli(match) sample; the reference's
+    # (n-1)-weighted average over examples equals the plain pair average
+    # (multiannotator.py:1304-1393)
+    l1 = long_df.select(
+        "example_id", F.col("annotator_id").alias("_a"), F.col("label").alias("_la")
     )
+    l2 = long_df.select(
+        "example_id", F.col("annotator_id").alias("_b"), F.col("label").alias("_lb")
+    )
+    pair_agree = (
+        l1.join(l2, "example_id")
+        .where(F.col("_a") != F.col("_b"))
+        .groupBy("_a")
+        .agg(F.avg((F.col("_la") == F.col("_lb")).cast("double")).alias("agree"))
+    )
+    roster = (
+        long_df.select("annotator_id")
+        .distinct()
+        .join(pair_agree.withColumnRenamed("_a", "annotator_id"), "annotator_id", "left")
+    )
+
+    # ONE driver round-trip for BOTH driver-sized tables (K class-stat
+    # rows + A annotator rows): union the tagged frames so both subtrees
+    # execute inside the same job.  annotator_id keeps its original type
+    # (the weight map below is keyed on it).
+    aid_type = dict(roster.dtypes)["annotator_id"]
+    stat_rows = base.groupBy("consensus_label").agg(*gag).select(
+        F.lit(0).alias("_tag"),
+        F.col("consensus_label").cast("int").alias("consensus_label"),
+        F.col("_nm"), F.col("_sa"), F.col("_na"), F.col("_sn"),
+        F.array(*[F.col(f"_err_{i}").cast("long") for i in range(len(priors))]).alias(
+            "_errs"
+        ),
+        F.lit(None).cast(aid_type).alias("annotator_id"),
+        F.lit(None).cast("double").alias("agree"),
+    )
+    roster_rows_df = roster.select(
+        F.lit(1).alias("_tag"),
+        F.lit(None).cast("int").alias("consensus_label"),
+        F.lit(None).cast("long").alias("_nm"),
+        F.lit(None).cast("double").alias("_sa"),
+        F.lit(None).cast("long").alias("_na"),
+        F.lit(None).cast("double").alias("_sn"),
+        F.lit(None).cast("array<long>").alias("_errs"),
+        F.col("annotator_id"),
+        F.col("agree"),
+    )
+    fused = stat_rows.unionByName(roster_rows_df).collect()
+    stats = sorted(
+        (r for r in fused if r["_tag"] == 0), key=lambda r: r["consensus_label"]
+    )
+    roster_rows = [r for r in fused if r["_tag"] == 1]
     n_multi = sum(r["_nm"] for r in stats)
     if n_multi == 0:
         # every example has exactly one annotation — the consensus
@@ -228,35 +277,13 @@ def _crowdlab_round(
     # what avg(indicator) evaluates to in both engines (ulp-different)
     mlce = max((n_multi - n_mode) / n_multi, _CLIP)
     model_weights = [
-        max(1.0 - (sum(r[f"_err_{i}"] for r in stats) / n_multi) / mlce, _CLIP)
+        max(1.0 - (sum(r["_errs"][i] for r in stats) / n_multi) / mlce, _CLIP)
         * (mean_n ** 0.5)
         for i in range(len(priors))
     ]
 
-    # per-annotator agreement with co-annotators: every (a, b) co-annotation
-    # pair contributes one Bernoulli(match) sample; the reference's
-    # (n-1)-weighted average over examples equals the plain pair average
-    # (multiannotator.py:1304-1393)
-    l1 = long_df.select(
-        "example_id", F.col("annotator_id").alias("_a"), F.col("label").alias("_la")
-    )
-    l2 = long_df.select(
-        "example_id", F.col("annotator_id").alias("_b"), F.col("label").alias("_lb")
-    )
-    pair_agree = (
-        l1.join(l2, "example_id")
-        .where(F.col("_a") != F.col("_b"))
-        .groupBy("_a")
-        .agg(F.avg((F.col("_la") == F.col("_lb")).cast("double")).alias("agree"))
-    )
-    # roster ⟕ pair stats in ONE round-trip (annotators with no
-    # co-annotations surface as agree=NULL and take the imputed mean)
-    roster_rows = (
-        long_df.select("annotator_id")
-        .distinct()
-        .join(pair_agree.withColumnRenamed("_a", "annotator_id"), "annotator_id", "left")
-        .collect()
-    )
+    # annotators with no co-annotations surface as agree=NULL and take
+    # the imputed mean
     agree_by_annot = {
         r["annotator_id"]: float(r["agree"])
         for r in roster_rows
