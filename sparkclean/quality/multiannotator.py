@@ -159,19 +159,19 @@ def _crowdlab_round(
     # long-lived callers clear when done).
     long_df = long_df.persist()
     cons = cons.persist()
-    nann = long_df.groupBy("example_id").agg(F.count(F.lit(1)).alias("num_annotations"))
-    agree = (
+    # num_annotations and agreement share ONE grouped pass over the
+    # (votes ⨝ consensus) frame — one shuffle instead of two per round
+    nagree = (
         long_df.join(cons.select("example_id", "consensus_label"), "example_id")
         .groupBy("example_id")
         .agg(
+            F.count(F.lit(1)).alias("num_annotations"),
             F.avg((F.col("label") == F.col("consensus_label")).cast("double")).alias(
                 "annotator_agreement"
-            )
+            ),
         )
     )
-    base = cons.select("example_id", "consensus_label").join(nann, "example_id").join(
-        agree, "example_id"
-    )
+    base = cons.select("example_id", "consensus_label").join(nagree, "example_id")
     for i, p in enumerate(priors):
         base = base.join(p.withColumnRenamed("_prior", f"_prior_{i}"), "example_id")
     base = base.persist()
