@@ -288,3 +288,22 @@ def test_hamming_rotation_recall(spark):
     assert 0.1 <= r1 <= 0.45
     assert r4 >= r1 + 0.2 and r4 >= 0.5
     df.unpersist()
+
+
+def test_simhash_n_perms_superset(spark, dup_docs):
+    """The rotation union can only ADD candidates: n_perms=2 pairs are a
+    superset of n_perms=1 at the same (max_hamming, block_bits), and the
+    verify step keeps every reported pair within the radius."""
+    base = {
+        (r["id_a"], r["id_b"])
+        for r in d_simhash.simhash_candidate_pairs(
+            dup_docs, "text", "doc_id", max_hamming=3, block_bits=16
+        ).collect()
+    }
+    wide = {
+        (r["id_a"], r["id_b"])
+        for r in d_simhash.simhash_candidate_pairs(
+            dup_docs, "text", "doc_id", max_hamming=3, block_bits=16, n_perms=2
+        ).collect()
+    }
+    assert base <= wide

@@ -225,3 +225,34 @@ def test_checkpoint_resume(spark, corpus, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS ckpt_scores")
         spark.sql("DROP TABLE IF EXISTS ckpt_feats")
+
+
+def test_phash_near_duplicates_on_decoded_corpus(spark, corpus):
+    """Hamming-ball near-dup over phashes RECOMPUTED from decoded pixels:
+    exact vs a NumPy brute force at distance <= 3 (block_bits=16 is
+    pigeonhole-exact there), and the planted same-seed clusters surface
+    at distance 0 while jpeg-vs-png encodings of the same seed may land
+    at small nonzero distances."""
+    from sparkclean.images.decode import phash_near_duplicates
+
+    stats = decode_stats(corpus).select("image_id", "phash_recomputed")
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in phash_near_duplicates(
+            stats, id_col="image_id", phash_col="phash_recomputed"
+        ).collect()
+    }
+
+    rows = stats.collect()
+    ids = [r["image_id"] for r in rows]
+    hs = [r["phash_recomputed"] % (1 << 64) for r in rows]
+    exp = {}
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            d = (hs[i] ^ hs[j]).bit_count()
+            if d <= 3:
+                a, b = sorted((ids[i], ids[j]))
+                exp[(a, b)] = d
+    assert got == exp
+    # the corpus plants same-seed duplicate clusters -> distance-0 pairs
+    assert any(d == 0 for d in got.values())
