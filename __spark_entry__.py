@@ -2578,7 +2578,10 @@ SELECT g.vec_id,
        round(g.p[g.label + 1], 6) AS label_score
 FROM guessed g LEFT JOIN countmask cm ON cm.vec_id = g.vec_id"""
 
-    from sparkclean.quality.datalab import UNDERPERFORMING_RATIO as UNDERPERF_T
+    from sparkclean.quality.datalab import (
+        DBSCAN_MIN_SAMPLES as _DBSCAN_MS,
+        UNDERPERFORMING_RATIO as UNDERPERF_T,
+    )
 
     # underperforming_group with clusters derived from the feature space:
     # connected components (min-id) of the knn graph thresholded at the
@@ -2594,7 +2597,7 @@ epsv AS (SELECT quantile_cont(d, 0.5) AS eps FROM nn1),
 half AS MATERIALIZED (
   SELECT qid AS src, nid AS dst FROM knn CROSS JOIN epsv WHERE d <= epsv.eps
 ),
-core AS MATERIALIZED (SELECT src AS id FROM half GROUP BY src HAVING count(*) >= 5),
+core AS MATERIALIZED (SELECT src AS id FROM half GROUP BY src HAVING count(*) >= {_DBSCAN_MS}),
 cce AS MATERIALIZED (
   SELECT h.src, h.dst FROM half h
   JOIN core a ON a.id = h.src JOIN core b ON b.id = h.dst

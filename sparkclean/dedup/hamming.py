@@ -113,8 +113,12 @@ def hamming_pairs(
     exact (every pair found) whenever
     ``max_distance <= bits/block_bits - 1``; beyond that the rotation
     union makes recall probabilistic (planted-flip recall tests pin the
-    configs)."""
-    s = df.select(F.col(id_col).alias("_id"), F.col(hash_col).alias("_h"))
+    configs).  NULL fingerprints (e.g. failed image decodes) are
+    excluded — concat_ws would otherwise silently fold them into one
+    shared bucket."""
+    s = df.select(F.col(id_col).alias("_id"), F.col(hash_col).alias("_h")).where(
+        F.col("_h").isNotNull()
+    )
     halves = s.select(
         "_id",
         "_h",
@@ -160,7 +164,8 @@ def hamming_pairs_sql(
             )
     blocks = "\n  UNION ALL\n".join(rows)
     return f"""
-WITH hsrc AS MATERIALIZED (SELECT {id_col} AS _id, {hash_expr} AS _h FROM {table}),
+WITH hsrc AS MATERIALIZED (SELECT {id_col} AS _id, {hash_expr} AS _h FROM {table}
+  WHERE ({hash_expr}) IS NOT NULL),
 hkeys AS (
 {blocks}
 ),

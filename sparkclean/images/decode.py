@@ -57,7 +57,11 @@ def _stats_for_batch(pdf: pd.DataFrame) -> dict[str, np.ndarray]:
         "decode_ok": np.zeros(n, dtype=bool),
         "fmt_ok": np.zeros(n, dtype=bool),
         "psnr_db": np.full(n, np.nan),
-        "phash_recomputed": np.zeros(n, dtype=np.int64),
+        # masked Int64: null (NOT a 0 sentinel) for null blobs / decode
+        # failures — 0 is a legal hash (uniform image) and a sentinel
+        # would bucket every broken image into one fake distance-0
+        # near-dup cluster in phash_near_duplicates
+        "phash_recomputed": pd.array(np.zeros(n, dtype=np.int64), dtype="Int64"),
         "brightness": np.full(n, np.nan),
         "pixel_std": np.full(n, np.nan),
         "aspect_ratio": np.full(n, np.nan),
@@ -69,6 +73,7 @@ def _stats_for_batch(pdf: pd.DataFrame) -> dict[str, np.ndarray]:
     # same-shape-group batched einsum rewrite (1802 vs 1581 rows/s
     # single-thread — the stack copies + buffered-cast einsum cost more
     # than the saved ufunc dispatch; measured r4, rewrite reverted).
+    out["phash_recomputed"][:] = pd.NA
     for i, (blob, w, h, fmt) in enumerate(zip(pdf["bytes"], pdf["w"], pdf["h"], pdf["fmt"])):
         if blob is None:
             continue

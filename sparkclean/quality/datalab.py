@@ -467,9 +467,13 @@ def _gnb_correct_udf(M, A, B, C, classes: list[int]):
 
     @pandas_udf("double")
     def fn(x: pd.Series, fold: pd.Series, label: pd.Series) -> pd.Series:
-        xv = x.to_numpy(dtype=np.float64)
-        fv = fold.to_numpy(dtype=np.int64)
-        lv = label.to_numpy(dtype=np.int64)
+        # NULL tolerance of the when-chain this kernel replaced: a NULL
+        # feature/fold/label row yields a NULL correctness (F.avg skips
+        # it) instead of crashing the int cast
+        valid = (x.notna() & fold.notna() & label.notna()).to_numpy()
+        xv = x.to_numpy(dtype=np.float64, na_value=0.0)
+        fv = fold.fillna(0).to_numpy(dtype=np.int64)
+        lv = label.fillna(ks[0]).to_numpy(dtype=np.int64)
         pred = np.full(len(xv), ks[0], dtype=np.int64)
         best = None
         for j in range(len(ks)):
@@ -481,7 +485,9 @@ def _gnb_correct_udf(M, A, B, C, classes: list[int]):
                 upd = ll > best
                 pred[upd] = ks[j]
                 best = np.where(upd, ll, best)
-        return pd.Series((pred == lv).astype(np.float64))
+        res = pd.array((pred == lv).astype(np.float64), dtype="Float64")
+        res[~valid] = pd.NA
+        return pd.Series(res)
 
     return fn
 

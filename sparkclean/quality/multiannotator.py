@@ -271,8 +271,9 @@ def _crowdlab_round(
     # modal consensus class on the multi-annotated subset
     # (np.argmax(bincount) tie-break = smallest label; stats is sorted
     # by label so max() resolves ties to the smallest)
-    mode_label = int(max(stats, key=lambda r: r["_nm"])["consensus_label"])
-    n_mode = next(r["_nm"] for r in stats if r["consensus_label"] == mode_label)
+    mode_row = max(stats, key=lambda r: r["_nm"])
+    mode_label = int(mode_row["consensus_label"])
+    n_mode = mode_row["_nm"]
     # (n_multi - n_mode)/n_multi, NOT 1 - n_mode/n_multi: the former is
     # what avg(indicator) evaluates to in both engines (ulp-different)
     mlce = max((n_multi - n_mode) / n_multi, _CLIP)
@@ -460,23 +461,39 @@ def _soft_ce_udf(temps: list[float], num_classes: int):
     @pandas_udf("array<double>")
     def fn(p: pd.Series, ek: pd.Series, ef: pd.Series) -> pd.Series:
         n = len(p)
-        P = np.asarray([np.asarray(x, dtype=np.float64) for x in p])
+        # NULL tolerance of the Catalyst projection this kernel replaced:
+        # a NULL pred_probs / empirical row yields a NULL CE vector (the
+        # downstream F.avg skips it) instead of crashing the executor
+        res: list[list[float] | None] = [None] * n
+        valid = [
+            i
+            for i in range(n)
+            if p.iloc[i] is not None and ek.iloc[i] is not None and ef.iloc[i] is not None
+        ]
+        if not valid:
+            return pd.Series(res)
+        P = np.asarray([np.asarray(p.iloc[i], dtype=np.float64) for i in valid])
+        nv = len(valid)
         K = P.shape[1]
-        Fm = np.zeros((n, K))
-        for i, (ks, fs) in enumerate(zip(ek, ef)):
-            Fm[i, np.asarray(ks, dtype=np.int64)] = np.asarray(fs, dtype=np.float64)
-        out = np.empty((n, len(inv_ts)))
+        Fm = np.zeros((nv, K))
+        for r, i in enumerate(valid):
+            Fm[r, np.asarray(ek.iloc[i], dtype=np.int64)] = np.asarray(
+                ef.iloc[i], dtype=np.float64
+            )
+        out = np.empty((nv, len(inv_ts)))
         for j, it in enumerate(inv_ts):
             pw = P**it
             s = pw[:, 0].copy()
             for c in range(1, K):
                 s = s + pw[:, c]
             lo = np.log(np.maximum(pw / s[:, None], _SMALL))
-            acc = np.zeros(n)
+            acc = np.zeros(nv)
             for c in range(K):
                 acc = acc + Fm[:, c] * lo[:, c]
             out[:, j] = -acc / lnK
-        return pd.Series(list(out))
+        for r, i in enumerate(valid):
+            res[i] = out[r]
+        return pd.Series(res)
 
     return fn
 

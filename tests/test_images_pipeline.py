@@ -256,3 +256,36 @@ def test_phash_near_duplicates_on_decoded_corpus(spark, corpus):
     assert got == exp
     # the corpus plants same-seed duplicate clusters -> distance-0 pairs
     assert any(d == 0 for d in got.values())
+
+
+def test_failed_decodes_get_null_phash_not_sentinel(spark):
+    """Null blobs / corrupt payloads must yield NULL phash_recomputed —
+    a 0 sentinel would bucket every broken image into one fake
+    distance-0 near-dup cluster (round-4 review finding)."""
+    from sparkclean.images.decode import phash_near_duplicates
+
+    good = codec.encode(codec.synth_pixels(1, 32, 32), "png")
+    rows = [
+        ("ok_1", bytearray(good), 32, 32, "png", "c", 0),
+        ("ok_2", bytearray(good), 32, 32, "png", "c", 0),
+        ("null_1", None, 32, 32, "png", "c", 0),
+        ("null_2", None, 32, 32, "png", "c", 0),
+        ("corrupt_1", bytearray(b"SCPNG\x01\x00\x01\x00garbage"), 1, 1, "png", "c", 0),
+        ("corrupt_2", bytearray(b"nonsense"), 1, 1, "png", "c", 0),
+    ]
+    df = spark.createDataFrame(
+        rows, "image_id string, bytes binary, w int, h int, fmt string, caption string, phash long"
+    )
+    stats = decode_stats(df).cache()
+    got = {r["image_id"]: r["phash_recomputed"] for r in stats.collect()}
+    assert got["ok_1"] is not None and got["ok_1"] == got["ok_2"]
+    for bad in ("null_1", "null_2", "corrupt_1", "corrupt_2"):
+        assert got[bad] is None, bad
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in phash_near_duplicates(
+            stats, id_col="image_id", phash_col="phash_recomputed"
+        ).collect()
+    }
+    # only the identical good pair — no phantom cluster of broken images
+    assert pairs == {("ok_1", "ok_2")}
