@@ -237,3 +237,68 @@ def stateful_language_stats(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_exact_dedup(
+    stream_df: DataFrame,
+    text_col: str = "caption",
+    id_col: str = "image_id",
+    ttl_minutes: int | None = None,
+) -> DataFrame:
+    """First-seen exact dedup across an unbounded stream — the streaming
+    analog of ``dedup.exact.distinct_by_fingerprint`` for incremental
+    corpus ingestion: a row whose normalized-text fingerprint appeared
+    in ANY earlier micro-batch is dropped; within a batch the smallest
+    id survives (the batch operator's tie-break).  Emits each surviving
+    row exactly once → append output mode.
+
+    State is one first-seen marker per distinct fingerprint, shuffled
+    once per batch on the fingerprint key.  Total state is linear in the
+    distinct corpus — intrinsic to streaming exact-dedup; at 10^12 rows
+    run the RocksDB state store, and when the retention contract allows
+    pass ``ttl_minutes`` (processing-time timeout) so fingerprints idle
+    longer than the TTL are evicted and dedup becomes
+    within-retention-window only.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from .text.tokenize import fingerprint_col
+
+    id_type = dict(stream_df.dtypes)[id_col]
+    out_schema = f"{id_col} {id_type}, fingerprint long"
+    state_schema = "seen boolean"
+    use_ttl = ttl_minutes is not None
+    ttl_ms = int(ttl_minutes * 60_000) if use_ttl else 0
+
+    def update(key, pdfs, state: GroupState):
+        if use_ttl and state.hasTimedOut:
+            state.remove()
+            return
+        seen = state.exists
+        first_id = None
+        for pdf in pdfs:
+            if len(pdf):
+                ids = pdf[id_col]
+                m = ids.min()
+                first_id = m if first_id is None else min(first_id, m)
+        state.update((True,))
+        if use_ttl:
+            state.setTimeoutDuration(ttl_ms)
+        if not seen and first_id is not None:
+            yield pd.DataFrame({id_col: [first_id], "fingerprint": [key[0]]})
+
+    fp = stream_df.select(
+        F.col(id_col), fingerprint_col(F.col(text_col)).alias("_fp")
+    )
+    return fp.groupBy(F.col("_fp")).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if use_ttl
+            else GroupStateTimeout.NoTimeout
+        ),
+    )

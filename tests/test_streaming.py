@@ -190,3 +190,51 @@ def test_windowed_event_counts_drops_late_data(spark, tmp_path):
     assert by_key[(10, "a")]["value_sum"] == 3.0
     # the 12:00/b window finalized once the watermark passed it
     assert (12, "b") in by_key and by_key[(12, "b")]["n_events"] == 1
+
+
+def test_streaming_exact_dedup_across_batches(spark, tmp_path):
+    """applyInPandasWithState first-seen dedup: a caption duplicated
+    across micro-batches survives only in the batch that saw it first,
+    within-batch duplicates keep the min id, and the surviving id set
+    equals the batch operator's (distinct_by_fingerprint)."""
+    from sparkclean.dedup.exact import distinct_by_fingerprint
+    from sparkclean.streaming import streaming_exact_dedup
+
+    src = tmp_path / "src"
+    b1 = spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, "unique one"), (3, "the quick  brown fox ")],
+        "doc_id: long, caption: string",
+    )
+    b2 = spark.createDataFrame(
+        [(10, "THE quick brown fox".lower()), (11, "unique two"), (12, "unique one")],
+        "doc_id: long, caption: string",
+    )
+    b1.coalesce(1).write.parquet(str(src / "f1"))
+    b2.coalesce(1).write.parquet(str(src / "f2"))
+
+    stream = (
+        spark.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*")
+    )
+    deduped = streaming_exact_dedup(stream, text_col="caption", id_col="doc_id")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("stream_dedup")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_dedup"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {r["doc_id"] for r in spark.sql("SELECT doc_id FROM stream_dedup").collect()}
+
+    static = b1.unionByName(b2)
+    truth = {
+        r["doc_id"]
+        for r in distinct_by_fingerprint(static, "caption", "doc_id").collect()
+    }
+    assert got == truth
+    # the cross-batch duplicate (10) and within-batch whitespace dup (3)
+    # and the batch-2 repeat of "unique one" (12) are all dropped
+    assert got == {1, 2, 11}
