@@ -51,6 +51,7 @@ _GATE_COST = {
     "perplexity": 0.5, "regression_residual": 0.5, "underperforming_group": 0.5,
     "cleanlearning_issue_frame": 0.6, "objectlab_scores": 0.6,
     "phash_near_duplicates": 0.6, "regression_cleanlearning": 0.6,
+    "phash_near_duplicate_clusters": 2.0,
     "identifier_column": 0.9, "segmentation_issues_for_class": 0.9,
     "segmentation_label_issues": 0.9, "cv_self_confidence": 1.0,
     "knn_bruteforce": 1.0, "majority_vote": 1.0, "simhash_candidate_pairs": 1.1,
@@ -1168,6 +1169,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             docs, "doc_id", "phash", max_distance=3, block_bits=16
         )
 
+    def phash_near_duplicate_clusters(spark, sf):
+        # keep-one-per-cluster dedup: connected components (pointer
+        # jumping) over the verified hamming pairs; singletons keep
+        # themselves (dedup/hamming.py:hamming_clusters)
+        docs = _docs(spark, sf).select(
+            "doc_id", _synthetic_phash(F.col("doc_id")).alias("phash")
+        )
+        return dedup_hamming.hamming_clusters(
+            docs, "doc_id", "phash", max_distance=3, block_bits=16
+        )
+
     def caption_quality_pipeline(spark, sf):
         return pl.run_caption_quality(_docs(spark, sf), id_col="doc_id", text_col="text")
 
@@ -1675,6 +1687,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         simhash_fingerprints=simhash_fingerprints,
         simhash_candidate_pairs=simhash_candidate_pairs,
         phash_near_duplicates=phash_near_duplicates,
+        phash_near_duplicate_clusters=phash_near_duplicate_clusters,
         caption_quality_pipeline=caption_quality_pipeline,
         knn_bruteforce=knn_bruteforce,
         embedding_near_duplicates=embedding_near_duplicates,
@@ -2756,6 +2769,9 @@ FROM documents"""
     o["simhash_candidate_pairs"] = dedup_simhash.simhash_candidate_pairs_sql("documents")
     _ph_tab, _ph_expr = _synphash_oracle_args("documents", "doc_id")
     o["phash_near_duplicates"] = dedup_hamming.hamming_pairs_sql(
+        _ph_tab, "doc_id", _ph_expr, max_distance=3, block_bits=16
+    )
+    o["phash_near_duplicate_clusters"] = dedup_hamming.hamming_clusters_sql(
         _ph_tab, "doc_id", _ph_expr, max_distance=3, block_bits=16
     )
     o["caption_quality_pipeline"] = pl.oracle_sql_for("documents", "doc_id", "text")

@@ -141,17 +141,18 @@ def hamming_pairs(
     )
 
 
-def hamming_pairs_sql(
+def _pairs_ctes(
     table: str,
     id_col: str,
     hash_expr: str,
-    max_distance: int = 3,
-    bits: int = 64,
-    block_bits: int = 16,
-    n_perms: int = 1,
+    max_distance: int,
+    bits: int,
+    block_bits: int,
+    n_perms: int,
 ) -> str:
-    """DuckDB twin of :func:`hamming_pairs` (same keys, same verify;
-    ``hash_expr`` must evaluate to the identical BIGINT fingerprint)."""
+    """Shared CTE chain ending in ``vpairs(id_a, id_b, hamming)`` — the
+    verified pair set both :func:`hamming_pairs_sql` and
+    :func:`hamming_clusters_sql` select from."""
     nblocks = _check_blocks(bits, block_bits)
     mask = (1 << block_bits) - 1
     rows = []
@@ -163,8 +164,7 @@ def hamming_pairs_sql(
                 f"((({hr}) >> {b * block_bits}) & {mask})::VARCHAR AS _key FROM hsrc"
             )
     blocks = "\n  UNION ALL\n".join(rows)
-    return f"""
-WITH hsrc AS MATERIALIZED (SELECT {id_col} AS _id, {hash_expr} AS _h FROM {table}
+    return f"""hsrc AS MATERIALIZED (SELECT {id_col} AS _id, {hash_expr} AS _h FROM {table}
   WHERE ({hash_expr}) IS NOT NULL),
 hkeys AS (
 {blocks}
@@ -172,6 +172,139 @@ hkeys AS (
 hpairs AS (
   SELECT DISTINCT l._id AS id_a, r._id AS id_b, l._h AS h_a, r._h AS h_b
   FROM hkeys l JOIN hkeys r ON l._key = r._key AND l._id < r._id
-)
-SELECT id_a, id_b, bit_count(xor(h_a, h_b))::INT AS hamming
-FROM hpairs WHERE bit_count(xor(h_a, h_b)) <= {max_distance}"""
+),
+vpairs AS MATERIALIZED (
+  SELECT id_a, id_b, bit_count(xor(h_a, h_b))::INT AS hamming
+  FROM hpairs WHERE bit_count(xor(h_a, h_b)) <= {max_distance}
+)"""
+
+
+def hamming_pairs_sql(
+    table: str,
+    id_col: str,
+    hash_expr: str,
+    max_distance: int = 3,
+    bits: int = 64,
+    block_bits: int = 16,
+    n_perms: int = 1,
+) -> str:
+    """DuckDB twin of :func:`hamming_pairs` (same keys, same verify;
+    ``hash_expr`` must evaluate to the identical BIGINT fingerprint)."""
+    ctes = _pairs_ctes(table, id_col, hash_expr, max_distance, bits, block_bits, n_perms)
+    return f"""
+WITH {ctes}
+SELECT id_a, id_b, hamming FROM vpairs"""
+
+
+def hamming_clusters(
+    df: DataFrame,
+    id_col: str,
+    hash_col: str,
+    max_distance: int = 3,
+    bits: int = 64,
+    block_bits: int = 16,
+    n_perms: int = 1,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Near-duplicate CLUSTERS: connected components over the verified
+    :func:`hamming_pairs` graph — the "keep one representative per
+    near-dup cluster" shape a training pipeline actually applies
+    (``WHERE id = cluster_rep`` after this).  Returns
+    ``(id, cluster_rep, cluster_size)`` for every input row; singletons
+    keep themselves (size 1).
+
+    Components resolve by min-label propagation + pointer jumping over
+    only the PAIRED nodes (each round: one equi-join + groupBy + a
+    self-join jump, lineage truncated by lazy localCheckpoint,
+    O(log diameter) rounds).  Labels only ever decrease, so convergence
+    is a narrow count of changed rows carried as a column — no extra
+    join, and it works for string ids where a numeric-sum check cannot.
+    """
+    pairs = hamming_pairs(
+        df, id_col, hash_col, max_distance, bits, block_bits, n_perms
+    ).select("id_a", "id_b")
+    edges = pairs.unionByName(
+        pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+    ).persist()
+    touched = edges.select(F.col("id_a").alias("id")).distinct()
+    comp = touched.withColumn("comp", F.col("id")).localCheckpoint(eager=False)
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(comp.select(F.col("id").alias("id_b"), "comp"), "id_b")
+            .groupBy(F.col("id_a").alias("id"))
+            .agg(F.min("comp").alias("_nc"))
+        )
+        stepped = (
+            comp.join(nbr_min, "id", "left")
+            .select(
+                "id",
+                F.col("comp").alias("_prev"),
+                F.least(F.col("comp"), F.coalesce("_nc", "comp")).alias("comp"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        jumped = (
+            stepped.alias("a")
+            .join(
+                stepped.select(
+                    F.col("id").alias("comp"), F.col("comp").alias("_root")
+                ).alias("b"),
+                "comp",
+                "left",
+            )
+            .select("id", "_prev", F.coalesce("_root", "comp").alias("comp"))
+            .localCheckpoint(eager=False)
+        )
+        changed = (
+            jumped.agg(F.count(F.when(F.col("comp") != F.col("_prev"), 1))).collect()[0][0]
+        )
+        comp = jumped.drop("_prev")
+        if changed == 0:
+            break
+    nodes = df.select(F.col(id_col).alias("id"))
+    asg = nodes.join(comp, "id", "left").select(
+        "id", F.coalesce("comp", F.col("id")).alias("cluster_rep")
+    )
+    sizes = asg.groupBy("cluster_rep").agg(F.count(F.lit(1)).alias("cluster_size"))
+    out = asg.join(sizes, "cluster_rep").select(
+        F.col("id").alias(id_col), "cluster_rep", "cluster_size"
+    )
+    # edges stays persisted until the caller's next clearCache — the
+    # returned frame reads it lazily (same contract as knn_edges)
+    return out
+
+
+def hamming_clusters_sql(
+    table: str,
+    id_col: str,
+    hash_expr: str,
+    max_distance: int = 3,
+    bits: int = 64,
+    block_bits: int = 16,
+    n_perms: int = 1,
+) -> str:
+    """DuckDB twin of :func:`hamming_clusters`: recursive reachability
+    over the same verified pair set, component label = min reaching id
+    (fine at oracle scale; the Spark side pointer-jumps)."""
+    ctes = _pairs_ctes(table, id_col, hash_expr, max_distance, bits, block_bits, n_perms)
+    return f"""
+WITH RECURSIVE {ctes},
+hedges AS (
+  SELECT id_a AS src, id_b AS dst FROM vpairs
+  UNION
+  SELECT id_b, id_a FROM vpairs
+),
+hreach AS (
+  SELECT src AS id, src AS comp FROM hedges
+  UNION
+  SELECT e.dst AS id, r.comp FROM hreach r JOIN hedges e ON e.src = r.id
+),
+hcomp AS (SELECT id, min(comp) AS comp FROM hreach GROUP BY id),
+hall AS (SELECT {id_col} AS id FROM {table}),
+hasg AS (
+  SELECT a.id, coalesce(c.comp, a.id) AS cluster_rep
+  FROM hall a LEFT JOIN hcomp c USING (id)
+),
+hsizes AS (SELECT cluster_rep, count(*) AS cluster_size FROM hasg GROUP BY 1)
+SELECT id AS {id_col}, cluster_rep, cluster_size
+FROM hasg JOIN hsizes USING (cluster_rep)"""

@@ -307,3 +307,43 @@ def test_simhash_n_perms_superset(spark, dup_docs):
         ).collect()
     }
     assert base <= wide
+
+
+def test_hamming_clusters_vs_union_find(spark):
+    """hamming_clusters == brute-force union-find over the brute pair
+    set (exact config), with singletons kept at size 1 — and the
+    min-label convergence works for STRING ids (no numeric-sum check)."""
+    from sparkclean.dedup.hamming import hamming_clusters
+
+    hashes, _ = _rand_hashes(200, seed=23, planted_flips=3)
+    ids = [f"doc_{i:04d}" for i in range(len(hashes))]
+    df = spark.createDataFrame(
+        list(zip(ids, hashes)), "id: string, phash: long"
+    )
+    got = {
+        r["id"]: (r["cluster_rep"], r["cluster_size"])
+        for r in hamming_clusters(df, "id", "phash", max_distance=3).collect()
+    }
+
+    # union-find over brute pairs
+    parent = {i: i for i in range(len(hashes))}
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    for a, b in _brute_pairs(hashes, 3):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comps: dict[int, list[int]] = {}
+    for i in range(len(hashes)):
+        comps.setdefault(find(i), []).append(i)
+    exp = {}
+    for members in comps.values():
+        rep = ids[min(members)]
+        for m in members:
+            exp[ids[m]] = (rep, len(members))
+    assert got == exp
+    assert any(sz > 1 for _, sz in got.values())   # planted pairs clustered
+    assert any(sz == 1 for _, sz in got.values())  # singletons preserved
