@@ -341,3 +341,28 @@ def phash_near_duplicates(
         block_bits=block_bits,
         n_perms=n_perms,
     )
+
+
+def phash_near_duplicate_clusters(
+    df: DataFrame,
+    id_col: str = "image_id",
+    phash_col: str = "phash",
+    max_distance: int = 3,
+    block_bits: int = 16,
+    n_perms: int = 1,
+) -> DataFrame:
+    """Near-dup SETS on the perceptual hash — connected components over
+    :func:`phash_near_duplicates` pairs, the set semantics of the
+    reference's near_duplicate manager (duplicate.py:89-120 radius sets)
+    applied to phash space.  ``WHERE {id_col} = cluster_rep`` keeps one
+    image per cluster."""
+    from sparkclean.dedup.hamming import hamming_clusters
+
+    return hamming_clusters(
+        df,
+        id_col,
+        phash_col,
+        max_distance=max_distance,
+        block_bits=block_bits,
+        n_perms=n_perms,
+    )
