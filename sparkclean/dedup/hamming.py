@@ -261,6 +261,14 @@ def hamming_clusters(
         comp = jumped.drop("_prev")
         if changed == 0:
             break
+    else:
+        # partially-converged labels would SILENTLY split true components
+        # into plausible-looking clusters — fail loudly instead (pointer
+        # jumping needs ~log2(diameter) rounds; raise max_iter)
+        raise RuntimeError(
+            f"hamming_clusters did not converge in {max_iter} rounds "
+            f"({changed} labels still moving); raise max_iter"
+        )
     nodes = df.select(F.col(id_col).alias("id"))
     asg = nodes.join(comp, "id", "left").select(
         "id", F.coalesce("comp", F.col("id")).alias("cluster_rep")

@@ -245,28 +245,36 @@ def streaming_exact_dedup(
     id_col: str = "image_id",
     ttl_minutes: int | None = None,
 ) -> DataFrame:
-    """First-seen exact dedup across an unbounded stream — the streaming
+    """FIRST-SEEN exact dedup across an unbounded stream — the streaming
     analog of ``dedup.exact.distinct_by_fingerprint`` for incremental
     corpus ingestion: a row whose normalized-text fingerprint appeared
     in ANY earlier micro-batch is dropped; within a batch the smallest
     id survives (the batch operator's tie-break).  Emits each surviving
-    row exactly once → append output mode.
+    FULL ROW (plus its ``fingerprint``) exactly once → append mode.
+    Documented divergence from the batch operator: across batches the
+    FIRST-ARRIVED row wins, so the surviving-id sets agree with
+    distinct_by_fingerprint's global min-id only when ids are monotone
+    with arrival order — a stream cannot know a smaller id is still
+    coming.
 
     State is one first-seen marker per distinct fingerprint, shuffled
     once per batch on the fingerprint key.  Total state is linear in the
     distinct corpus — intrinsic to streaming exact-dedup; at 10^12 rows
     run the RocksDB state store, and when the retention contract allows
-    pass ``ttl_minutes`` (processing-time timeout) so fingerprints idle
-    longer than the TTL are evicted and dedup becomes
-    within-retention-window only.
+    pass ``ttl_minutes`` (processing-time timeout, > 0) so fingerprints
+    idle longer than the TTL are evicted and dedup becomes
+    within-retention-window only (the TTL is refreshed on every sighting
+    of the fingerprint, including duplicates).
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     from .text.tokenize import fingerprint_col
 
-    id_type = dict(stream_df.dtypes)[id_col]
-    out_schema = f"{id_col} {id_type}, fingerprint long"
+    if ttl_minutes is not None and ttl_minutes <= 0:
+        raise ValueError(f"ttl_minutes must be > 0 when set (got {ttl_minutes})")
+    cols = list(stream_df.columns)
+    out_schema = ", ".join(f"{c} {t}" for c, t in stream_df.dtypes) + ", fingerprint long"
     state_schema = "seen boolean"
     use_ttl = ttl_minutes is not None
     ttl_ms = int(ttl_minutes * 60_000) if use_ttl else 0
@@ -276,21 +284,25 @@ def streaming_exact_dedup(
             state.remove()
             return
         seen = state.exists
-        first_id = None
+        first_row = None
         for pdf in pdfs:
             if len(pdf):
-                ids = pdf[id_col]
-                m = ids.min()
-                first_id = m if first_id is None else min(first_id, m)
-        state.update((True,))
+                row = pdf.loc[[pdf[id_col].idxmin()], cols]
+                if first_row is None or row[id_col].iloc[0] < first_row[id_col].iloc[0]:
+                    first_row = row
+        if not seen:
+            # rewriting an already-True marker would be one needless
+            # state-store put per duplicate key per batch (except under
+            # TTL, where the put IS the timeout refresh)
+            state.update((True,))
         if use_ttl:
+            if seen:
+                state.update((True,))
             state.setTimeoutDuration(ttl_ms)
-        if not seen and first_id is not None:
-            yield pd.DataFrame({id_col: [first_id], "fingerprint": [key[0]]})
+        if not seen and first_row is not None:
+            yield first_row.assign(fingerprint=key[0])
 
-    fp = stream_df.select(
-        F.col(id_col), fingerprint_col(F.col(text_col)).alias("_fp")
-    )
+    fp = stream_df.withColumn("_fp", fingerprint_col(F.col(text_col)))
     return fp.groupBy(F.col("_fp")).applyInPandasWithState(
         update,
         outputStructType=out_schema,

@@ -227,14 +227,25 @@ def test_streaming_exact_dedup_across_batches(spark, tmp_path):
         .start()
     )
     q.awaitTermination(180)
-    got = {r["doc_id"] for r in spark.sql("SELECT doc_id FROM stream_dedup").collect()}
+    rows = spark.sql("SELECT * FROM stream_dedup").collect()
+    got = {r["doc_id"] for r in rows}
 
     static = b1.unionByName(b2)
     truth = {
         r["doc_id"]
         for r in distinct_by_fingerprint(static, "caption", "doc_id").collect()
     }
+    # ids here are monotone with arrival order, so first-seen == min-id
     assert got == truth
     # the cross-batch duplicate (10) and within-batch whitespace dup (3)
     # and the batch-2 repeat of "unique one" (12) are all dropped
     assert got == {1, 2, 11}
+    # full surviving rows are emitted, not just ids
+    caps = {r["doc_id"]: r["caption"] for r in rows}
+    assert caps[2] == "unique one" and caps[11] == "unique two"
+    assert all(r["fingerprint"] is not None for r in rows)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        streaming_exact_dedup(stream, text_col="caption", id_col="doc_id", ttl_minutes=0)
