@@ -51,7 +51,7 @@ _GATE_COST = {
     "perplexity": 0.5, "regression_residual": 0.5, "underperforming_group": 0.5,
     "cleanlearning_issue_frame": 0.6, "objectlab_scores": 0.6,
     "phash_near_duplicates": 0.6, "regression_cleanlearning": 0.6,
-    "phash_near_duplicate_clusters": 2.0,
+    "phash_near_duplicate_clusters": 2.0, "minhash_near_duplicate_clusters": 4.0,
     "identifier_column": 0.9, "segmentation_issues_for_class": 0.9,
     "segmentation_label_issues": 0.9, "cv_self_confidence": 1.0,
     "knn_bruteforce": 1.0, "majority_vote": 1.0, "simhash_candidate_pairs": 1.1,
@@ -1144,6 +1144,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def minhash_near_duplicates(spark, sf):
         return dedup_minhash.near_duplicate_pairs(_docs(spark, sf), "text", "doc_id", 0.8)
 
+    def minhash_near_duplicate_clusters(spark, sf):
+        # keep-one-per-cluster text dedup: shared pointer-jumping
+        # components (sparkclean/graph.py) over the verified minhash
+        # pair graph
+        return dedup_minhash.near_duplicate_clusters(
+            _docs(spark, sf), "text", "doc_id", 0.8
+        )
+
     def simhash_candidate_pairs(spark, sf):
         # 16-bit-half blocked simhash near-dup candidates + popcount verify
         return dedup_simhash.simhash_candidate_pairs(_docs(spark, sf))
@@ -1684,6 +1692,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         scrub_text=scrub_text,
         exact_duplicates=exact_duplicates,
         minhash_near_duplicates=minhash_near_duplicates,
+        minhash_near_duplicate_clusters=minhash_near_duplicate_clusters,
         simhash_fingerprints=simhash_fingerprints,
         simhash_candidate_pairs=simhash_candidate_pairs,
         phash_near_duplicates=phash_near_duplicates,
@@ -2761,6 +2770,9 @@ FROM documents"""
     o["scrub_text"] = f"SELECT doc_id, {t_scrub.scrub_sql('text')} AS scrubbed FROM documents"
     o["exact_duplicates"] = dedup_exact.exact_duplicates_sql("documents", "text", "doc_id")
     o["minhash_near_duplicates"] = dedup_minhash.near_duplicate_pairs_sql(
+        "documents", "text", "doc_id", 0.8
+    )
+    o["minhash_near_duplicate_clusters"] = dedup_minhash.near_duplicate_clusters_sql(
         "documents", "text", "doc_id", 0.8
     )
     o["simhash_fingerprints"] = (

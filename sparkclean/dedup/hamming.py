@@ -213,73 +213,20 @@ def hamming_clusters(
     ``(id, cluster_rep, cluster_size)`` for every input row; singletons
     keep themselves (size 1).
 
-    Components resolve by min-label propagation + pointer jumping over
-    only the PAIRED nodes (each round: one equi-join + groupBy + a
-    self-join jump, lineage truncated by lazy localCheckpoint,
-    O(log diameter) rounds).  Labels only ever decrease, so convergence
-    is a narrow count of changed rows carried as a column — no extra
-    join, and it works for string ids where a numeric-sum check cannot.
+    Components resolve via the shared pair-graph primitive
+    (:func:`sparkclean.graph.components_from_pairs`): min-label
+    propagation + pointer jumping over only the PAIRED nodes, changed-row
+    convergence (string-id-safe), raises on non-convergence.
     """
+    from ..graph import components_from_pairs
+
     pairs = hamming_pairs(
         df, id_col, hash_col, max_distance, bits, block_bits, n_perms
-    ).select("id_a", "id_b")
-    edges = pairs.unionByName(
-        pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
-    ).persist()
-    touched = edges.select(F.col("id_a").alias("id")).distinct()
-    comp = touched.withColumn("comp", F.col("id")).localCheckpoint(eager=False)
-    for _ in range(max_iter):
-        nbr_min = (
-            edges.join(comp.select(F.col("id").alias("id_b"), "comp"), "id_b")
-            .groupBy(F.col("id_a").alias("id"))
-            .agg(F.min("comp").alias("_nc"))
-        )
-        stepped = (
-            comp.join(nbr_min, "id", "left")
-            .select(
-                "id",
-                F.col("comp").alias("_prev"),
-                F.least(F.col("comp"), F.coalesce("_nc", "comp")).alias("comp"),
-            )
-            .localCheckpoint(eager=False)
-        )
-        jumped = (
-            stepped.alias("a")
-            .join(
-                stepped.select(
-                    F.col("id").alias("comp"), F.col("comp").alias("_root")
-                ).alias("b"),
-                "comp",
-                "left",
-            )
-            .select("id", "_prev", F.coalesce("_root", "comp").alias("comp"))
-            .localCheckpoint(eager=False)
-        )
-        changed = (
-            jumped.agg(F.count(F.when(F.col("comp") != F.col("_prev"), 1))).collect()[0][0]
-        )
-        comp = jumped.drop("_prev")
-        if changed == 0:
-            break
-    else:
-        # partially-converged labels would SILENTLY split true components
-        # into plausible-looking clusters — fail loudly instead (pointer
-        # jumping needs ~log2(diameter) rounds; raise max_iter)
-        raise RuntimeError(
-            f"hamming_clusters did not converge in {max_iter} rounds "
-            f"({changed} labels still moving); raise max_iter"
-        )
-    nodes = df.select(F.col(id_col).alias("id"))
-    asg = nodes.join(comp, "id", "left").select(
-        "id", F.coalesce("comp", F.col("id")).alias("cluster_rep")
     )
-    sizes = asg.groupBy("cluster_rep").agg(F.count(F.lit(1)).alias("cluster_size"))
-    out = asg.join(sizes, "cluster_rep").select(
-        F.col("id").alias(id_col), "cluster_rep", "cluster_size"
+    out = components_from_pairs(
+        pairs, df.select(F.col(id_col).alias("id")), max_iter=max_iter
     )
-    # edges stays persisted until the caller's next clearCache — the
-    # returned frame reads it lazily (same contract as knn_edges)
-    return out
+    return out.withColumnRenamed("id", id_col)
 
 
 def hamming_clusters_sql(

@@ -214,3 +214,38 @@ WITH base AS (
 )
 SELECT id_a, id_b, round(jaccard, 6) AS jaccard FROM scored WHERE jaccard >= {threshold}
 """
+
+
+def near_duplicate_clusters(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Near-duplicate text CLUSTERS — connected components over the
+    verified :func:`near_duplicate_pairs` graph (the keep-one-per-cluster
+    shape: ``WHERE {id} = cluster_rep`` after this).  Returns
+    ``(id, cluster_rep, cluster_size)`` for every input row; singletons
+    keep themselves at size 1.  Shares the pointer-jumping component
+    primitive with the hamming/phash path
+    (:func:`sparkclean.graph.components_from_pairs`)."""
+    from ..graph import components_from_pairs
+
+    pairs = near_duplicate_pairs(df, text_col, id_col, threshold)
+    out = components_from_pairs(
+        pairs, df.select(F.col(id_col).alias("id")), max_iter=max_iter
+    )
+    return out.withColumnRenamed("id", id_col)
+
+
+def near_duplicate_clusters_sql(
+    table: str, text_col: str = "text", id_col: str = "doc_id", threshold: float = 0.8
+) -> str:
+    """DuckDB twin of :func:`near_duplicate_clusters` — the pair query
+    nests as a CTE body under the shared recursive-components wrapper."""
+    from ..graph import components_sql
+
+    return components_sql(
+        near_duplicate_pairs_sql(table, text_col, id_col, threshold), table, id_col
+    )

@@ -347,3 +347,48 @@ def test_hamming_clusters_vs_union_find(spark):
     assert got == exp
     assert any(sz > 1 for _, sz in got.values())   # planted pairs clustered
     assert any(sz == 1 for _, sz in got.values())  # singletons preserved
+
+
+def test_minhash_near_duplicate_clusters(spark, dup_docs):
+    """Text keep-one-per-cluster == union-find over the operator's own
+    verified pair set (transitive closure, min-id rep, singleton
+    preservation).  At threshold 0.8 the planted exact cluster
+    {100,101,102,103} stays together and the unrelated doc is a
+    singleton (the one-word variant 110 falls below 0.8 — jaccard ~0.6
+    — and the sliding-window docs only chain mod-14)."""
+    out = {
+        r["doc_id"]: (r["cluster_rep"], r["cluster_size"])
+        for r in d_minhash.near_duplicate_clusters(
+            dup_docs, "text", "doc_id", threshold=0.8
+        ).collect()
+    }
+    assert len(out) == dup_docs.count()
+
+    pairs = [
+        (r["id_a"], r["id_b"])
+        for r in d_minhash.near_duplicate_pairs(
+            dup_docs, "text", "doc_id", threshold=0.8
+        ).collect()
+    ]
+    ids = sorted(out)
+    parent = {i: i for i in ids}
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comps: dict[int, list[int]] = {}
+    for i in ids:
+        comps.setdefault(find(i), []).append(i)
+    exp = {}
+    for members in comps.values():
+        rep = min(members)
+        for m in members:
+            exp[m] = (rep, len(members))
+    assert out == exp
+    assert out[100] == (100, 4) and out[103] == (100, 4)
+    assert out[110] == (110, 1) and out[120] == (120, 1)
