@@ -52,6 +52,7 @@ _GATE_COST = {
     "cleanlearning_issue_frame": 0.6, "objectlab_scores": 0.6,
     "phash_near_duplicates": 0.6, "regression_cleanlearning": 0.6,
     "phash_near_duplicate_clusters": 2.0, "minhash_near_duplicate_clusters": 4.0,
+    "embedding_near_duplicate_clusters": 4.5,
     "identifier_column": 0.9, "segmentation_issues_for_class": 0.9,
     "segmentation_label_issues": 0.9, "cv_self_confidence": 1.0,
     "knn_bruteforce": 1.0, "majority_vote": 1.0, "simhash_candidate_pairs": 1.1,
@@ -1199,6 +1200,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def embedding_near_duplicates(spark, sf):
         return sim_knn.embedding_near_duplicates(_emb(spark, sf), threshold=0.9)
 
+    def embedding_near_duplicate_clusters(spark, sf):
+        # keep-one-per-cluster embedding dedup: shared pointer-jumping
+        # components over the verified cosine>=0.9 pair graph
+        return sim_knn.embedding_near_duplicate_clusters(_emb(spark, sf), threshold=0.9)
+
     def knn_lsh_topk(spark, sf):
         # lsh_topk wired end-to-end: OR-of-bands SRP blocking, broadcast
         # query side, equi-join on (band, bucket) (sim/knn.py:lsh_topk)
@@ -1700,6 +1706,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         caption_quality_pipeline=caption_quality_pipeline,
         knn_bruteforce=knn_bruteforce,
         embedding_near_duplicates=embedding_near_duplicates,
+        embedding_near_duplicate_clusters=embedding_near_duplicate_clusters,
         knn_lsh_topk=knn_lsh_topk,
         knn_ivf_topk=knn_ivf_topk,
         identifier_column=identifier_column,
@@ -2789,6 +2796,9 @@ FROM documents"""
     o["caption_quality_pipeline"] = pl.oracle_sql_for("documents", "doc_id", "text")
     o["knn_bruteforce"] = sim_knn.cosine_topk_sql("embeddings", "vec_id < 20", k=5)
     o["embedding_near_duplicates"] = sim_knn.embedding_near_duplicates_sql(
+        "embeddings", threshold=0.9
+    )
+    o["embedding_near_duplicate_clusters"] = sim_knn.embedding_near_duplicate_clusters_sql(
         "embeddings", threshold=0.9
     )
     o["knn_lsh_topk"] = sim_knn.lsh_topk_sql("embeddings", "vec_id < 20", dim=64, k=5)

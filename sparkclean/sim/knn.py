@@ -593,3 +593,48 @@ brows AS MATERIALIZED (
 SELECT c.qid AS id_a, c.nid AS id_b, round({cos}, 6) AS cosine
 FROM cand c JOIN vrows q ON q._id = c.qid JOIN vrows n ON n._id = c.nid
 WHERE {cos} >= {threshold}"""
+
+
+def embedding_near_duplicate_clusters(
+    df: DataFrame,
+    threshold: float = 0.99,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str = "label",
+    dim: int | None = None,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Embedding near-dup CLUSTERS — connected components over the
+    verified :func:`embedding_near_duplicates` pair graph, the
+    keep-one-per-cluster dedup shape shared with the text/phash paths
+    (:func:`sparkclean.graph.components_from_pairs`).  Returns
+    ``(id, cluster_rep, cluster_size)`` for every input row."""
+    from ..graph import components_from_pairs
+
+    pairs = embedding_near_duplicates(
+        df, threshold, id_col, vec_col, block_col, dim
+    )
+    out = components_from_pairs(
+        pairs, df.select(F.col(id_col).alias("id")), max_iter=max_iter
+    )
+    return out.withColumnRenamed("id", id_col)
+
+
+def embedding_near_duplicate_clusters_sql(
+    table: str,
+    threshold: float = 0.99,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str = "label",
+    dim: int = 64,
+) -> str:
+    """DuckDB twin of :func:`embedding_near_duplicate_clusters`."""
+    from ..graph import components_sql
+
+    return components_sql(
+        embedding_near_duplicates_sql(
+            table, threshold, id_col, vec_col, block_col, dim
+        ),
+        table,
+        id_col,
+    )

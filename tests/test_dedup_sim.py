@@ -392,3 +392,44 @@ def test_minhash_near_duplicate_clusters(spark, dup_docs):
     assert out == exp
     assert out[100] == (100, 4) and out[103] == (100, 4)
     assert out[110] == (110, 1) and out[120] == (120, 1)
+
+
+def test_embedding_near_duplicate_clusters(spark, vectors):
+    """Embedding keep-one-per-cluster == union-find over the operator's
+    own verified pair set (the gate table has no >=0.9 pairs, so this
+    planted-cluster fixture is the real coverage for the embedding
+    cluster path)."""
+    out = {
+        r["vec_id"]: (r["cluster_rep"], r["cluster_size"])
+        for r in s_knn.embedding_near_duplicate_clusters(
+            vectors, threshold=0.995, block_col="label"
+        ).collect()
+    }
+    assert len(out) == vectors.count()
+    pairs = [
+        (r["id_a"], r["id_b"])
+        for r in s_knn.embedding_near_duplicates(
+            vectors, threshold=0.995, block_col="label"
+        ).collect()
+    ]
+    assert pairs  # fixture plants same-cluster near-dups
+    parent = {i: i for i in out}
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comps: dict[int, list[int]] = {}
+    for i in out:
+        comps.setdefault(find(i), []).append(i)
+    exp = {}
+    for members in comps.values():
+        rep = min(members)
+        for m in members:
+            exp[m] = (rep, len(members))
+    assert out == exp
+    assert any(sz > 1 for _, sz in out.values())
