@@ -433,3 +433,29 @@ def test_embedding_near_duplicate_clusters(spark, vectors):
             exp[m] = (rep, len(members))
     assert out == exp
     assert any(sz > 1 for _, sz in out.values())
+
+
+def test_cluster_operators_plan_shape(spark, dup_docs, vectors):
+    """No CartesianProduct in any cluster-dedup plan: candidates flow
+    through blocked/banded equi-joins and the component loop is
+    equi-join + agg rounds (PLANS.md §8)."""
+    from sparkclean.dedup.hamming import hamming_clusters
+
+    frames = {
+        "minhash_clusters": d_minhash.near_duplicate_clusters(
+            dup_docs, "text", "doc_id", threshold=0.8
+        ),
+        "hamming_clusters": hamming_clusters(
+            dup_docs.select(
+                "doc_id", F.xxhash64(F.col("text")).alias("ph")
+            ),
+            "doc_id",
+            "ph",
+        ),
+        "embedding_clusters": s_knn.embedding_near_duplicate_clusters(
+            vectors, threshold=0.995, block_col="label"
+        ),
+    }
+    for name, df in frames.items():
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, f"{name} plan has a cartesian product"
