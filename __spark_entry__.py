@@ -51,8 +51,8 @@ _GATE_COST = {
     "perplexity": 0.5, "regression_residual": 0.5, "underperforming_group": 0.5,
     "cleanlearning_issue_frame": 0.6, "objectlab_scores": 0.6,
     "phash_near_duplicates": 0.6, "regression_cleanlearning": 0.6,
-    "phash_near_duplicate_clusters": 2.0, "minhash_near_duplicate_clusters": 4.0,
-    "embedding_near_duplicate_clusters": 4.5,
+    "phash_near_duplicate_clusters": 2.5, "minhash_near_duplicate_clusters": 2.8,
+    "embedding_near_duplicate_clusters": 2.8,
     "identifier_column": 0.9, "segmentation_issues_for_class": 0.9,
     "segmentation_label_issues": 0.9, "cv_self_confidence": 1.0,
     "knn_bruteforce": 1.0, "majority_vote": 1.0, "simhash_candidate_pairs": 1.1,
