@@ -99,6 +99,40 @@ def run(sf_dir: str, cpus: int, image_n: int, include_headline: bool = True) -> 
         spark.catalog.clearCache()
     timings["image_pipeline"] = round(image_secs, 3)
 
+    # VM-speed canary: the decode/stats kernel over a fixed 3000-row
+    # corpus sample, single-threaded, best-of-two.  The kernel is
+    # deterministic and was unchanged across runs where this probe read
+    # 1950 vs 1270 rows/s (BENCH.md round-4 notes) — this VM has
+    # multi-ten-minute ~1.5x degraded epochs, so the probe calibrates
+    # every recorded bench number: compare probes before comparing
+    # suites.
+    probe = None
+    try:
+        import glob as _glob
+
+        import pandas as _pd
+        import pyarrow.parquet as _pq
+
+        from sparkclean.images.decode import _stats_for_batch
+
+        dfs, got = [], 0
+        for f in sorted(_glob.glob(os.path.join(corpus_path, "*.parquet"))):
+            t = _pq.read_table(f)
+            dfs.append(t.to_pandas())
+            got += len(t)
+            if got >= 3000:
+                break
+        sample = _pd.concat(dfs).head(3000)
+        _stats_for_batch(sample)  # warm
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            _stats_for_batch(sample)
+            best = min(best, time.time() - t0)
+        probe = round(len(sample) / best, 0)
+    except Exception:
+        pass
+
     total = round(sum(timings.values()), 3)
     result = {
         "metric": "headline suite wall time (keep-drop+scrub incl. image decode)",
@@ -110,6 +144,7 @@ def run(sf_dir: str, cpus: int, image_n: int, include_headline: bool = True) -> 
         "image_n": image_n,
         "cpus": cpus,
         "knn_rescue_rows": rescue_count if include_headline else None,
+        "vm_probe_rows_per_sec": probe,
     }
     spark.stop()
     return result
