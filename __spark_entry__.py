@@ -36,6 +36,7 @@ from sparkclean.text import ppl as t_ppl
 from sparkclean.text import rules as t_rules
 from sparkclean.text import scrub as t_scrub
 from sparkclean.text import tokenize as t_tok
+from sparkclean.text import winnow as t_winnow
 
 K = 10  # embeddings table: label in 0..9, pred_probs derived K=10
 
@@ -49,6 +50,7 @@ _GATE_COST = {
     "exact_duplicates": 0.4, "softmin_token_scores": 0.4,
     "multilabel_ema_scores": 0.5, "normalized_margin_adjusted": 0.5,
     "perplexity": 0.5, "regression_residual": 0.5, "underperforming_group": 0.5,
+    "winnow_fingerprints": 3.3, "winnow_near_duplicates": 5.0,
     "cleanlearning_issue_frame": 0.6, "objectlab_scores": 0.6,
     "phash_near_duplicates": 0.6, "regression_cleanlearning": 0.6,
     "phash_near_duplicate_clusters": 2.5, "minhash_near_duplicate_clusters": 2.8,
@@ -1134,6 +1136,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             t_tok.fingerprint_col(F.col("text")).alias("fingerprint"),
         )
 
+    def winnow_fingerprints(spark, sf):
+        # MOSS-style winnowing: char-5-gram polynomial hashes, window-4
+        # minima, distinct per doc (text/winnow.py)
+        return t_winnow.winnow_fingerprints(_docs(spark, sf))
+
+    def winnow_near_duplicates(spark, sf):
+        # fingerprint-join near-dup pairs; stop-fingerprints (df>20)
+        # dropped before the join on both twin sides
+        return t_winnow.winnow_near_duplicates(_docs(spark, sf))
+
     def scrub_text(spark, sf):
         return _docs(spark, sf).select(
             "doc_id", t_scrub.scrub_col(F.col("text")).alias("scrubbed")
@@ -1695,6 +1707,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         langid_markers=langid_markers,
         perplexity=perplexity,
         token_stats=token_stats,
+        winnow_fingerprints=winnow_fingerprints,
+        winnow_near_duplicates=winnow_near_duplicates,
         scrub_text=scrub_text,
         exact_duplicates=exact_duplicates,
         minhash_near_duplicates=minhash_near_duplicates,
@@ -2774,6 +2788,8 @@ SELECT doc_id, {t_tok.ws_token_count_sql('text')} AS ws_tokens,
        {t_tok.bpe_token_count_sql('text')} AS bpe_tokens,
        {t_tok.fingerprint_sql('text')} AS fingerprint
 FROM documents"""
+    o["winnow_fingerprints"] = t_winnow.winnow_fingerprints_sql("documents")
+    o["winnow_near_duplicates"] = t_winnow.winnow_near_duplicates_sql("documents")
     o["scrub_text"] = f"SELECT doc_id, {t_scrub.scrub_sql('text')} AS scrubbed FROM documents"
     o["exact_duplicates"] = dedup_exact.exact_duplicates_sql("documents", "text", "doc_id")
     o["minhash_near_duplicates"] = dedup_minhash.near_duplicate_pairs_sql(
