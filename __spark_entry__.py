@@ -50,7 +50,7 @@ _GATE_COST = {
     "exact_duplicates": 0.4, "softmin_token_scores": 0.4,
     "multilabel_ema_scores": 0.5, "normalized_margin_adjusted": 0.5,
     "perplexity": 0.5, "regression_residual": 0.5, "underperforming_group": 0.5,
-    "winnow_fingerprints": 3.3, "winnow_near_duplicates": 5.0,
+    "winnow_fingerprints": 2.6, "winnow_near_duplicates": 3.2,
     "cleanlearning_issue_frame": 0.6, "objectlab_scores": 0.6,
     "phash_near_duplicates": 0.6, "regression_cleanlearning": 0.6,
     "phash_near_duplicate_clusters": 2.5, "minhash_near_duplicate_clusters": 2.8,

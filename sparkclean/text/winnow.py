@@ -102,10 +102,21 @@ def winnow_from_hashes(hs: Column) -> Column:
 
 
 def winnow_fingerprints(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    use_arrow: bool = True,
 ) -> DataFrame:
     """(id, fp) — one row per distinct selected fingerprint per document.
     Documents whose normalised text is shorter than K chars emit no rows.
+
+    ``use_arrow=True`` (default, and the production path) computes the
+    fingerprint arrays in the vectorised batch kernel — one Arrow
+    transfer per batch instead of ~10 interpreted-HOF ops per char; the
+    Catalyst route (``use_arrow=False``) is the pure-JVM twin kept for
+    oracle-parity tests, same pattern as dedup.simhash.  Both are
+    value-identical (test-pinned) on ASCII-lowerable text such as the
+    gate corpus.
 
     Each intermediate (norm / codes / hashes) is materialised as its own
     projection and referenced more than once downstream, so Catalyst's
@@ -122,6 +133,11 @@ def winnow_fingerprints(
     their array inputs per element, measured as a >100 s hang on 50
     small documents.  A filter on ``fp`` cannot be pushed below the
     Generate, so the layered projections survive."""
+    if use_arrow:
+        fps = with_winnow_fps(df, text_col, "_wn_fps")
+        return fps.select(
+            F.col(id_col).alias("id"), F.explode_outer("_wn_fps").alias("fp")
+        ).where(F.col("fp").isNotNull())
     base = (
         df.withColumn("_wn_norm", norm_col(F.col(text_col)))
         .where(F.length("_wn_norm") >= WINNOW_K)
@@ -169,6 +185,7 @@ def winnow_near_duplicates(
     id_col: str = "doc_id",
     threshold: float = 0.5,
     max_df: int = 20,
+    use_arrow: bool = True,
 ) -> DataFrame:
     """(id_a, id_b, winnow_jaccard) for pairs whose retained-fingerprint
     Jaccard >= threshold.
@@ -177,11 +194,20 @@ def winnow_near_duplicates(
     dropped BEFORE the self-join (they are boilerplate AND the join-key
     hot spots); the join then carries only (id, fp) longs, the pair
     aggregation is one groupBy, and per-doc retained counts ride a
-    K-free second aggregate joined back by id.  No all-pairs stage."""
-    fps = winnow_fingerprints(df, text_col, id_col)
+    K-free second aggregate joined back by id.  No all-pairs stage.
+
+    ``kept`` (the post-max_df shrunk edge list) feeds three consumers
+    (sizes + both join sides), so it is persisted — the shrink-first-
+    then-persist-the-small-result rule; the wide fps chain upstream is
+    evaluated once."""
+    fps = winnow_fingerprints(df, text_col, id_col, use_arrow=use_arrow)
     # document frequency per fingerprint; keep only the cool ones
     dfreq = fps.groupBy("fp").agg(F.count("*").alias("_df"))
-    kept = fps.join(dfreq.where(F.col("_df") <= max_df).select("fp"), "fp")
+    kept = fps.join(
+        F.broadcast(dfreq.where(F.col("_df") > max_df).select("fp")),
+        "fp",
+        "left_anti",
+    ).persist()
     sizes = kept.groupBy("id").agg(F.count("*").alias("_n"))
     shared = (
         kept.select(F.col("id").alias("id_a"), "fp")

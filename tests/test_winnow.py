@@ -28,21 +28,24 @@ def _docs_df(spark):
 
 
 def test_spark_matches_duckdb(spark):
-    got = {
-        (r["id"], r["fp"])
-        for r in W.winnow_fingerprints(_docs_df(spark)).collect()
-    }
     con = duckdb.connect()
     con.execute(
         "CREATE TABLE documents (doc_id BIGINT, text VARCHAR)"
     )
     con.executemany("INSERT INTO documents VALUES (?, ?)", DOCS)
     want = {tuple(r) for r in con.sql(W.winnow_fingerprints_sql("documents")).fetchall()}
-    assert got == want and len(got) > 0
+    for use_arrow in (True, False):  # production Arrow route AND Catalyst twin
+        got = {
+            (r["id"], r["fp"])
+            for r in W.winnow_fingerprints(
+                _docs_df(spark), use_arrow=use_arrow
+            ).collect()
+        }
+        assert got == want and len(got) > 0, f"use_arrow={use_arrow}"
 
 
 def test_python_kernels_match_catalyst(spark):
-    rows = W.winnow_fingerprints(_docs_df(spark)).collect()
+    rows = W.winnow_fingerprints(_docs_df(spark), use_arrow=False).collect()
     by_id = {}
     for r in rows:
         by_id.setdefault(r["id"], []).append(r["fp"])
@@ -130,7 +133,7 @@ def test_plan_has_no_reinlined_chain_and_no_cartesian(spark):
     docs).  The explode_outer form keeps ONE regexp_replace per layer."""
     df = _docs_df(spark)
     plan = (
-        W.winnow_fingerprints(df)
+        W.winnow_fingerprints(df, use_arrow=False)
         ._jdf.queryExecution()
         .optimizedPlan()
         .toString()
