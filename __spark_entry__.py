@@ -51,6 +51,7 @@ _GATE_COST = {
     "multilabel_ema_scores": 0.5, "normalized_margin_adjusted": 0.5,
     "perplexity": 0.5, "regression_residual": 0.5, "underperforming_group": 0.5,
     "winnow_fingerprints": 2.6, "winnow_near_duplicates": 3.2,
+    "winnow_near_duplicate_clusters": 4.5,
     "cleanlearning_issue_frame": 0.6, "objectlab_scores": 0.6,
     "phash_near_duplicates": 0.6, "regression_cleanlearning": 0.6,
     "phash_near_duplicate_clusters": 2.5, "minhash_near_duplicate_clusters": 2.8,
@@ -1167,6 +1168,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dropped before the join on both twin sides
         return t_winnow.winnow_near_duplicates(_docs(spark, sf))
 
+    def winnow_near_duplicate_clusters(spark, sf):
+        # fourth modality on the shared pointer-jumping component loop
+        return t_winnow.winnow_near_duplicate_clusters(_docs(spark, sf))
+
     def scrub_text(spark, sf):
         return _docs(spark, sf).select(
             "doc_id", t_scrub.scrub_col(F.col("text")).alias("scrubbed")
@@ -1730,6 +1735,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         token_stats=token_stats,
         winnow_fingerprints=winnow_fingerprints,
         winnow_near_duplicates=winnow_near_duplicates,
+        winnow_near_duplicate_clusters=winnow_near_duplicate_clusters,
         scrub_text=scrub_text,
         exact_duplicates=exact_duplicates,
         minhash_near_duplicates=minhash_near_duplicates,
@@ -2821,6 +2827,9 @@ SELECT doc_id, {t_tok.ws_token_count_sql('text')} AS ws_tokens,
 FROM documents"""
     o["winnow_fingerprints"] = t_winnow.winnow_fingerprints_sql("documents")
     o["winnow_near_duplicates"] = t_winnow.winnow_near_duplicates_sql("documents")
+    o["winnow_near_duplicate_clusters"] = t_winnow.winnow_near_duplicate_clusters_sql(
+        "documents"
+    )
     o["scrub_text"] = f"SELECT doc_id, {t_scrub.scrub_sql('text')} AS scrubbed FROM documents"
     o["exact_duplicates"] = dedup_exact.exact_duplicates_sql("documents", "text", "doc_id")
     o["minhash_near_duplicates"] = dedup_minhash.near_duplicate_pairs_sql(

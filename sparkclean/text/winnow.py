@@ -258,6 +258,47 @@ WHERE s::DOUBLE / (na.n + nb.n - s) >= {threshold}
 """
 
 
+def winnow_near_duplicate_clusters(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    max_df: int = 20,
+    max_iter: int = 20,
+    use_arrow: bool = True,
+) -> DataFrame:
+    """Keep-one-per-cluster over the winnow pair graph — fourth modality
+    on the shared pointer-jumping component primitive
+    (:func:`sparkclean.graph.components_from_pairs`), same output shape
+    as minhash/hamming/embedding clusters: ``(id, cluster_rep,
+    cluster_size)`` for every input row, singletons at size 1."""
+    from ..graph import components_from_pairs
+
+    pairs = winnow_near_duplicates(
+        df, text_col, id_col, threshold, max_df, use_arrow=use_arrow
+    )
+    out = components_from_pairs(
+        pairs, df.select(F.col(id_col).alias("id")), max_iter=max_iter
+    )
+    return out.withColumnRenamed("id", id_col)
+
+
+def winnow_near_duplicate_clusters_sql(
+    table: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    max_df: int = 20,
+) -> str:
+    from ..graph import components_sql
+
+    return components_sql(
+        winnow_near_duplicates_sql(table, text_col, id_col, threshold, max_df),
+        table,
+        id_col,
+    )
+
+
 # ------------------------------------------------- Arrow production path
 
 _NORM_RE = re.compile(r"[^a-z0-9]")

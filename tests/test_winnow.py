@@ -126,6 +126,49 @@ def test_near_duplicates_finds_planted_pair(spark):
     assert len(exact) == 1 and exact[0]["winnow_jaccard"] == pytest.approx(1.0)
 
 
+def test_winnow_clusters_vs_union_find(spark):
+    """winnow_near_duplicate_clusters == union-find over the operator's
+    own verified pair set (transitive closure, min-id rep, singletons
+    preserved)."""
+    df = _docs_df(spark)
+    out = {
+        r["doc_id"]: (r["cluster_rep"], r["cluster_size"])
+        for r in W.winnow_near_duplicate_clusters(
+            df, threshold=0.3, max_df=9
+        ).collect()
+    }
+    assert len(out) == df.count()
+    pairs = [
+        (r["id_a"], r["id_b"])
+        for r in W.winnow_near_duplicates(df, threshold=0.3, max_df=9).collect()
+    ]
+    assert pairs  # fixture plants at least the (0, 1) pair
+    ids = sorted(out)
+    parent = {i: i for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comps: dict[int, list[int]] = {}
+    for i in ids:
+        comps.setdefault(find(i), []).append(i)
+    exp = {}
+    for members in comps.values():
+        rep = min(members)
+        for m in members:
+            exp[m] = (rep, len(members))
+    assert out == exp
+    assert out[1] == (0, 2)  # planted near-dup pair clusters together
+    assert out[2] == (2, 1)  # unrelated doc stays a singleton
+
+
 def test_plan_has_no_reinlined_chain_and_no_cartesian(spark):
     """Guard the InferFiltersFromGenerate hazard: with a plain explode the
     inferred size()>0 filter pushes below every projection and re-inlines
