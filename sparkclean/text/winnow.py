@@ -201,10 +201,15 @@ def winnow_near_duplicates(
     then-persist-the-small-result rule; the wide fps chain upstream is
     evaluated once."""
     fps = winnow_fingerprints(df, text_col, id_col, use_arrow=use_arrow)
-    # document frequency per fingerprint; keep only the cool ones
+    # Document frequency per fingerprint; anti-join the hot set away.
+    # NO explicit broadcast hint: the hot set is tiny on curated corpora
+    # (AQE broadcasts it) but is NOT guaranteed driver-sized at 10^12
+    # rows — #hot is only bounded by total_occurrences/max_df — and a
+    # forced broadcast would OOM the driver exactly when the guard
+    # matters most; the shuffle anti-join on fp is the safe default.
     dfreq = fps.groupBy("fp").agg(F.count("*").alias("_df"))
     kept = fps.join(
-        F.broadcast(dfreq.where(F.col("_df") > max_df).select("fp")),
+        dfreq.where(F.col("_df") > max_df).select("fp"),
         "fp",
         "left_anti",
     ).persist()
@@ -325,10 +330,18 @@ def winnow_fps_py(text: str | None) -> list[int]:
     return sorted({int(x) for x in wins})
 
 
+_BATCH_PAD_CAP = 4096  # rows longer than this go to the per-row kernel
+
+
 def _winnow_batch(texts: pd.Series) -> pd.Series:
     """Batch kernel: padded 2-D codes matrix, K shifted-column adds for
     the polynomial hash, one sliding-window min — all vectorised across
-    the batch; only the final per-row unique is Python-side."""
+    the batch; only the final per-row unique is Python-side.
+
+    Rows longer than _BATCH_PAD_CAP are routed to the per-row kernel
+    instead: padding the whole batch to one outlier's length turns a
+    10k-row Arrow batch with a single 1 MB document into a ~10 GB
+    matrix, while a long row on its own amortises NumPy dispatch fine."""
     vals = texts.to_numpy(dtype=object)
     n = len(vals)
     if n == 0:
@@ -340,6 +353,19 @@ def _winnow_batch(texts: pd.Series) -> pd.Series:
         for t in vals
     ]
     lens = np.array([len(b) for b in norms], dtype=np.int64)
+    if int(lens.max()) > _BATCH_PAD_CAP:
+        long_rows = lens > _BATCH_PAD_CAP
+        out_all = np.empty(n, dtype=object)
+        short_idx = np.flatnonzero(~long_rows)
+        if short_idx.size:
+            short = _winnow_batch(
+                pd.Series([vals[i] for i in short_idx], dtype=object)
+            )
+            for k, i in enumerate(short_idx):
+                out_all[i] = short.iloc[k]
+        for i in np.flatnonzero(long_rows):
+            out_all[i] = winnow_fps_py(vals[i])
+        return pd.Series(list(out_all), dtype=object)
     L = max(int(lens.max()), WINNOW_K + WINNOW_W)  # room for >=W hash slots
     mat = np.zeros((n, L), dtype=np.uint8)
     for i, b in enumerate(norms):

@@ -126,6 +126,52 @@ def test_near_duplicates_finds_planted_pair(spark):
     assert len(exact) == 1 and exact[0]["winnow_jaccard"] == pytest.approx(1.0)
 
 
+def test_max_df_guard_drops_boilerplate_pairs(spark):
+    """Fingerprints with document frequency > max_df (boilerplate AND the
+    join-key hot spots) must be dropped before the self-join: docs that
+    share ONLY the hot boilerplate must not pair, while a genuine
+    near-dup pair (unique shared content) must survive the guard."""
+    boiler = "this footer sentence appears verbatim in every single document"
+    rows = [(i, f"unique payload number {i} talks about topic {i * 7} " + boiler)
+            for i in range(12)]
+    rows.append((100, "an entirely distinctive essay on winnowing fingerprints for scale"))
+    rows.append((101, "an entirely distinctive essay on winnowing fingerprints at scale"))
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in W.winnow_near_duplicates(df, threshold=0.3, max_df=9).collect()
+    }
+    assert (100, 101) in pairs  # genuine near-dup survives
+    assert not any(a < 100 and b < 100 for a, b in pairs), (
+        "boilerplate-only overlap must not produce pairs once its "
+        "fingerprints exceed max_df"
+    )
+    # with the guard relaxed the boilerplate pairs DO appear — the guard
+    # (not fingerprint sparsity) is what removed them above
+    loose = {
+        (r["id_a"], r["id_b"])
+        for r in W.winnow_near_duplicates(df, threshold=0.3, max_df=1000).collect()
+    }
+    assert any(a < 100 and b < 100 for a, b in loose)
+
+
+def test_batch_kernel_long_row_split():
+    """Rows longer than _BATCH_PAD_CAP route to the per-row kernel so one
+    outlier document cannot inflate the padded batch matrix; values stay
+    identical to the scalar kernel for every row."""
+    import pandas as pd
+
+    long_text = ("winnow kernel long document segment %d " * 400) % tuple(range(400))
+    assert len(long_text) > W._BATCH_PAD_CAP
+    batch = pd.Series(
+        ["short one", long_text, None, "", "another short document here"],
+        dtype=object,
+    )
+    got = W._winnow_batch(batch)
+    for i, t in enumerate(batch):
+        assert list(got.iloc[i]) == W.winnow_fps_py(t), f"row {i}"
+
+
 def test_winnow_clusters_vs_union_find(spark):
     """winnow_near_duplicate_clusters == union-find over the operator's
     own verified pair set (transitive closure, min-id rep, singletons
