@@ -31,6 +31,7 @@ from sparkclean.quality import scores as q_scores
 from sparkclean.quality import thresholds as q_thresholds
 from sparkclean.quality.joint import with_confident_bins
 from sparkclean.sim import knn as sim_knn
+from sparkclean.text import gopher as t_gopher
 from sparkclean.text import langid as t_langid
 from sparkclean.text import ppl as t_ppl
 from sparkclean.text import rules as t_rules
@@ -50,6 +51,7 @@ _GATE_COST = {
     "exact_duplicates": 0.4, "softmin_token_scores": 0.4,
     "multilabel_ema_scores": 0.5, "normalized_margin_adjusted": 0.5,
     "perplexity": 0.5, "regression_residual": 0.5, "underperforming_group": 0.5,
+    "gopher_repetition": 1.5,
     "winnow_fingerprints": 2.6, "winnow_near_duplicates": 3.2,
     "winnow_near_duplicate_clusters": 4.5,
     "cleanlearning_issue_frame": 0.6, "objectlab_scores": 0.6,
@@ -1158,6 +1160,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             t_tok.fingerprint_col(F.col("text")).alias("fingerprint"),
         )
 
+    def gopher_repetition(spark, sf):
+        # Gopher Table-A1 repetition signals + keep flag (text/gopher.py);
+        # gate exercises the Arrow production kernel against DuckDB
+        return t_gopher.gopher_repetition(_docs(spark, sf))
+
     def winnow_fingerprints(spark, sf):
         # MOSS-style winnowing: char-5-gram polynomial hashes, window-4
         # minima, distinct per doc (text/winnow.py)
@@ -1733,6 +1740,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         langid_markers=langid_markers,
         perplexity=perplexity,
         token_stats=token_stats,
+        gopher_repetition=gopher_repetition,
         winnow_fingerprints=winnow_fingerprints,
         winnow_near_duplicates=winnow_near_duplicates,
         winnow_near_duplicate_clusters=winnow_near_duplicate_clusters,
@@ -2825,6 +2833,7 @@ SELECT doc_id, {t_tok.ws_token_count_sql('text')} AS ws_tokens,
        {t_tok.bpe_token_count_sql('text')} AS bpe_tokens,
        {t_tok.fingerprint_sql('text')} AS fingerprint
 FROM documents"""
+    o["gopher_repetition"] = t_gopher.gopher_repetition_sql("documents")
     o["winnow_fingerprints"] = t_winnow.winnow_fingerprints_sql("documents")
     o["winnow_near_duplicates"] = t_winnow.winnow_near_duplicates_sql("documents")
     o["winnow_near_duplicate_clusters"] = t_winnow.winnow_near_duplicate_clusters_sql(
