@@ -88,6 +88,22 @@ def test_kernel_fractions_bounded_and_consistent(text):
     assert isinstance(G.gopher_keep_py(f), bool)
 
 
+@settings(max_examples=50, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="ab c\n\t.", max_size=40), min_size=0, max_size=8
+    )
+)
+def test_batch_matches_scalar_kernel(batch_texts):
+    import pandas as pd
+
+    got = G._gopher_batch(pd.Series(batch_texts, dtype=object))
+    for i, t in enumerate(batch_texts):
+        want = G.gopher_features_py(t)
+        for k in G.FEATURES:
+            assert got.iloc[i][k] == want[k], (k, t)
+
+
 def test_gate_thresholds_are_gopher_table_a1():
     assert G.GOPHER_THRESHOLDS["top_2gram_char_frac"] == 0.20
     assert G.GOPHER_THRESHOLDS["top_4gram_char_frac"] == 0.16
