@@ -31,6 +31,7 @@ from sparkclean.quality import scores as q_scores
 from sparkclean.quality import thresholds as q_thresholds
 from sparkclean.quality.joint import with_confident_bins
 from sparkclean.sim import knn as sim_knn
+from sparkclean.text import c4 as t_c4
 from sparkclean.text import gopher as t_gopher
 from sparkclean.text import langid as t_langid
 from sparkclean.text import ppl as t_ppl
@@ -51,7 +52,7 @@ _GATE_COST = {
     "exact_duplicates": 0.4, "softmin_token_scores": 0.4,
     "multilabel_ema_scores": 0.5, "normalized_margin_adjusted": 0.5,
     "perplexity": 0.5, "regression_residual": 0.5, "underperforming_group": 0.5,
-    "gopher_repetition": 1.5,
+    "c4_line_clean": 0.5, "gopher_repetition": 1.5,
     "winnow_fingerprints": 2.6, "winnow_near_duplicates": 3.2,
     "winnow_near_duplicate_clusters": 4.5,
     "cleanlearning_issue_frame": 0.6, "objectlab_scores": 0.6,
@@ -1160,6 +1161,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             t_tok.fingerprint_col(F.col("text")).alias("fingerprint"),
         )
 
+    def c4_line_clean(spark, sf):
+        # C4 §2.2 line filter + page flags (text/c4.py); gate exercises
+        # the Arrow production kernel against DuckDB
+        return t_c4.c4_line_clean(_docs(spark, sf))
+
     def gopher_repetition(spark, sf):
         # Gopher Table-A1 repetition signals + keep flag (text/gopher.py);
         # gate exercises the Arrow production kernel against DuckDB
@@ -1740,6 +1746,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         langid_markers=langid_markers,
         perplexity=perplexity,
         token_stats=token_stats,
+        c4_line_clean=c4_line_clean,
         gopher_repetition=gopher_repetition,
         winnow_fingerprints=winnow_fingerprints,
         winnow_near_duplicates=winnow_near_duplicates,
@@ -2833,6 +2840,7 @@ SELECT doc_id, {t_tok.ws_token_count_sql('text')} AS ws_tokens,
        {t_tok.bpe_token_count_sql('text')} AS bpe_tokens,
        {t_tok.fingerprint_sql('text')} AS fingerprint
 FROM documents"""
+    o["c4_line_clean"] = t_c4.c4_line_clean_sql("documents")
     o["gopher_repetition"] = t_gopher.gopher_repetition_sql("documents")
     o["winnow_fingerprints"] = t_winnow.winnow_fingerprints_sql("documents")
     o["winnow_near_duplicates"] = t_winnow.winnow_near_duplicates_sql("documents")

@@ -1,0 +1,129 @@
+"""C4 line-level cleaning: engine parity, kernel twins, rule semantics,
+and plan shape."""
+
+import duckdb
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from sparkclean.text import c4 as C
+
+DOCS = [
+    (
+        0,
+        "This is a good first sentence line.\nshort line\n"
+        "Another proper long sentence here!\n"
+        "And a third full sentence for the page?\n"
+        "no terminal punct line five words",
+    ),
+    (1, "All one line with no newline but a full stop at the end of five words."),
+    (2, None),
+    (3, ""),
+    (
+        4,
+        "Uses javascript for the menu bar.\nA perfectly good long sentence one.\n"
+        "A perfectly good long sentence two.\nA perfectly good long sentence three.",
+    ),
+    (
+        5,
+        "Contains lorem ipsum filler text here.\nGood sentence number two right here.\n"
+        "Good sentence number three right here.\nGood sentence number four right here.",
+    ),
+    (
+        6,
+        "Brace { in page.\nGood long sentence number two here.\n"
+        "Good long sentence number three here.\nGood long sentence number four here.",
+    ),
+    (
+        7,
+        'Quoted line ends with a quote mark "\nAnd this one is a real sentence.\n'
+        "So is this other one right here.\nAnd a fourth to clear the bar.",
+    ),
+    (
+        8,
+        "badword appears in this page sadly.\nGood long sentence number two here.\n"
+        "Good long sentence number three here.\nGood long sentence four right here.",
+    ),
+]
+
+
+def _docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id: long, text: string")
+
+
+def _oracle_rows():
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", DOCS)
+    return {r[0]: r[1:] for r in con.sql(C.c4_line_clean_sql("documents")).fetchall()}
+
+
+def test_spark_matches_duckdb(spark):
+    want = _oracle_rows()
+    for use_arrow in (True, False):
+        got = {
+            r["doc_id"]: tuple(r)[1:]
+            for r in C.c4_line_clean(_docs_df(spark), use_arrow=use_arrow).collect()
+        }
+        assert got == want, f"use_arrow={use_arrow}"
+
+
+def test_python_kernel_matches_oracle():
+    want = _oracle_rows()
+    for doc_id, text in DOCS:
+        cleaned, nk = C.c4_clean_py(text)
+        vals = (
+            cleaned,
+            nk,
+            len(C._SENT_RE.findall(cleaned)),
+            C.c4_keep_py(text, cleaned),
+        )
+        assert vals == want[doc_id], f"doc {doc_id}"
+
+
+def test_rule_semantics():
+    want = _oracle_rows()
+    # line rules: doc 0 keeps exactly the three sentence lines
+    assert want[0][1] == 3 and want[0][3] is True
+    # javascript drops the LINE, not the page
+    assert "javascript" not in want[4][0] and want[4][3] is True
+    # page-level vetoes: lorem ipsum / brace / toxicity term
+    assert want[5][3] is False and want[6][3] is False and want[8][3] is False
+    # fewer than MIN_SENTENCES after cleaning drops the page
+    assert want[1][2] == 1 and want[1][3] is False
+    # null / empty clean to '' and drop
+    assert want[2][0] == "" and want[2][3] is False
+    assert want[3][0] == "" and want[3][3] is False
+    # end-quote counts as terminal punctuation for the LINE but not as a
+    # sentence terminator
+    assert want[7][1] == 4 and want[7][2] == 3 and want[7][3] is True
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.text(alphabet="aj vsc.!?\"{\n\t", max_size=100))
+def test_kernel_is_total_and_consistent(text):
+    cleaned, nk = C.c4_clean_py(text)
+    assert nk == (cleaned.count("\n") + 1 if cleaned else 0)
+    for ln in cleaned.split("\n") if cleaned else []:
+        assert ln[-1:] in C._TERM_SET
+        assert len(ln.split()) >= 0  # kept lines are verbatim input lines
+        assert ln in text.split("\n")
+    assert isinstance(C.c4_keep_py(text, cleaned), bool)
+
+
+def test_plan_shape(spark):
+    df = _docs_df(spark)
+    arrow = (
+        C.c4_line_clean(df, use_arrow=True)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert arrow.count("ArrowEvalPython") == 1
+    assert "Exchange" not in arrow
+    native = (
+        C.c4_line_clean(df, use_arrow=False)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in native and "ArrowEvalPython" not in native
