@@ -52,7 +52,7 @@ _GATE_COST = {
     "exact_duplicates": 0.4, "softmin_token_scores": 0.4,
     "multilabel_ema_scores": 0.5, "normalized_margin_adjusted": 0.5,
     "perplexity": 0.5, "regression_residual": 0.5, "underperforming_group": 0.5,
-    "c4_line_clean": 0.5, "gopher_repetition": 1.5,
+    "c4_line_clean": 0.5, "c4_span_dedup": 1.5, "gopher_repetition": 1.5,
     "winnow_fingerprints": 2.6, "winnow_near_duplicates": 3.2,
     "winnow_near_duplicate_clusters": 4.5,
     "cleanlearning_issue_frame": 0.6, "objectlab_scores": 0.6,
@@ -1166,6 +1166,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the Arrow production kernel against DuckDB
         return t_c4.c4_line_clean(_docs(spark, sf))
 
+    def c4_span_dedup(spark, sf):
+        # C4 corpus-level three-sentence-span dedup; the word-soup corpus
+        # has no sentence punctuation, so both twins derive identical
+        # sentence breaks (hot words -> trailing '.') before deduping —
+        # 172 duplicate-span occurrences at sf0.01 give real signal
+        t = F.col("text")
+        for w in ("table", "value", "part"):
+            t = F.replace(t, F.lit(f" {w} "), F.lit(f" {w}. "))
+        return t_c4.c4_span_dedup(
+            _docs(spark, sf).select("doc_id", t.alias("text"))
+        )
+
     def gopher_repetition(spark, sf):
         # Gopher Table-A1 repetition signals + keep flag (text/gopher.py);
         # gate exercises the Arrow production kernel against DuckDB
@@ -1747,6 +1759,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         perplexity=perplexity,
         token_stats=token_stats,
         c4_line_clean=c4_line_clean,
+        c4_span_dedup=c4_span_dedup,
         gopher_repetition=gopher_repetition,
         winnow_fingerprints=winnow_fingerprints,
         winnow_near_duplicates=winnow_near_duplicates,
@@ -2841,6 +2854,12 @@ SELECT doc_id, {t_tok.ws_token_count_sql('text')} AS ws_tokens,
        {t_tok.fingerprint_sql('text')} AS fingerprint
 FROM documents"""
     o["c4_line_clean"] = t_c4.c4_line_clean_sql("documents")
+    _c4_derived = (
+        "(SELECT doc_id, replace(replace(replace(text, ' table ', ' table. '),"
+        " ' value ', ' value. '), ' part ', ' part. ') AS text"
+        " FROM documents) c4dd"
+    )
+    o["c4_span_dedup"] = t_c4.c4_span_dedup_sql(_c4_derived)
     o["gopher_repetition"] = t_gopher.gopher_repetition_sql("documents")
     o["winnow_fingerprints"] = t_winnow.winnow_fingerprints_sql("documents")
     o["winnow_near_duplicates"] = t_winnow.winnow_near_duplicates_sql("documents")

@@ -146,6 +146,197 @@ FROM feat
 """
 
 
+# ------------------------------------------ corpus-level span dedup
+
+#: a sentence = shortest run ending in a terminator; the trailing
+#: fragment without a terminator belongs to no span and is always kept.
+SENTENCE_RE = "[^.!?]*[.!?]"
+SPAN = 3  # C4 deduplicates three-sentence spans
+
+
+def c4_span_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """C4's corpus-level rule: "we discarded all but one of any
+    three-sentence span occurring more than once in the data set"
+    (Raffel et al. 2020 §2.2).  Returns (id, deduped_text,
+    n_sentences_removed) for EVERY input row.
+
+    Semantics (deterministic where the paper leaves choices open):
+    sentences are the verbatim ``[^.!?]*[.!?]`` matches (terminator
+    attached, trailing fragment span-exempt and always kept); every
+    occurrence of a duplicated 3-sentence span is removed EXCEPT the
+    global minimum under the (id, position) total order (the reference
+    keeps a random occurrence); a sentence is dropped if ANY removed
+    span covers it; the rebuilt text is the concatenation of surviving
+    sentences (verbatim contiguous substrings) plus the trailing
+    fragment.  Span identity is the shared 60-bit md5
+    (:func:`sparkclean.text.shared.hash60_col`) of the concatenated
+    span — the same hash-only matching as the reference's public
+    implementation; at 10^12 spans a birthday collision can merge two
+    distinct spans (documented, like the reference).
+
+    Scale shape: spans never leave their document (array ops per row);
+    only (id, pos, hash) triples shuffle — one groupBy(h) for counts +
+    keepers (map-side partial agg), one join back keyed by h (AQE
+    handles hot-boilerplate span skew), one distinct + one anti-join
+    keyed by (id, pos), one final groupBy(id) rebuild.  No all-pairs
+    stage anywhere."""
+    from .shared import hash60_col
+
+    empty = F.array().cast("array<string>")
+    base = (
+        df.select(id_col, text_col)
+        .withColumn(
+            "_sp_sents",
+            F.regexp_extract_all(
+                F.coalesce(F.col(text_col), F.lit("")), F.lit(SENTENCE_RE), 0
+            ),
+        )
+        .withColumn(
+            "_sp_total",
+            F.aggregate(
+                F.col("_sp_sents"),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + F.length(x),
+            ),
+        )
+        .withColumn(
+            "_sp_tail",
+            F.coalesce(F.col(text_col), F.lit("")).substr(
+                (F.col("_sp_total") + 1).cast("int"),
+                F.length(F.coalesce(F.col(text_col), F.lit(""))),
+            ),
+        )
+    )
+    sents = base.select(
+        id_col, F.posexplode_outer("_sp_sents").alias("_pos0", "_s")
+    ).where(F.col("_s").isNotNull())
+    m = F.size(F.col("_sp_sents")) - (SPAN - 1)
+
+    def _span_at(i: Column) -> Column:
+        parts = [F.element_at(F.col("_sp_sents"), i + k) for k in range(SPAN)]
+        return F.struct(i.alias("pos"), F.concat(*parts).alias("span"))
+
+    occ = (
+        base.select(
+            id_col,
+            F.explode_outer(
+                F.when(
+                    m >= 1, F.transform(F.sequence(F.lit(1), m), _span_at)
+                ).otherwise(
+                    F.array().cast("array<struct<pos:int,span:string>>")
+                )
+            ).alias("_sp"),
+        )
+        .where(F.col("_sp").isNotNull())
+        .select(
+            id_col,
+            F.col("_sp.pos").alias("_pos"),
+            hash60_col(F.col("_sp.span")).alias("_h"),
+        )
+    )
+    stats = occ.groupBy("_h").agg(
+        F.count("*").alias("_cnt"),
+        F.min(F.struct(F.col(id_col).alias("kid"), F.col("_pos").alias("kpos"))).alias(
+            "_keeper"
+        ),
+    )
+    removed = (
+        occ.join(stats, "_h")
+        .where(
+            (F.col("_cnt") > 1)
+            & ~(
+                (F.col(id_col) == F.col("_keeper.kid"))
+                & (F.col("_pos") == F.col("_keeper.kpos"))
+            )
+        )
+        .select(
+            id_col,
+            F.explode(
+                F.sequence(F.col("_pos"), F.col("_pos") + (SPAN - 1))
+            ).alias("_rpos"),
+        )
+        .distinct()
+    )
+    kept = sents.select(
+        id_col, (F.col("_pos0") + 1).alias("_pos"), "_s"
+    ).join(
+        removed.withColumnRenamed(id_col, "_rid"),
+        (F.col(id_col) == F.col("_rid")) & (F.col("_pos") == F.col("_rpos")),
+        "left_anti",
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("_pos"), F.col("_s")))
+                ),
+                lambda x: x["_s"],
+            ),
+            "",
+        ).alias("_kept_txt"),
+        F.count("*").alias("_kept_n"),
+    )
+    return (
+        base.join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.concat(
+                F.coalesce(F.col("_kept_txt"), F.lit("")), F.col("_sp_tail")
+            ).alias("deduped_text"),
+            (
+                F.size("_sp_sents") - F.coalesce(F.col("_kept_n"), F.lit(0))
+            ).cast("long").alias("n_sentences_removed"),
+        )
+    )
+
+
+def c4_span_dedup_sql(
+    table: str, text_col: str = "text", id_col: str = "doc_id"
+) -> str:
+    """DuckDB twin of :func:`c4_span_dedup`.  ``table`` may be any table
+    expression (e.g. a parenthesised subquery with an alias)."""
+    from .shared import hash60_sql
+
+    span_expr = " || ".join(f"sents[i+{k}]" for k in range(SPAN))
+    return f"""
+WITH sbase AS MATERIALIZED (
+  SELECT {id_col} AS id, coalesce({text_col}, '') AS txt,
+         regexp_extract_all(coalesce({text_col}, ''), '{SENTENCE_RE}') AS sents
+  FROM {table}
+), stotal AS (
+  SELECT id, txt, sents,
+         coalesce(list_sum(list_transform(sents, x -> length(x))), 0) AS total
+  FROM sbase
+), sent AS (
+  SELECT id, i AS pos, sents[i] AS s
+  FROM sbase, unnest(range(1, len(sents) + 1)) t(i)
+), occ AS (
+  SELECT id, i AS pos, {hash60_sql(f"({span_expr})")} AS h
+  FROM sbase, unnest(range(1, greatest(len(sents) - {SPAN - 1}, 0) + 1)) t(i)
+), stats AS (
+  SELECT h, count(*) AS cnt, min({{'kid': id, 'kpos': pos}}) AS keeper
+  FROM occ GROUP BY h
+), removed AS (
+  SELECT DISTINCT o.id, o.pos + k AS pos
+  FROM occ o JOIN stats st USING (h)
+  CROSS JOIN unnest([{", ".join(str(k) for k in range(SPAN))}]) u(k)
+  WHERE st.cnt > 1 AND NOT (o.id = st.keeper.kid AND o.pos = st.keeper.kpos)
+), kept AS (
+  SELECT s.id, s.pos, s.s
+  FROM sent s ANTI JOIN removed r ON r.id = s.id AND r.pos = s.pos
+), rebuilt AS (
+  SELECT id, string_agg(s, '' ORDER BY pos) AS kept_txt, count(*) AS kept_n
+  FROM kept GROUP BY id
+)
+SELECT b.id AS {id_col},
+       coalesce(r.kept_txt, '') || substr(b.txt, (b.total + 1)::INT) AS deduped_text,
+       (len(b.sents) - coalesce(r.kept_n, 0))::BIGINT AS n_sentences_removed
+FROM stotal b LEFT JOIN rebuilt r ON r.id = b.id
+"""
+
+
 # ------------------------------------------------- Arrow production path
 
 _SENT_RE = re.compile(r"[.!?]")

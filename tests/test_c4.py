@@ -110,6 +110,62 @@ def test_kernel_is_total_and_consistent(text):
     assert isinstance(C.c4_keep_py(text, cleaned), bool)
 
 
+SPAN_DOCS = [
+    (0, "One common sentence here. Two common sentence here! Three common sentence here? Unique tail zero"),
+    (1, "One common sentence here. Two common sentence here! Three common sentence here? Unique tail one"),
+    (2, "Prefix two. One common sentence here. Two common sentence here! Three common sentence here? And more two."),
+    (3, "No terminators at all just words"),
+    (4, None),
+    (5, ""),
+    (6, "Solo. Duo! Trio? Quart."),
+    (7, "a. b. c. a. b. c. a. b. c."),
+    (8, "a. b. c. a. b. c. a. b. c."),
+]
+
+
+def test_span_dedup_matches_duckdb(spark):
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", SPAN_DOCS)
+    want = {r[0]: r[1:] for r in con.sql(C.c4_span_dedup_sql("documents")).fetchall()}
+    df = spark.createDataFrame(SPAN_DOCS, "doc_id: long, text: string")
+    got = {r["doc_id"]: tuple(r)[1:] for r in C.c4_span_dedup(df).collect()}
+    assert got == want
+
+
+def test_span_dedup_semantics(spark):
+    df = spark.createDataFrame(SPAN_DOCS, "doc_id: long, text: string")
+    out = {r["doc_id"]: (r["deduped_text"], r["n_sentences_removed"])
+           for r in C.c4_span_dedup(df).collect()}
+    # the global-min occurrence keeps its span; the exact copy loses it
+    assert out[0][0].startswith("One common sentence here.") and out[0][1] == 0
+    assert out[1] == (" Unique tail one", 3)
+    # span matching is VERBATIM: doc 2's embedded copy starts with a
+    # leading space (it follows "Prefix two."), so it is a DIFFERENT
+    # span string and survives — the documented exact-substring
+    # semantics, same in both engines
+    assert out[2] == (SPAN_DOCS[2][1], 0)
+    # no terminators -> whole text is the span-exempt trailing fragment
+    assert out[3] == ("No terminators at all just words", 0)
+    assert out[4] == ("", 0) and out[5] == ("", 0)
+    # a unique doc is untouched
+    assert out[6] == ("Solo. Duo! Trio? Quart.", 0)
+    # overlapping in-document repeats: the keeper prefix survives, the
+    # whole-doc duplicate empties
+    assert out[7] == ("a. b. c. a.", 5)
+    assert out[8] == ("", 9)
+
+
+def test_span_dedup_identity_without_duplicates(spark):
+    rows = [(i, f"Alpha {i} one. Beta {i} two! Gamma {i} three? tail {i}")
+            for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    out = {r["doc_id"]: (r["deduped_text"], r["n_sentences_removed"])
+           for r in C.c4_span_dedup(df).collect()}
+    for i, text in rows:
+        assert out[i] == (text, 0)
+
+
 def test_plan_shape(spark):
     df = _docs_df(spark)
     arrow = (
@@ -127,3 +183,10 @@ def test_plan_shape(spark):
         .toString()
     )
     assert "Exchange" not in native and "ArrowEvalPython" not in native
+    span = (
+        C.c4_span_dedup(spark.createDataFrame(SPAN_DOCS, "doc_id: long, text: string"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in span
