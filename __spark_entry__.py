@@ -32,6 +32,7 @@ from sparkclean.quality import thresholds as q_thresholds
 from sparkclean.quality.joint import with_confident_bins
 from sparkclean.sim import knn as sim_knn
 from sparkclean.text import c4 as t_c4
+from sparkclean.text import report as t_report
 from sparkclean.text import gopher as t_gopher
 from sparkclean.text import langid as t_langid
 from sparkclean.text import ppl as t_ppl
@@ -53,6 +54,7 @@ _GATE_COST = {
     "multilabel_ema_scores": 0.5, "normalized_margin_adjusted": 0.5,
     "perplexity": 0.5, "regression_residual": 0.5, "underperforming_group": 0.5,
     "c4_line_clean": 0.5, "c4_span_dedup": 1.5, "gopher_repetition": 1.5,
+    "document_quality_report": 2.0,
     "winnow_fingerprints": 2.6, "winnow_near_duplicates": 3.2,
     "winnow_near_duplicate_clusters": 4.5,
     "cleanlearning_issue_frame": 0.6, "objectlab_scores": 0.6,
@@ -1166,6 +1168,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the Arrow production kernel against DuckDB
         return t_c4.c4_line_clean(_docs(spark, sf))
 
+    def document_quality_report(spark, sf):
+        # dropped-by-rule histogram composing word-count + C4 page +
+        # Gopher repetition gates (text/report.py); both sides compose
+        # the already-verified operator/oracle pairs
+        return t_report.document_quality_report(_docs(spark, sf))
+
     def c4_span_dedup(spark, sf):
         # C4 corpus-level three-sentence-span dedup; the word-soup corpus
         # has no sentence punctuation, so both twins derive identical
@@ -1760,6 +1768,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         token_stats=token_stats,
         c4_line_clean=c4_line_clean,
         c4_span_dedup=c4_span_dedup,
+        document_quality_report=document_quality_report,
         gopher_repetition=gopher_repetition,
         winnow_fingerprints=winnow_fingerprints,
         winnow_near_duplicates=winnow_near_duplicates,
@@ -2860,6 +2869,7 @@ FROM documents"""
         " FROM documents) c4dd"
     )
     o["c4_span_dedup"] = t_c4.c4_span_dedup_sql(_c4_derived)
+    o["document_quality_report"] = t_report.document_quality_report_sql("documents")
     o["gopher_repetition"] = t_gopher.gopher_repetition_sql("documents")
     o["winnow_fingerprints"] = t_winnow.winnow_fingerprints_sql("documents")
     o["winnow_near_duplicates"] = t_winnow.winnow_near_duplicates_sql("documents")

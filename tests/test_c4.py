@@ -166,6 +166,35 @@ def test_span_dedup_identity_without_duplicates(spark):
         assert out[i] == (text, 0)
 
 
+def test_document_quality_report(spark):
+    from sparkclean.text import report as R
+
+    # every word unique -> no repetition rule can fire
+    filler = " ".join(
+        f"alpha{i} beta{i} gamma{i} delta{i} epsilon{i}." for i in range(20)
+    )
+    rows = [
+        (0, "short doc"),                       # too_few_words
+        (1, ("the same five word line. " * 12) + "{"),  # brace -> c4_page
+        (2, ("one two three four five. " * 11).rstrip()),  # repetitive -> gopher
+        (3, filler),                             # kept
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    out = {r["rule"]: r["n_docs"] for r in R.document_quality_report(df).collect()}
+    assert out == {
+        "too_few_words": 1,
+        "c4_page": 1,
+        "gopher_repetition": 1,
+        "kept": 1,
+    }
+    # twin agreement on the same fixture
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    want = dict(con.sql(R.document_quality_report_sql("documents")).fetchall())
+    assert out == want
+
+
 def test_plan_shape(spark):
     df = _docs_df(spark)
     arrow = (
