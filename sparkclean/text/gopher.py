@@ -441,20 +441,28 @@ def _gopher_batch(texts: pd.Series) -> pd.DataFrame:
         # prefix char sums for O(1) window char lengths
         cum = np.concatenate(([0], np.cumsum(tok_len[codes])))
         gram = codes  # (n=1)-gram ids; extended one token per iteration
-        n_uniq = len(uniq)
+        # The pairing multiplier must be the TOKEN unique count at EVERY
+        # level: the added term is always a token code (< tok_U), so
+        # key = gram_id * tok_U + code is injective by induction.  Using
+        # the previous level's gram-unique count instead is a collision
+        # bug — when token uniques exceed gram uniques (batches of tiny
+        # documents), (g, c) and (g+1, c - U) merge distinct grams and
+        # silently diverge from the SQL twin.
+        tok_u = np.int64(len(uniq))
+        n_gram_uniq = len(uniq)
         for n in range(2, max(TOP_NS + DUP_NS) + 1):
             if len(codes) < n:
                 break
-            # exact pairing: id_{n} = factorize(id_{n-1} * U + next code);
-            # ids and U are both < token count m, so the packed key is
-            # < m^2 — overflow would need a ~3e9-token Arrow batch, three
-            # orders beyond the 10k-row batch cap at any doc length seen
-            # in a text corpus
+            # exact pairing: id_{n} = factorize(id_{n-1} * tok_U + next
+            # code); ids and tok_U are both < token count m, so the
+            # packed key is < m^2 — overflow would need a ~3e9-token
+            # Arrow batch, three orders beyond the 10k-row batch cap at
+            # any doc length seen in a text corpus
             gram, pair_uniq = pd.factorize(
-                gram[: len(codes) - n + 1] * np.int64(n_uniq) + codes[n - 1 :]
+                gram[: len(codes) - n + 1] * tok_u + codes[n - 1 :]
             )
             gram = gram.astype(np.int64)
-            n_uniq = len(pair_uniq)
+            n_gram_uniq = len(pair_uniq)
             if n not in TOP_NS + DUP_NS:
                 continue
             # windows fully inside one document
@@ -465,8 +473,11 @@ def _gopher_batch(texts: pd.Series) -> pd.DataFrame:
             gram_chars = cum[start + n] - cum[start] + (n - 1)
             grow = rowids[start]
             # occurrence counts per (row, gram)
+            # here the added term is a CURRENT-level gram id, so the
+            # multiplier is this level's gram-unique count (injective:
+            # gram_id < n_gram_uniq)
             pcodes, _ = pd.factorize(
-                grow * np.int64(n_uniq) + gram[start]
+                grow * np.int64(n_gram_uniq) + gram[start]
             )
             counts = np.bincount(pcodes)
             urow = np.zeros(len(counts), dtype=np.int64)

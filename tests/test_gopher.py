@@ -104,6 +104,47 @@ def test_batch_matches_scalar_kernel(batch_texts):
             assert got.iloc[i][k] == want[k], (k, t)
 
 
+def test_batch_pairing_collision_regression():
+    """Frozen fixture where the original pairing multiplier (previous
+    level's GRAM-unique count instead of the token-unique count) merged
+    two distinct n-grams and diverged from the scalar kernel.  The fix
+    keys every level as gram_id * token_unique_count + token_code, which
+    is injective by induction."""
+    import pandas as pd
+
+    docs = ["cc", "aa hh cc dd gg cc"]
+    got = G._gopher_batch(pd.Series(docs, dtype=object))
+    for i, t in enumerate(docs):
+        want = G.gopher_features_py(t)
+        for k in G.FEATURES:
+            assert got.iloc[i][k] == want[k], (k, t)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(["aa", "bb", "cc", "dd", "ee"]),
+            min_size=0,
+            max_size=7,
+        ).map(" ".join),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_batch_matches_scalar_on_tiny_doc_batches(docs):
+    """Batches of many tiny documents from a small vocabulary sit at the
+    token-uniques ≈ gram-uniques boundary where pairing-collision bugs
+    live (see the frozen regression above)."""
+    import pandas as pd
+
+    got = G._gopher_batch(pd.Series(docs, dtype=object))
+    for i, t in enumerate(docs):
+        want = G.gopher_features_py(t)
+        for k in G.FEATURES:
+            assert got.iloc[i][k] == want[k], (k, t)
+
+
 def test_gate_thresholds_are_gopher_table_a1():
     assert G.GOPHER_THRESHOLDS["top_2gram_char_frac"] == 0.20
     assert G.GOPHER_THRESHOLDS["top_4gram_char_frac"] == 0.16
