@@ -32,6 +32,7 @@ from sparkclean.quality import thresholds as q_thresholds
 from sparkclean.quality.joint import with_confident_bins
 from sparkclean.sim import knn as sim_knn
 from sparkclean.text import c4 as t_c4
+from sparkclean.text import contamination as t_contam
 from sparkclean.text import report as t_report
 from sparkclean.text import gopher as t_gopher
 from sparkclean.text import langid as t_langid
@@ -53,7 +54,8 @@ _GATE_COST = {
     "exact_duplicates": 0.4, "softmin_token_scores": 0.4,
     "multilabel_ema_scores": 0.5, "normalized_margin_adjusted": 0.5,
     "perplexity": 0.5, "regression_residual": 0.5, "underperforming_group": 0.5,
-    "c4_line_clean": 0.5, "c4_span_dedup": 1.5, "gopher_repetition": 1.5,
+    "c4_line_clean": 0.5, "ngram_contamination": 1.0,
+    "c4_span_dedup": 1.5, "gopher_repetition": 1.5,
     "document_quality_report": 2.0,
     "winnow_fingerprints": 2.6, "winnow_near_duplicates": 3.2,
     "winnow_near_duplicate_clusters": 4.5,
@@ -1191,6 +1193,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # gate exercises the Arrow production kernel against DuckDB
         return t_gopher.gopher_repetition(_docs(spark, sf))
 
+    def ngram_contamination(spark, sf):
+        # GPT-3-style benchmark decontamination (text/contamination.py):
+        # the deterministic benchmark slice is doc_id % 49 == 0 (chosen
+        # so planted near-duplicate partners of bench docs exist — real
+        # cross-document contamination, not just bench self-matches);
+        # 5-grams because the synthetic docs are short word soup.
+        # Broadcast bench hashes, map-side semi join, matched-rows-only
+        # shuffle.
+        docs = _docs(spark, sf)
+        return t_contam.ngram_contamination(
+            docs, docs.where(F.col("doc_id") % 49 == 0), n=5
+        )
+
     def winnow_fingerprints(spark, sf):
         # MOSS-style winnowing: char-5-gram polynomial hashes, window-4
         # minima, distinct per doc (text/winnow.py)
@@ -1766,6 +1781,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         langid_markers=langid_markers,
         perplexity=perplexity,
         token_stats=token_stats,
+        ngram_contamination=ngram_contamination,
         c4_line_clean=c4_line_clean,
         c4_span_dedup=c4_span_dedup,
         document_quality_report=document_quality_report,
@@ -2862,6 +2878,9 @@ SELECT doc_id, {t_tok.ws_token_count_sql('text')} AS ws_tokens,
        {t_tok.bpe_token_count_sql('text')} AS bpe_tokens,
        {t_tok.fingerprint_sql('text')} AS fingerprint
 FROM documents"""
+    o["ngram_contamination"] = t_contam.ngram_contamination_sql(
+        "documents", "doc_id % 49 = 0", n=5
+    )
     o["c4_line_clean"] = t_c4.c4_line_clean_sql("documents")
     _c4_derived = (
         "(SELECT doc_id, replace(replace(replace(text, ' table ', ' table. '),"
