@@ -33,6 +33,7 @@ from sparkclean.quality.joint import with_confident_bins
 from sparkclean.sim import knn as sim_knn
 from sparkclean.text import c4 as t_c4
 from sparkclean.text import contamination as t_contam
+from sparkclean.text import sampling as t_sampling
 from sparkclean.text import report as t_report
 from sparkclean.text import gopher as t_gopher
 from sparkclean.text import langid as t_langid
@@ -54,7 +55,8 @@ _GATE_COST = {
     "exact_duplicates": 0.4, "softmin_token_scores": 0.4,
     "multilabel_ema_scores": 0.5, "normalized_margin_adjusted": 0.5,
     "perplexity": 0.5, "regression_residual": 0.5, "underperforming_group": 0.5,
-    "c4_line_clean": 0.5, "ngram_contamination": 1.0,
+    "c4_line_clean": 0.5, "source_cap_sample": 0.4,
+    "source_mixture_weights": 0.4, "ngram_contamination": 1.0,
     "c4_span_dedup": 1.5, "gopher_repetition": 1.5,
     "document_quality_report": 2.0,
     "winnow_fingerprints": 2.6, "winnow_near_duplicates": 3.2,
@@ -1206,6 +1208,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             docs, docs.where(F.col("doc_id") % 49 == 0), n=5
         )
 
+    def source_cap_sample(spark, sf):
+        # per-domain cap (text/sampling.py): deterministic hash60(id)
+        # rank within source, cap 10 of the 25 docs each synthetic
+        # source holds — full-output form so the oracle sees every row
+        return t_sampling.source_cap_sample(_docs(spark, sf), cap=10)
+
+    def source_mixture_weights(spark, sf):
+        # per-source token shares + uniform-target DoReMi-style weights
+        return t_sampling.source_mixture_weights(_docs(spark, sf))
+
     def winnow_fingerprints(spark, sf):
         # MOSS-style winnowing: char-5-gram polynomial hashes, window-4
         # minima, distinct per doc (text/winnow.py)
@@ -1782,6 +1794,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         perplexity=perplexity,
         token_stats=token_stats,
         ngram_contamination=ngram_contamination,
+        source_cap_sample=source_cap_sample,
+        source_mixture_weights=source_mixture_weights,
         c4_line_clean=c4_line_clean,
         c4_span_dedup=c4_span_dedup,
         document_quality_report=document_quality_report,
@@ -2880,6 +2894,12 @@ SELECT doc_id, {t_tok.ws_token_count_sql('text')} AS ws_tokens,
 FROM documents"""
     o["ngram_contamination"] = t_contam.ngram_contamination_sql(
         "documents", "doc_id % 49 = 0", n=5
+    )
+    o["source_cap_sample"] = t_sampling.source_cap_sample_sql(
+        "documents", cap=10
+    )
+    o["source_mixture_weights"] = t_sampling.source_mixture_weights_sql(
+        "documents"
     )
     o["c4_line_clean"] = t_c4.c4_line_clean_sql("documents")
     _c4_derived = (
