@@ -33,6 +33,7 @@ from sparkclean.quality.joint import with_confident_bins
 from sparkclean.sim import knn as sim_knn
 from sparkclean.text import c4 as t_c4
 from sparkclean.text import contamination as t_contam
+from sparkclean.text import packing as t_packing
 from sparkclean.text import sampling as t_sampling
 from sparkclean.text import report as t_report
 from sparkclean.text import gopher as t_gopher
@@ -55,7 +56,7 @@ _GATE_COST = {
     "exact_duplicates": 0.4, "softmin_token_scores": 0.4,
     "multilabel_ema_scores": 0.5, "normalized_margin_adjusted": 0.5,
     "perplexity": 0.5, "regression_residual": 0.5, "underperforming_group": 0.5,
-    "c4_line_clean": 0.5, "source_cap_sample": 0.4,
+    "c4_line_clean": 0.5, "pack_sequences": 0.8, "source_cap_sample": 0.4,
     "source_mixture_weights": 0.4, "ngram_contamination": 1.0,
     "c4_span_dedup": 1.5, "gopher_repetition": 1.5,
     "document_quality_report": 2.0,
@@ -1208,6 +1209,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             docs, docs.where(F.col("doc_id") % 49 == 0), n=5
         )
 
+    def pack_sequences(spark, sf):
+        # GPT-style token-stream packing (text/packing.py): exclusive
+        # stream offsets via the distributed prefix sum, budget 256 so
+        # the short synthetic docs span multiple bins at sf0.01
+        return t_packing.pack_sequences(_docs(spark, sf), budget=256)
+
     def source_cap_sample(spark, sf):
         # per-domain cap (text/sampling.py): deterministic hash60(id)
         # rank within source, cap 10 of the 25 docs each synthetic
@@ -1794,6 +1801,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         perplexity=perplexity,
         token_stats=token_stats,
         ngram_contamination=ngram_contamination,
+        pack_sequences=pack_sequences,
         source_cap_sample=source_cap_sample,
         source_mixture_weights=source_mixture_weights,
         c4_line_clean=c4_line_clean,
@@ -2895,6 +2903,7 @@ FROM documents"""
     o["ngram_contamination"] = t_contam.ngram_contamination_sql(
         "documents", "doc_id % 49 = 0", n=5
     )
+    o["pack_sequences"] = t_packing.pack_sequences_sql("documents", budget=256)
     o["source_cap_sample"] = t_sampling.source_cap_sample_sql(
         "documents", cap=10
     )

@@ -239,6 +239,60 @@ def exact_median(df: DataFrame, col: str, err: float | None = None) -> float | N
     return exact_quantile(df, col, 0.5, err)
 
 
+def global_prefix_sum(
+    df: DataFrame,
+    weight_col: str,
+    order_cols: list[str],
+    out_col: str = "prefix_sum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """EXCLUSIVE global running sum of ``weight_col`` under the
+    ``order_cols`` total order — ``sum(w) OVER (ORDER BY ... ROWS
+    UNBOUNDED PRECEDING AND 1 PRECEDING)`` without the unpartitioned
+    window that would serialise the table through one task.
+
+    Same shape as :func:`global_row_number`: range-partition on the
+    order keys, an in-partition exclusive running sum, and broadcast
+    per-partition weight totals prefix-summed across partitions.  The
+    weight is accumulated as ``long`` (10^12 rows x 10^6-token docs
+    stays within 2^63; doubles would lose exactness past 2^53).
+    ``order_cols`` must be a total order (unique keys)."""
+    if num_partitions is None:
+        num_partitions = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+        )
+    keys = [F.col(c) for c in order_cols]
+    part = (
+        df.repartitionByRange(num_partitions, *keys)
+        .withColumn("_grr_pid", F.spark_partition_id())
+        .persist()  # pin sampled range boundaries for both branches
+    )
+    w_in = (
+        Window.partitionBy("_grr_pid")
+        .orderBy(*[F.col(c).asc() for c in order_cols])
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w = F.col(weight_col).cast("long")
+    run = part.withColumn(
+        "_grr_run", F.coalesce(F.sum(w).over(w_in), F.lit(0).cast("long"))
+    )
+    ptot = part.groupBy("_grr_pid").agg(F.sum(w).alias("_grr_c"))
+    w_p = Window.orderBy(F.col("_grr_pid").asc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offs = ptot.select(
+        "_grr_pid",
+        F.coalesce(F.sum("_grr_c").over(w_p), F.lit(0).cast("long")).alias(
+            "_grr_off"
+        ),
+    )
+    return (
+        run.join(F.broadcast(offs), "_grr_pid")
+        .withColumn(out_col, (F.col("_grr_run") + F.col("_grr_off")).cast("long"))
+        .drop("_grr_pid", "_grr_run", "_grr_off")
+    )
+
+
 def global_row_number(
     df: DataFrame,
     order_cols: list[str],
