@@ -33,6 +33,7 @@ from sparkclean.quality.joint import with_confident_bins
 from sparkclean.sim import knn as sim_knn
 from sparkclean.text import c4 as t_c4
 from sparkclean.text import contamination as t_contam
+from sparkclean.text import linededup as t_linededup
 from sparkclean.text import packing as t_packing
 from sparkclean.text import sampling as t_sampling
 from sparkclean.text import report as t_report
@@ -56,7 +57,8 @@ _GATE_COST = {
     "exact_duplicates": 0.4, "softmin_token_scores": 0.4,
     "multilabel_ema_scores": 0.5, "normalized_margin_adjusted": 0.5,
     "perplexity": 0.5, "regression_residual": 0.5, "underperforming_group": 0.5,
-    "c4_line_clean": 0.5, "pack_sequences": 0.8, "source_cap_sample": 0.4,
+    "c4_line_clean": 0.5, "dedup_lines": 0.5,
+    "pack_sequences": 0.8, "source_cap_sample": 0.4,
     "source_mixture_weights": 0.4, "ngram_contamination": 1.0,
     "c4_span_dedup": 1.5, "gopher_repetition": 1.5,
     "document_quality_report": 2.0,
@@ -1209,6 +1211,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             docs, docs.where(F.col("doc_id") % 49 == 0), n=5
         )
 
+    def dedup_lines(spark, sf):
+        # within-doc exact line dedup (text/linededup.py); the soup
+        # corpus has no newlines, so both twins chunk each doc into
+        # 2-word lines first (181 docs / 250 duplicate lines at sf0.01)
+        from sparkclean.text.shared import words_col
+
+        docs = _docs(spark, sf).withColumn(
+            "_dl_w", words_col(F.coalesce(F.col("text"), F.lit("")))
+        )
+        lines_txt = F.when(
+            F.size("_dl_w") > 0,
+            F.array_join(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("_dl_w"), F.lit(2)),
+                    lambda i: F.concat_ws(
+                        " ", F.slice(F.col("_dl_w"), i, 2)
+                    ),
+                ),
+                "\n",
+            ),
+        ).otherwise(F.lit(""))
+        return t_linededup.dedup_lines(
+            docs.select("doc_id", lines_txt.alias("text"))
+        )
+
     def pack_sequences(spark, sf):
         # GPT-style token-stream packing (text/packing.py): exclusive
         # stream offsets via the distributed prefix sum, budget 256 so
@@ -1801,6 +1828,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         perplexity=perplexity,
         token_stats=token_stats,
         ngram_contamination=ngram_contamination,
+        dedup_lines=dedup_lines,
         pack_sequences=pack_sequences,
         source_cap_sample=source_cap_sample,
         source_mixture_weights=source_mixture_weights,
@@ -2903,6 +2931,18 @@ FROM documents"""
     o["ngram_contamination"] = t_contam.ngram_contamination_sql(
         "documents", "doc_id % 49 = 0", n=5
     )
+    _dl_derived = """(
+  SELECT doc_id,
+         CASE WHEN len(w) > 0 THEN array_to_string(
+             list_transform(range(1, len(w) + 1, 2),
+                            i -> array_to_string(w[i:i+1], ' ')),
+             chr(10)) ELSE '' END AS text
+  FROM (SELECT doc_id,
+               CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                    ELSE string_split_regex(trim(text), '\\s+') END AS w
+        FROM documents) dlw
+) dl"""
+    o["dedup_lines"] = t_linededup.dedup_lines_sql(_dl_derived)
     o["pack_sequences"] = t_packing.pack_sequences_sql("documents", budget=256)
     o["source_cap_sample"] = t_sampling.source_cap_sample_sql(
         "documents", cap=10
