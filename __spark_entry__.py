@@ -33,6 +33,7 @@ from sparkclean.quality.joint import with_confident_bins
 from sparkclean.sim import knn as sim_knn
 from sparkclean.text import c4 as t_c4
 from sparkclean.text import contamination as t_contam
+from sparkclean.images import buckets as img_buckets
 from sparkclean.text import linededup as t_linededup
 from sparkclean.text import packing as t_packing
 from sparkclean.text import sampling as t_sampling
@@ -57,7 +58,7 @@ _GATE_COST = {
     "exact_duplicates": 0.4, "softmin_token_scores": 0.4,
     "multilabel_ema_scores": 0.5, "normalized_margin_adjusted": 0.5,
     "perplexity": 0.5, "regression_residual": 0.5, "underperforming_group": 0.5,
-    "c4_line_clean": 0.5, "dedup_lines": 0.5,
+    "aspect_buckets": 0.4, "c4_line_clean": 0.5, "dedup_lines": 0.5,
     "pack_sequences": 0.8, "source_cap_sample": 0.4,
     "source_mixture_weights": 0.4, "ngram_contamination": 1.0,
     "c4_span_dedup": 1.5, "gopher_repetition": 1.5,
@@ -1211,6 +1212,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             docs, docs.where(F.col("doc_id") % 49 == 0), n=5
         )
 
+    def aspect_buckets(spark, sf):
+        # SDXL-style multi-aspect bucketing (images/buckets.py); the
+        # gate tables carry no image bytes, so (w, h) is the
+        # deterministic synthetic fixture (same pattern as
+        # _synthetic_phash) — integer arithmetic identical in both
+        # engines; doc_id 0 plants the degenerate null/zero dims row
+        docs = _docs(spark, sf).select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") > 0,
+                (F.lit(320) + (F.col("doc_id") * 37) % 1200).cast("int"),
+            ).alias("w"),
+            F.when(
+                F.col("doc_id") > 0,
+                (F.lit(320) + (F.col("doc_id") * 53) % 900).cast("int"),
+            ).alias("h"),
+        )
+        return img_buckets.assign_aspect_buckets(docs, id_col="doc_id")
+
     def dedup_lines(spark, sf):
         # within-doc exact line dedup (text/linededup.py); the soup
         # corpus has no newlines, so both twins chunk each doc into
@@ -1828,6 +1848,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         perplexity=perplexity,
         token_stats=token_stats,
         ngram_contamination=ngram_contamination,
+        aspect_buckets=aspect_buckets,
         dedup_lines=dedup_lines,
         pack_sequences=pack_sequences,
         source_cap_sample=source_cap_sample,
@@ -2942,6 +2963,15 @@ FROM documents"""
                     ELSE string_split_regex(trim(text), '\\s+') END AS w
         FROM documents) dlw
 ) dl"""
+    o["aspect_buckets"] = img_buckets.assign_aspect_buckets_sql(
+        """(
+  SELECT doc_id,
+         CASE WHEN doc_id > 0 THEN (320 + (doc_id * 37) % 1200)::INT END AS w,
+         CASE WHEN doc_id > 0 THEN (320 + (doc_id * 53) % 900)::INT END AS h
+  FROM documents
+) ab""",
+        id_col="doc_id",
+    )
     o["dedup_lines"] = t_linededup.dedup_lines_sql(_dl_derived)
     o["pack_sequences"] = t_packing.pack_sequences_sql("documents", budget=256)
     o["source_cap_sample"] = t_sampling.source_cap_sample_sql(

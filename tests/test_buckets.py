@@ -1,0 +1,66 @@
+"""assign_aspect_buckets: frozen-enumeration properties, NumPy-oracle
+agreement, degenerate rows, and the row-local (no-exchange) plan."""
+
+from fractions import Fraction
+
+from sparkclean.images import buckets as B
+
+IMAGES = [
+    (1, 1024, 1024),   # square -> a square-ish bucket
+    (2, 2048, 512),    # extreme wide, exactly a bucket aspect
+    (3, 512, 2048),    # extreme tall
+    (4, 1000, 750),    # 4:3-ish
+    (5, 333, 1331),    # beyond MAX_ASPECT tall -> clamps to nearest edge
+    (6, None, 512),    # null dim -> bucket -1
+    (7, 0, 512),       # zero dim -> bucket -1
+]
+
+
+def _serial_assign(w, h):
+    # exact rational argmin — independent of the module's float division
+    best = None
+    for i, (bw, bh) in enumerate(B.BUCKETS):
+        score = abs(Fraction(w, h) - Fraction(bw, bh))
+        if best is None or score < best[0]:
+            best = (score, i)
+    return best[1]
+
+
+def test_bucket_enumeration_is_frozen_and_sane():
+    assert len(B.BUCKETS) == 49
+    assert B.BUCKETS == sorted(B.BUCKETS)  # order is part of the contract
+    for w, h in B.BUCKETS:
+        assert w % B.GRID == 0 and h % B.GRID == 0
+        assert w * h <= B.AREA_BUDGET
+        assert w <= B.MAX_ASPECT * h and h <= B.MAX_ASPECT * w
+        assert w >= B.MIN_SIDE and h >= B.MIN_SIDE
+
+
+def test_assignment_matches_exact_rational_argmin(spark):
+    df = spark.createDataFrame(IMAGES, "image_id: long, w: int, h: int")
+    got = {
+        r["image_id"]: (r["bucket_id"], r["bucket_w"], r["bucket_h"])
+        for r in B.assign_aspect_buckets(df).collect()
+    }
+    assert len(got) == len(IMAGES)
+    for iid, w, h in IMAGES:
+        if not w or not h:
+            assert got[iid] == (-1, None, None)
+            continue
+        want = _serial_assign(w, h)
+        assert got[iid] == (want, *B.BUCKETS[want]), (iid, w, h)
+    # spot-check semantics: exact-aspect inputs land on that aspect
+    assert (got[2][1], got[2][2]) == (2048, 512)
+    assert (got[3][1], got[3][2]) == (512, 2048)
+
+
+def test_plan_is_row_local(spark):
+    df = spark.createDataFrame(IMAGES, "image_id: long, w: int, h: int")
+    plan = (
+        B.assign_aspect_buckets(df)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    for node in ("Exchange", "Join", "Window", "Generate"):
+        assert node not in plan, node
