@@ -58,13 +58,15 @@ _GATE_COST = {
     "exact_duplicates": 0.4, "softmin_token_scores": 0.4,
     "multilabel_ema_scores": 0.5, "normalized_margin_adjusted": 0.5,
     "perplexity": 0.5, "regression_residual": 0.5, "underperforming_group": 0.5,
-    "aspect_buckets": 0.4, "c4_line_clean": 0.5, "dedup_lines": 0.5,
-    "pack_sequences": 0.8, "source_cap_sample": 0.4,
-    "source_mixture_weights": 0.4, "ngram_contamination": 1.0,
-    "c4_span_dedup": 1.5, "gopher_repetition": 1.5,
-    "document_quality_report": 2.0,
-    "winnow_fingerprints": 2.6, "winnow_near_duplicates": 3.2,
-    "winnow_near_duplicate_clusters": 4.5,
+    # r4 full-sweep measured (sf0.01, seconds); first-in-session warmup
+    # discounted for aspect_buckets/dedup_lines which led the sweep
+    "aspect_buckets": 0.5, "c4_line_clean": 0.5, "dedup_lines": 0.9,
+    "pack_sequences": 1.1, "source_cap_sample": 0.6,
+    "source_mixture_weights": 0.8, "ngram_contamination": 1.4,
+    "c4_span_dedup": 1.6, "gopher_repetition": 1.4,
+    "document_quality_report": 1.1,
+    "winnow_fingerprints": 0.6, "winnow_near_duplicates": 1.4,
+    "winnow_near_duplicate_clusters": 2.7,
     "cleanlearning_issue_frame": 0.6, "objectlab_scores": 0.6,
     "phash_near_duplicates": 0.6, "regression_cleanlearning": 0.6,
     "phash_near_duplicate_clusters": 2.5, "minhash_near_duplicate_clusters": 2.8,
