@@ -79,6 +79,8 @@ def ngram_contamination(
     ``contaminated`` is ``n_matched > 0``.  Documents with fewer than
     ``n`` words have zero n-grams and are never contaminated.
     """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
     bench_text_col = bench_text_col or text_col
     # explode_outer + post-Generate null filter, NOT explode: Catalyst's
     # InferFiltersFromGenerate turns plain explode into a size(...)>0
