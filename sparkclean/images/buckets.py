@@ -18,16 +18,24 @@ correctly rounded and therefore bit-identical in the JVM, DuckDB and
 NumPy.  Same argmin for any monotone distance in aspect space; ties
 break on the first bucket in the frozen enumeration order.
 
-Scale shape: entirely row-local — the frozen bucket table is a ~40-
-element literal array folded per row (constant work, no join, no
-shuffle; partitioning inherited from the scan).  At 10^12 images this
-is a projection inside whole-stage codegen.
+Scale shape: entirely row-local, no join/shuffle/window.  The
+production route is ONE Arrow batch kernel — a (rows x 49) NumPy
+broadcast argmin (int64 cross-mult, one float64 division, np.argmin's
+first-min = the idx tie-break).  The Catalyst route (array_min over a
+49-struct literal array) is value-identical but its ~600-node
+expression BLOWS the janino method limit — whole-stage codegen fails
+and every job pays a constant ~2 s interpreted/analysis tax (the
+CLAUDE.md round-2/3 literal-tree hazard, measured here at sf0.01) —
+so it is the small-data/oracle twin only.
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 #: SDXL-style enumeration: 64-px grid, area <= AREA_BUDGET, aspect in
 #: [1/MAX_ASPECT, MAX_ASPECT], sides >= MIN_SIDE.  Frozen at import —
@@ -76,15 +84,62 @@ def _best_bucket(w: Column, h: Column) -> Column:
     return F.array_min(F.array(*entries))
 
 
+_BW = np.array([bw for bw, _ in BUCKETS], dtype=np.int64)
+_BH = np.array([bh for _, bh in BUCKETS], dtype=np.int64)
+
+
+def assign_buckets_np(w: np.ndarray, h: np.ndarray) -> np.ndarray:
+    """Vectorised nearest-bucket indices for int64 (n,) dims, −1 where
+    a dim is non-positive.  Same float64 division and first-min
+    tie-break as the Catalyst and DuckDB routes (all three
+    correctly-rounded IEEE, hence bit-identical)."""
+    ok = (w > 0) & (h > 0)
+    hs = np.where(ok, h, 1)  # keep the masked rows' division finite
+    ws = np.where(ok, w, 1)
+    scores = np.abs(ws[:, None] * _BH[None, :] - hs[:, None] * _BW[None, :]).astype(
+        np.float64
+    ) / (hs[:, None] * _BH[None, :]).astype(np.float64)
+    idx = np.argmin(scores, axis=1)  # first min == lowest bucket index
+    return np.where(ok, idx, -1)
+
+
 def assign_aspect_buckets(
     df: DataFrame,
     w_col: str = "w",
     h_col: str = "h",
     id_col: str = "image_id",
+    use_arrow: bool = True,
 ) -> DataFrame:
     """(id, w, h, bucket_id, bucket_w, bucket_h) per image.  Rows with
     non-positive or null dimensions get bucket_id −1 (null bucket dims)
     so every input row appears in the output."""
+    if use_arrow:
+
+        @pandas_udf("long")
+        def _bucket(w: pd.Series, h: pd.Series) -> pd.Series:
+            wv = w.fillna(0).to_numpy(dtype=np.int64)
+            hv = h.fillna(0).to_numpy(dtype=np.int64)
+            return pd.Series(assign_buckets_np(wv, hv))
+
+        bid = df.withColumn(
+            "_ab_id", _bucket(F.col(w_col), F.col(h_col))
+        )
+        ok = F.col("_ab_id") >= 0
+        bw_arr = F.array(*[F.lit(bw) for bw, _ in BUCKETS])
+        bh_arr = F.array(*[F.lit(bh) for _, bh in BUCKETS])
+        return bid.select(
+            id_col,
+            w_col,
+            h_col,
+            F.col("_ab_id").alias("bucket_id"),
+            F.when(ok, F.element_at(bw_arr, (F.col("_ab_id") + 1).cast("int")))
+            .cast("long")
+            .alias("bucket_w"),
+            F.when(ok, F.element_at(bh_arr, (F.col("_ab_id") + 1).cast("int")))
+            .cast("long")
+            .alias("bucket_h"),
+        )
+
     w = F.col(w_col).cast("long")
     h = F.col(h_col).cast("long")
     ok = w.isNotNull() & h.isNotNull() & (w > 0) & (h > 0)

@@ -38,29 +38,34 @@ def test_bucket_enumeration_is_frozen_and_sane():
 
 def test_assignment_matches_exact_rational_argmin(spark):
     df = spark.createDataFrame(IMAGES, "image_id: long, w: int, h: int")
-    got = {
-        r["image_id"]: (r["bucket_id"], r["bucket_w"], r["bucket_h"])
-        for r in B.assign_aspect_buckets(df).collect()
-    }
-    assert len(got) == len(IMAGES)
-    for iid, w, h in IMAGES:
-        if not w or not h:
-            assert got[iid] == (-1, None, None)
-            continue
-        want = _serial_assign(w, h)
-        assert got[iid] == (want, *B.BUCKETS[want]), (iid, w, h)
-    # spot-check semantics: exact-aspect inputs land on that aspect
-    assert (got[2][1], got[2][2]) == (2048, 512)
-    assert (got[3][1], got[3][2]) == (512, 2048)
+    for use_arrow in (True, False):
+        got = {
+            r["image_id"]: (r["bucket_id"], r["bucket_w"], r["bucket_h"])
+            for r in B.assign_aspect_buckets(df, use_arrow=use_arrow).collect()
+        }
+        assert len(got) == len(IMAGES)
+        for iid, w, h in IMAGES:
+            if not w or not h:
+                assert got[iid] == (-1, None, None)
+                continue
+            want = _serial_assign(w, h)
+            assert got[iid] == (want, *B.BUCKETS[want]), (iid, w, h, use_arrow)
+        # spot-check semantics: exact-aspect inputs land on that aspect
+        assert (got[2][1], got[2][2]) == (2048, 512)
+        assert (got[3][1], got[3][2]) == (512, 2048)
 
 
-def test_plan_is_row_local(spark):
+def test_production_plan_is_one_arrow_stage_no_shuffle(spark):
     df = spark.createDataFrame(IMAGES, "image_id: long, w: int, h: int")
     plan = (
-        B.assign_aspect_buckets(df)
+        B.assign_aspect_buckets(df, use_arrow=True)
         ._jdf.queryExecution()
         .executedPlan()
         .toString()
     )
+    # the 49-struct Catalyst literal tree blows the janino method limit
+    # (codegen falls back to interpreted, ~2 s/job constant tax) — the
+    # production route must be the Arrow kernel instead
+    assert plan.count("ArrowEvalPython") == 1
     for node in ("Exchange", "Join", "Window", "Generate"):
         assert node not in plan, node
