@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from sparkclean import pipeline as pl
 from sparkclean.constants import CONFIDENT_THRESHOLDS_LOWER_BOUND as T_LOWER
 from sparkclean.constants import FLOATING_POINT_COMPARISON as FPC
+from sparkclean.dedup import bloom as dedup_bloom
 from sparkclean.dedup import exact as dedup_exact
 from sparkclean.dedup import hamming as dedup_hamming
 from sparkclean.dedup import minhash as dedup_minhash
@@ -63,6 +64,7 @@ _GATE_COST = {
     "aspect_buckets": 0.5, "c4_line_clean": 0.5, "dedup_lines": 0.9,
     "pack_sequences": 1.1, "source_cap_sample": 0.6,
     "source_mixture_weights": 0.8, "ngram_contamination": 1.4,
+    "bloom_contamination": 1.6,
     "c4_span_dedup": 1.6, "gopher_repetition": 1.4,
     "document_quality_report": 1.1,
     "winnow_fingerprints": 0.6, "winnow_near_duplicates": 1.4,
@@ -1201,6 +1203,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # gate exercises the Arrow production kernel against DuckDB
         return t_gopher.gopher_repetition(_docs(spark, sf))
 
+    def bloom_contamination(spark, sf):
+        # Bloom-filter decontamination (dedup/bloom.py): same bench
+        # slice and 5-grams as ngram_contamination, m=2^14 k=3 so the
+        # ~700 bench grams load the filter enough for the FP path to
+        # be live; both engines build the identical filter, so even
+        # false positives match hash-exactly
+        docs = _docs(spark, sf)
+        return dedup_bloom.bloom_contamination(
+            docs, docs.where(F.col("doc_id") % 49 == 0), n=5, m_bits=14
+        )
+
     def ngram_contamination(spark, sf):
         # GPT-3-style benchmark decontamination (text/contamination.py):
         # the deterministic benchmark slice is doc_id % 49 == 0 (chosen
@@ -1850,6 +1863,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         perplexity=perplexity,
         token_stats=token_stats,
         ngram_contamination=ngram_contamination,
+        bloom_contamination=bloom_contamination,
         aspect_buckets=aspect_buckets,
         dedup_lines=dedup_lines,
         pack_sequences=pack_sequences,
@@ -2976,6 +2990,9 @@ FROM documents"""
     )
     o["dedup_lines"] = t_linededup.dedup_lines_sql(_dl_derived)
     o["pack_sequences"] = t_packing.pack_sequences_sql("documents", budget=256)
+    o["bloom_contamination"] = dedup_bloom.bloom_contamination_sql(
+        "documents", "doc_id % 49 = 0", n=5, m_bits=14
+    )
     o["source_cap_sample"] = t_sampling.source_cap_sample_sql(
         "documents", cap=10
     )
