@@ -64,7 +64,7 @@ _GATE_COST = {
     "aspect_buckets": 0.5, "c4_line_clean": 0.5, "dedup_lines": 0.9,
     "pack_sequences": 1.1, "source_cap_sample": 0.6,
     "source_mixture_weights": 0.8, "ngram_contamination": 1.4,
-    "bloom_contamination": 1.6,
+    "bloom_contamination": 1.6, "chunk_documents": 0.7,
     "c4_span_dedup": 1.6, "gopher_repetition": 1.4,
     "document_quality_report": 1.1,
     "winnow_fingerprints": 0.6, "winnow_near_duplicates": 1.4,
@@ -1271,6 +1271,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             docs.select("doc_id", lines_txt.alias("text"))
         )
 
+    def chunk_documents(spark, sf):
+        # sliding-window chunking (text/packing.py) — RAG/embedding
+        # prep; 16-token windows, stride 12, over the ~30-80-word docs
+        return t_packing.chunk_documents(
+            _docs(spark, sf), chunk_size=16, stride=12
+        )
+
     def pack_sequences(spark, sf):
         # GPT-style token-stream packing (text/packing.py): exclusive
         # stream offsets via the distributed prefix sum, budget 256 so
@@ -1866,6 +1873,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         bloom_contamination=bloom_contamination,
         aspect_buckets=aspect_buckets,
         dedup_lines=dedup_lines,
+        chunk_documents=chunk_documents,
         pack_sequences=pack_sequences,
         source_cap_sample=source_cap_sample,
         source_mixture_weights=source_mixture_weights,
@@ -2989,6 +2997,9 @@ FROM documents"""
         id_col="doc_id",
     )
     o["dedup_lines"] = t_linededup.dedup_lines_sql(_dl_derived)
+    o["chunk_documents"] = t_packing.chunk_documents_sql(
+        "documents", chunk_size=16, stride=12
+    )
     o["pack_sequences"] = t_packing.pack_sequences_sql("documents", budget=256)
     o["bloom_contamination"] = dedup_bloom.bloom_contamination_sql(
         "documents", "doc_id % 49 = 0", n=5, m_bits=14

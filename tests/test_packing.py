@@ -62,6 +62,46 @@ def test_pack_sequences_matches_serial_oracle(spark):
         assert got == _serial_pack(budget), f"budget={budget}"
 
 
+def _serial_chunks(chunk, stride):
+    out = {}
+    for i, text in sorted(DOCS):
+        w = words_py(text or "")
+        if not w:
+            continue
+        nc = 1 + max(0, -(-(max(len(w) - chunk, 0)) // stride))
+        for c in range(nc):
+            s = c * stride
+            out[(i, c)] = (" ".join(w[s : s + chunk]), min(chunk, len(w) - s))
+    return out
+
+
+def test_chunk_documents_matches_serial_oracle(spark):
+    for chunk, stride in ((5, 3), (8, 8), (64, 48)):
+        got = {
+            (r["doc_id"], r["chunk_id"]): (r["chunk_text"], r["n_tokens"])
+            for r in P.chunk_documents(
+                _docs_df(spark), chunk_size=chunk, stride=stride
+            ).collect()
+        }
+        assert got == _serial_chunks(chunk, stride), (chunk, stride)
+    # empty and null docs (40, 41) produce no rows
+    ids = {
+        r["doc_id"]
+        for r in P.chunk_documents(_docs_df(spark), 5, 3).collect()
+    }
+    assert 40 not in ids and 41 not in ids
+
+
+def test_chunk_plan_is_row_local_without_split_reinline(spark):
+    out = P.chunk_documents(_docs_df(spark), chunk_size=5, stride=3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Join" not in plan
+    # explode_outer keeps the inferred filter off the split chain
+    for line in plan.splitlines():
+        if "Filter" in line and "split(" in line:
+            raise AssertionError(f"split re-inlined into a Filter: {line[:200]}")
+
+
 def test_plan_has_no_unpartitioned_data_window(spark):
     out = P.pack_sequences(_docs_df(spark), budget=64)
     plan = out._jdf.queryExecution().executedPlan().toString()
