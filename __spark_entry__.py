@@ -22,6 +22,7 @@ from sparkclean import pipeline as pl
 from sparkclean.constants import CONFIDENT_THRESHOLDS_LOWER_BOUND as T_LOWER
 from sparkclean.constants import FLOATING_POINT_COMPARISON as FPC
 from sparkclean.dedup import bloom as dedup_bloom
+from sparkclean.dedup import cms as dedup_cms
 from sparkclean.dedup import exact as dedup_exact
 from sparkclean.dedup import hamming as dedup_hamming
 from sparkclean.dedup import minhash as dedup_minhash
@@ -65,6 +66,7 @@ _GATE_COST = {
     "pack_sequences": 1.1, "source_cap_sample": 0.6,
     "source_mixture_weights": 0.8, "ngram_contamination": 1.4,
     "bloom_contamination": 1.6, "chunk_documents": 0.7,
+    "cms_gram_frequency": 1.2,
     "c4_span_dedup": 1.6, "gopher_repetition": 1.4,
     "document_quality_report": 1.1,
     "winnow_fingerprints": 0.6, "winnow_near_duplicates": 1.4,
@@ -1214,6 +1216,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             docs, docs.where(F.col("doc_id") % 49 == 0), n=5, m_bits=14
         )
 
+    def cms_gram_frequency(spark, sf):
+        # count-min sketch corpus 3-gram frequencies (dedup/cms.py):
+        # per doc the estimated count of its most-repeated gram; both
+        # engines build the identical k x 2^12 counter table, so even
+        # the CMS overcounts match hash-exactly
+        return dedup_cms.cms_gram_frequency(
+            _docs(spark, sf), n=3, m_bits=12, k=4
+        )
+
     def ngram_contamination(spark, sf):
         # GPT-3-style benchmark decontamination (text/contamination.py):
         # the deterministic benchmark slice is doc_id % 49 == 0 (chosen
@@ -1871,6 +1882,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         token_stats=token_stats,
         ngram_contamination=ngram_contamination,
         bloom_contamination=bloom_contamination,
+        cms_gram_frequency=cms_gram_frequency,
         aspect_buckets=aspect_buckets,
         dedup_lines=dedup_lines,
         chunk_documents=chunk_documents,
@@ -3003,6 +3015,9 @@ FROM documents"""
     o["pack_sequences"] = t_packing.pack_sequences_sql("documents", budget=256)
     o["bloom_contamination"] = dedup_bloom.bloom_contamination_sql(
         "documents", "doc_id % 49 = 0", n=5, m_bits=14
+    )
+    o["cms_gram_frequency"] = dedup_cms.cms_gram_frequency_sql(
+        "documents", n=3, m_bits=12, k=4
     )
     o["source_cap_sample"] = t_sampling.source_cap_sample_sql(
         "documents", cap=10

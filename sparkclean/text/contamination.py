@@ -43,12 +43,14 @@ DEFAULT_N = 8
 
 
 def _with_gram_hashes(
-    df: DataFrame, text_col: str, n: int, out_col: str
+    df: DataFrame, text_col: str, n: int, out_col: str, distinct: bool = True
 ) -> DataFrame:
-    """Adds ``out_col`` = distinct n-gram hash array.  Two projections:
-    the words array is materialised first so the per-gram lambda only
-    does O(n) ``element_at`` lookups on an attribute (never re-splitting
-    the text per element — the interpreted-HOF O(n^2) hazard)."""
+    """Adds ``out_col`` = n-gram hash array (distinct by default;
+    ``distinct=False`` keeps every occurrence — frequency consumers like
+    the count-min sketch need multiplicities).  Two projections: the
+    words array is materialised first so the per-gram lambda only does
+    O(n) ``element_at`` lookups on an attribute (never re-splitting the
+    text per element — the interpreted-HOF O(n^2) hazard)."""
     base = df.withColumn(
         "_ng_w", words_col(F.coalesce(F.col(text_col), F.lit("")))
     )
@@ -61,7 +63,9 @@ def _with_gram_hashes(
     grams = F.when(
         m >= 1, F.transform(F.sequence(F.lit(1), m), _gram_at)
     ).otherwise(F.array().cast("array<long>"))
-    return base.withColumn(out_col, F.array_distinct(grams)).drop("_ng_w")
+    if distinct:
+        grams = F.array_distinct(grams)
+    return base.withColumn(out_col, grams).drop("_ng_w")
 
 
 def ngram_contamination(
