@@ -62,11 +62,11 @@ _GATE_COST = {
     "perplexity": 0.5, "regression_residual": 0.5, "underperforming_group": 0.5,
     # r4 full-sweep measured (sf0.01, seconds); first-in-session warmup
     # discounted for aspect_buckets/dedup_lines which led the sweep
-    "aspect_buckets": 0.5, "c4_line_clean": 0.5, "dedup_lines": 0.9,
-    "pack_sequences": 1.1, "source_cap_sample": 0.6,
-    "source_mixture_weights": 0.8, "ngram_contamination": 1.4,
-    "bloom_contamination": 1.6, "chunk_documents": 0.7,
-    "cms_gram_frequency": 1.2,
+    "aspect_buckets": 0.5, "c4_line_clean": 0.5, "dedup_lines": 0.6,
+    "pack_sequences": 1.1, "source_cap_sample": 0.4,
+    "source_mixture_weights": 0.6, "ngram_contamination": 1.1,
+    "bloom_contamination": 0.8, "chunk_documents": 0.6,
+    "cms_gram_frequency": 1.3,
     "c4_span_dedup": 1.6, "gopher_repetition": 1.4,
     "document_quality_report": 1.1,
     "winnow_fingerprints": 0.6, "winnow_near_duplicates": 1.4,
