@@ -64,6 +64,7 @@ _GATE_COST = {
     # discounted for aspect_buckets/dedup_lines which led the sweep
     "aspect_buckets": 0.5, "c4_line_clean": 0.5, "dedup_lines": 0.6,
     "pack_sequences": 1.1, "source_cap_sample": 0.4,
+    "corpus_sample": 0.4, "hash_fraction_sample": 0.3,
     "source_mixture_weights": 0.6, "ngram_contamination": 1.1,
     "bloom_contamination": 0.8, "chunk_documents": 0.6,
     "cms_gram_frequency": 1.3,
@@ -1301,6 +1302,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # source holds — full-output form so the oracle sees every row
         return t_sampling.source_cap_sample(_docs(spark, sf), cap=10)
 
+    def corpus_sample(spark, sf):
+        # deterministic uniform corpus sample: 50 lowest hash60(id) —
+        # TakeOrderedAndProject, layout-independent (text/sampling.py)
+        return t_sampling.corpus_sample(_docs(spark, sf), size=50)
+
+    def hash_fraction_sample(spark, sf):
+        # replay-safe Bernoulli-by-hash df.sample analogue, p = 0.2
+        return t_sampling.hash_fraction_sample(_docs(spark, sf), 0.2)
+
     def source_mixture_weights(spark, sf):
         # per-source token shares + uniform-target DoReMi-style weights
         return t_sampling.source_mixture_weights(_docs(spark, sf))
@@ -1888,6 +1898,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         chunk_documents=chunk_documents,
         pack_sequences=pack_sequences,
         source_cap_sample=source_cap_sample,
+        corpus_sample=corpus_sample,
+        hash_fraction_sample=hash_fraction_sample,
         source_mixture_weights=source_mixture_weights,
         c4_line_clean=c4_line_clean,
         c4_span_dedup=c4_span_dedup,
@@ -3021,6 +3033,10 @@ FROM documents"""
     )
     o["source_cap_sample"] = t_sampling.source_cap_sample_sql(
         "documents", cap=10
+    )
+    o["corpus_sample"] = t_sampling.corpus_sample_sql("documents", size=50)
+    o["hash_fraction_sample"] = t_sampling.hash_fraction_sample_sql(
+        "documents", 0.2
     )
     o["source_mixture_weights"] = t_sampling.source_mixture_weights_sql(
         "documents"

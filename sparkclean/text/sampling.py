@@ -82,6 +82,78 @@ FROM {table}
 """
 
 
+def corpus_sample(
+    df: DataFrame,
+    size: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic uniform corpus sample of exactly ``size`` rows
+    (fewer if the corpus is smaller): the ``size`` lowest ids under the
+    seeded hash60 order, ties by id.  (id, sample_key) rows.
+
+    Scale shape: ORDER BY + LIMIT plans as TakeOrderedAndProject —
+    every task keeps a ``size``-bounded heap and only those survivors
+    reach the driver-side merge; no global sort, no shuffle of the
+    corpus (plan-asserted).  Hash order makes the sample independent of
+    physical layout — stable across repartitions, resumes and replays,
+    unlike ``df.limit`` (arbitrary rows) or ``rand()`` (different every
+    run)."""
+    if size < 1:
+        raise ValueError(f"size must be >= 1, got {size}")
+    key = hash60_col(F.col(id_col).cast("string"))
+    return (
+        df.select(id_col, key.alias("sample_key"))
+        .orderBy(F.col("sample_key").asc(), F.col(id_col).asc())
+        .limit(size)
+    )
+
+
+def corpus_sample_sql(table: str, size: int, id_col: str = "doc_id") -> str:
+    """DuckDB twin of :func:`corpus_sample`."""
+    h = hash60_sql(f"{id_col}::VARCHAR")
+    return f"""
+SELECT {id_col}, {h} AS sample_key
+FROM {table}
+ORDER BY sample_key, {id_col}
+LIMIT {size}
+"""
+
+
+def hash_fraction_sample(
+    df: DataFrame,
+    fraction: float,
+    id_col: str = "doc_id",
+    denominator: int = 1_000_000,
+) -> DataFrame:
+    """Deterministic Bernoulli-by-hash sampling: (id, kept) where
+    ``kept = hash60(id) mod denominator < round(fraction*denominator)``
+    — the replay-safe analogue of ``df.sample(fraction)`` (same rows
+    every run, on every cluster, after every resume).  Row-local, no
+    shuffle."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    cut = round(fraction * denominator)
+    key = hash60_col(F.col(id_col).cast("string"))
+    return df.select(
+        id_col, (key % denominator < cut).alias("kept")
+    )
+
+
+def hash_fraction_sample_sql(
+    table: str,
+    fraction: float,
+    id_col: str = "doc_id",
+    denominator: int = 1_000_000,
+) -> str:
+    """DuckDB twin of :func:`hash_fraction_sample`."""
+    cut = round(fraction * denominator)
+    h = hash60_sql(f"{id_col}::VARCHAR")
+    return f"""
+SELECT {id_col}, ({h} % {denominator}) < {cut} AS kept
+FROM {table}
+"""
+
+
 def source_mixture_weights(
     df: DataFrame,
     source_col: str = "source",

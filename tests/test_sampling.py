@@ -48,6 +48,46 @@ def test_kept_only_matches_full_form_and_prunes_in_plan(spark):
     assert "WindowGroupLimit" in plan
 
 
+def test_corpus_sample_is_top_n_by_hash_and_plan_is_heap_based(spark):
+    df = _docs_df(spark)
+    out = S.corpus_sample(df, size=7)
+    rows = out.collect()
+    assert len(rows) == 7
+    keys = [r["sample_key"] for r in rows]
+    assert keys == sorted(keys)
+    # layout independence: same sample after an adversarial repartition
+    again = {
+        r["doc_id"] for r in S.corpus_sample(df.repartition(13), size=7).collect()
+    }
+    assert again == {r["doc_id"] for r in rows}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan  # heap-based top-N, never a global sort
+
+
+def test_hash_fraction_sample_deterministic_and_row_local(spark):
+    df = _docs_df(spark)
+    out = {r["doc_id"]: r["kept"] for r in S.hash_fraction_sample(df, 0.3).collect()}
+    assert len(out) == len(DOCS)
+    again = {
+        r["doc_id"]: r["kept"]
+        for r in S.hash_fraction_sample(df.repartition(5), 0.3).collect()
+    }
+    assert out == again
+    assert 0 < sum(out.values()) < len(out)  # neither all nor none at p=0.3
+    assert all(
+        not r["kept"] for r in S.hash_fraction_sample(df, 0.0).collect()
+    )
+    assert all(r["kept"] for r in S.hash_fraction_sample(df, 1.0).collect())
+    plan = (
+        S.hash_fraction_sample(df, 0.3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+
+
 def test_mixture_weights_twin_agreement(spark):
     df = _docs_df(spark)
     got = sorted(tuple(r) for r in S.source_mixture_weights(df).collect())
