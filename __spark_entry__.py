@@ -67,7 +67,7 @@ _GATE_COST = {
     "corpus_sample": 0.4, "hash_fraction_sample": 0.3,
     "source_mixture_weights": 0.6, "ngram_contamination": 1.1,
     "bloom_contamination": 0.8, "chunk_documents": 0.6,
-    "cms_gram_frequency": 1.3,
+    "cms_gram_frequency": 1.3, "document_prep_pipeline": 2.6,
     "c4_span_dedup": 1.6, "gopher_repetition": 1.4,
     "document_quality_report": 1.1,
     "winnow_fingerprints": 0.6, "winnow_near_duplicates": 1.4,
@@ -1189,6 +1189,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the already-verified operator/oracle pairs
         return t_report.document_quality_report(_docs(spark, sf))
 
+    def document_prep_pipeline(spark, sf):
+        # the full text-axis prep flow (text/report.py): C4 clean ->
+        # gopher keep -> line dedup -> decontaminate -> domain cap ->
+        # pack; both sides compose the verified operator/oracle pairs.
+        # The punctuation-free soup corpus would fail C4's sentence
+        # vetoes wholesale, so both twins derive identical sentence
+        # breaks first (hot words -> trailing '.', final '.'), the
+        # c4_span_dedup gate pattern
+        t = F.col("text")
+        for w in ("table", "value", "part"):
+            t = F.replace(t, F.lit(f" {w} "), F.lit(f" {w}. "))
+        docs = _docs(spark, sf).select(
+            "doc_id", "source", F.concat(t, F.lit(".")).alias("text")
+        )
+        return t_report.document_prep_pipeline(docs)
+
     def c4_span_dedup(spark, sf):
         # C4 corpus-level three-sentence-span dedup; the word-soup corpus
         # has no sentence punctuation, so both twins derive identical
@@ -1893,6 +1909,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ngram_contamination=ngram_contamination,
         bloom_contamination=bloom_contamination,
         cms_gram_frequency=cms_gram_frequency,
+        document_prep_pipeline=document_prep_pipeline,
         aspect_buckets=aspect_buckets,
         dedup_lines=dedup_lines,
         chunk_documents=chunk_documents,
@@ -3030,6 +3047,14 @@ FROM documents"""
     )
     o["cms_gram_frequency"] = dedup_cms.cms_gram_frequency_sql(
         "documents", n=3, m_bits=12, k=4
+    )
+    o["document_prep_pipeline"] = t_report.document_prep_pipeline_sql(
+        """(
+  SELECT doc_id, source,
+         replace(replace(replace(text, ' table ', ' table. '),
+                 ' value ', ' value. '), ' part ', ' part. ') || '.' AS text
+  FROM documents
+) pp0"""
     )
     o["source_cap_sample"] = t_sampling.source_cap_sample_sql(
         "documents", cap=10

@@ -88,3 +88,119 @@ FROM (
 )
 GROUP BY rule
 """
+
+
+# ------------------------------------------------ end-to-end prep pipeline
+
+def document_prep_pipeline(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """The full training-data prep flow as ONE composition of verified
+    operators — the text-axis counterpart of the image keep-drop bench
+    pipeline:
+
+    1. C4 line cleaning rewrites each page; its page vetoes gate;
+    2. Gopher repetition thresholds gate the CLEANED text;
+    3. within-document line dedup rewrites the survivors' text;
+    4. GPT-style benchmark decontamination (bench slice
+       ``id % 49 == 0`` over the rewritten corpus) drops contaminated
+       docs;
+    5. a per-domain cap (10, seeded hash order) bounds each source;
+    6. the survivors pack into 256-token training sequences
+       (distributed prefix sum).
+
+    Output: (id, n_tokens, stream_offset, bin_id, n_bins_spanned) for
+    every surviving document.  Like document_quality_report, BOTH
+    sides compose the already-verified operator/oracle pairs (id-keyed
+    joins of operator outputs + filters), so the composition adds no
+    new twin-sync surface.  Scale shape: each stage keeps its own
+    audited plan; the glue is id-equi joins of id+flag frames and one
+    broadcast of the id+source dimension columns.
+    """
+    from . import contamination as _contam
+    from . import linededup as _linededup
+    from . import packing as _packing
+    from . import sampling as _sampling
+
+    c4 = _c4.c4_line_clean(df, text_col, id_col).select(
+        id_col, "cleaned", F.col("keep").alias("_pp_c4_keep")
+    )
+    cleaned = c4.select(id_col, F.col("cleaned").alias("text"))
+    gk = _gopher.gopher_repetition(cleaned, "text", id_col).select(
+        id_col, F.col("keep").alias("_pp_gph_keep")
+    )
+    dl = _linededup.dedup_lines(cleaned, "text", id_col).select(
+        id_col, "deduped_text"
+    )
+    deduped = dl.select(id_col, F.col("deduped_text").alias("text"))
+    ct = _contam.ngram_contamination(
+        deduped, deduped.where(F.col(id_col) % 49 == 0), n=5,
+        text_col="text", id_col=id_col,
+    ).select(id_col, "contaminated")
+    surv = (
+        c4.join(gk, id_col)
+        .join(dl, id_col)
+        .join(ct, id_col)
+        .where(
+            F.col("_pp_c4_keep")
+            & F.col("_pp_gph_keep")
+            & ~F.col("contaminated")
+        )
+        .join(F.broadcast(df.select(id_col, "source")), id_col)
+        .select(id_col, "deduped_text", "source")
+    )
+    capped = _sampling.source_cap_sample(
+        surv, cap=10, source_col="source", id_col=id_col, kept_only=True
+    ).select(id_col)
+    final = surv.join(capped, id_col).select(
+        id_col, F.col("deduped_text").alias("text")
+    )
+    return _packing.pack_sequences(final, budget=256, text_col="text", id_col=id_col)
+
+
+def document_prep_pipeline_sql(
+    table: str, text_col: str = "text", id_col: str = "doc_id"
+) -> str:
+    """DuckDB twin of :func:`document_prep_pipeline` — composes the
+    operator oracles verbatim as nested CTEs."""
+    from . import contamination as _contam
+    from . import linededup as _linededup
+    from . import packing as _packing
+    from . import sampling as _sampling
+
+    gph = _gopher.gopher_repetition_sql(
+        f"(SELECT {id_col}, cleaned AS text FROM pp_c4) g0", "text", id_col
+    )
+    dl = _linededup.dedup_lines_sql(
+        f"(SELECT {id_col}, cleaned AS text FROM pp_c4) d0", "text", id_col
+    )
+    ct = _contam.ngram_contamination_sql(
+        f"(SELECT {id_col}, deduped_text AS text FROM pp_dl) c0",
+        f"{id_col} % 49 = 0", n=5, text_col="text", id_col=id_col,
+    )
+    cap = _sampling.source_cap_sample_sql(
+        f"(SELECT {id_col}, source FROM pp_surv) s0", cap=10,
+        source_col="source", id_col=id_col,
+    )
+    pack = _packing.pack_sequences_sql(
+        f"""(SELECT s.{id_col}, s.deduped_text AS text
+   FROM pp_surv s JOIN pp_cap k ON k.{id_col} = s.{id_col} AND k.kept) p0""",
+        budget=256, text_col="text", id_col=id_col,
+    )
+    return f"""
+WITH pp_c4 AS MATERIALIZED ({_c4.c4_line_clean_sql(table, text_col, id_col)}),
+pp_gph AS MATERIALIZED ({gph}),
+pp_dl AS MATERIALIZED ({dl}),
+pp_ct AS MATERIALIZED ({ct}),
+pp_surv AS MATERIALIZED (
+  SELECT c.{id_col}, d.deduped_text, doc.source
+  FROM pp_c4 c
+  JOIN pp_gph g ON g.{id_col} = c.{id_col}
+  JOIN pp_dl d ON d.{id_col} = c.{id_col}
+  JOIN pp_ct t ON t.{id_col} = c.{id_col}
+  JOIN (SELECT {id_col}, source FROM {table}) doc ON doc.{id_col} = c.{id_col}
+  WHERE c.keep AND g.keep AND NOT t.contaminated
+),
+pp_cap AS MATERIALIZED ({cap})
+SELECT * FROM ({pack}) pp_final
+"""

@@ -219,3 +219,41 @@ def test_plan_shape(spark):
         .toString()
     )
     assert "CartesianProduct" not in span
+
+
+def test_document_prep_pipeline_composition(spark):
+    """End-to-end prep composition: survivors are packed exactly once,
+    per-source cap holds, and the twin agrees on a sentence-ful fixture."""
+    import duckdb
+
+    from sparkclean.text.report import (
+        document_prep_pipeline,
+        document_prep_pipeline_sql,
+    )
+
+    rows = []
+    for i in range(30):
+        # three 6-word sentences -> passes C4 line + page gates
+        body = " ".join(f"w{i}x{j} alpha beta gamma delta end." for j in range(3))
+        rows.append((i, body, f"s{i % 2}"))
+    rows.append((30, "no terminal punctuation here at all", "s0"))  # C4-dropped
+    rows.append((31, None, "s1"))
+    df = spark.createDataFrame(rows, "doc_id: long, text: string, source: string")
+    out = document_prep_pipeline(df).collect()
+    ids = [r["doc_id"] for r in out]
+    assert 30 not in ids and 31 not in ids
+    assert len(ids) == len(set(ids))
+    # cap=10 per source over the two sources
+    assert len(ids) <= 20
+    offs = sorted((r["stream_offset"], r["n_tokens"]) for r in out)
+    run = 0
+    for off, n in offs:  # offsets form one contiguous packed stream
+        assert off == run
+        run += n
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR, source VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?, ?)", rows)
+    want = sorted(
+        tuple(r) for r in con.sql(document_prep_pipeline_sql("documents")).fetchall()
+    )
+    assert sorted(tuple(r) for r in out) == want
