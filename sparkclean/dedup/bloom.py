@@ -110,6 +110,24 @@ def bloom_contamination(
     words = build_bloom_words(
         np.array([r["p"] for r in pos_rows], dtype=np.int64), m_bits
     )
+    return with_bloom_flags(
+        df, words, n=n, m_bits=m_bits, k=k, text_col=text_col, id_col=id_col
+    )
+
+
+def with_bloom_flags(
+    df: DataFrame,
+    words: np.ndarray,
+    n: int,
+    m_bits: int = M_BITS_DEFAULT,
+    k: int = K_DEFAULT,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Membership pass against a PREBUILT filter — a stateless Arrow
+    projection, so it applies unchanged to a Structured Streaming
+    DataFrame (the filter is a closure constant; build it batch-side
+    with :func:`build_bloom_words`, then flag the stream)."""
 
     @pandas_udf("long")
     def _count_members(ghs: pd.Series) -> pd.Series:

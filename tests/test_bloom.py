@@ -100,3 +100,41 @@ def test_membership_plan_has_no_join_no_shuffle(spark):
     assert plan.count("ArrowEvalPython") == 1
     for node in ("Exchange", "Join"):
         assert node not in plan, node
+
+
+def test_with_bloom_flags_applies_to_a_stream(spark, tmp_path):
+    """The membership pass is a stateless projection: a prebuilt filter
+    flags a Structured Streaming source identically to the batch path."""
+    from sparkclean.dedup.bloom import (
+        _bench_positions,
+        build_bloom_words,
+        with_bloom_flags,
+    )
+
+    df = _docs_df(spark)
+    bench = df.where(df.doc_id == 0)
+    pos = np.array(
+        [r["p"] for r in _bench_positions(bench, 5, 12, 3, "text").collect()],
+        dtype=np.int64,
+    )
+    words = build_bloom_words(pos, 12)
+    want = sorted(
+        tuple(r) for r in with_bloom_flags(df, words, n=5, m_bits=12, k=3).collect()
+    )
+    src = str(tmp_path / "bloom_stream_src")
+    df.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    flagged = with_bloom_flags(stream, words, n=5, m_bits=12, k=3)
+    assert flagged.isStreaming
+    q = (
+        flagged.writeStream.format("memory")
+        .queryName("bloom_stream_out")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "bloom_ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        tuple(r) for r in spark.sql("SELECT * FROM bloom_stream_out").collect()
+    )
+    assert got == want
