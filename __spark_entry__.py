@@ -45,6 +45,7 @@ from sparkclean.text import langid as t_langid
 from sparkclean.text import ppl as t_ppl
 from sparkclean.text import rules as t_rules
 from sparkclean.text import scrub as t_scrub
+from sparkclean.text import tfidf as t_tfidf
 from sparkclean.text import tokenize as t_tok
 from sparkclean.text import winnow as t_winnow
 
@@ -68,6 +69,7 @@ _GATE_COST = {
     "source_mixture_weights": 0.6, "ngram_contamination": 1.1,
     "bloom_contamination": 0.8, "chunk_documents": 0.6,
     "cms_gram_frequency": 1.3, "document_prep_pipeline": 2.6,
+    "top_tfidf_terms": 1.0,
     "c4_span_dedup": 1.6, "gopher_repetition": 1.4,
     "document_quality_report": 1.1,
     "winnow_fingerprints": 0.6, "winnow_near_duplicates": 1.4,
@@ -1233,6 +1235,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             docs, docs.where(F.col("doc_id") % 49 == 0), n=5, m_bits=14
         )
 
+    def top_tfidf_terms(spark, sf):
+        # per-doc top-3 TF-IDF keywords (text/tfidf.py); the rank<=3
+        # filter rides WindowGroupLimit pushdown
+        return t_tfidf.top_tfidf_terms(_docs(spark, sf), n_terms=3)
+
     def cms_gram_frequency(spark, sf):
         # count-min sketch corpus 3-gram frequencies (dedup/cms.py):
         # per doc the estimated count of its most-repeated gram; both
@@ -1910,6 +1917,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         bloom_contamination=bloom_contamination,
         cms_gram_frequency=cms_gram_frequency,
         document_prep_pipeline=document_prep_pipeline,
+        top_tfidf_terms=top_tfidf_terms,
         aspect_buckets=aspect_buckets,
         dedup_lines=dedup_lines,
         chunk_documents=chunk_documents,
@@ -3048,6 +3056,7 @@ FROM documents"""
     o["cms_gram_frequency"] = dedup_cms.cms_gram_frequency_sql(
         "documents", n=3, m_bits=12, k=4
     )
+    o["top_tfidf_terms"] = t_tfidf.top_tfidf_terms_sql("documents", n_terms=3)
     o["document_prep_pipeline"] = t_report.document_prep_pipeline_sql(
         """(
   SELECT doc_id, source,
