@@ -69,7 +69,7 @@ _GATE_COST = {
     "source_mixture_weights": 0.6, "ngram_contamination": 1.1,
     "bloom_contamination": 0.8, "chunk_documents": 0.6,
     "cms_gram_frequency": 1.3, "document_prep_pipeline": 2.6,
-    "top_tfidf_terms": 1.0,
+    "top_tfidf_terms": 1.0, "minhash_best_representatives": 3.0,
     "c4_span_dedup": 1.6, "gopher_repetition": 1.4,
     "document_quality_report": 1.1,
     "winnow_fingerprints": 0.6, "winnow_near_duplicates": 1.4,
@@ -1235,6 +1235,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             docs, docs.where(F.col("doc_id") % 49 == 0), n=5, m_bits=14
         )
 
+    def minhash_best_representatives(spark, sf):
+        # keep-best-quality-per-cluster dedup policy over the verified
+        # minhash cluster graph (dedup/minhash.py)
+        return dedup_minhash.near_duplicate_best_representatives(
+            _docs(spark, sf), "text", "doc_id", 0.8
+        )
+
     def top_tfidf_terms(spark, sf):
         # per-doc top-3 TF-IDF keywords (text/tfidf.py); the rank<=3
         # filter rides WindowGroupLimit pushdown
@@ -1918,6 +1925,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         cms_gram_frequency=cms_gram_frequency,
         document_prep_pipeline=document_prep_pipeline,
         top_tfidf_terms=top_tfidf_terms,
+        minhash_best_representatives=minhash_best_representatives,
         aspect_buckets=aspect_buckets,
         dedup_lines=dedup_lines,
         chunk_documents=chunk_documents,
@@ -3057,6 +3065,11 @@ FROM documents"""
         "documents", n=3, m_bits=12, k=4
     )
     o["top_tfidf_terms"] = t_tfidf.top_tfidf_terms_sql("documents", n_terms=3)
+    o["minhash_best_representatives"] = (
+        dedup_minhash.near_duplicate_best_representatives_sql(
+            "documents", "text", "doc_id", 0.8
+        )
+    )
     o["document_prep_pipeline"] = t_report.document_prep_pipeline_sql(
         """(
   SELECT doc_id, source,

@@ -249,3 +249,73 @@ def near_duplicate_clusters_sql(
     return components_sql(
         near_duplicate_pairs_sql(table, text_col, id_col, threshold), table, id_col
     )
+
+
+def near_duplicate_best_representatives(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Keep-BEST-per-cluster dedup policy: (id, cluster_rep,
+    cluster_size, quality, keep) where ``keep`` marks each cluster's
+    highest-quality member (production dedup keeps the best document,
+    not the lowest id).  Quality is the documented composite
+    ``alpha_ratio - repetition_ratio`` (more alphabetic, less repeated
+    — sparkclean.text.rules exprs; swap for a model score in
+    production); ties break on id ASC; quality is compared unrounded
+    and reported 6dp-rounded.
+
+    Scale shape: the verified component loop plus one id-equi join of
+    the quality projection and one (cluster_rep)-keyed argmin agg +
+    join back — the argmin is ``min(struct(-quality, id))``, a
+    map-side-combinable aggregate (no per-cluster window)."""
+    from ..text.rules import alpha_ratio_col, repetition_ratio_col
+
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    quality = (alpha_ratio_col(t) - repetition_ratio_col(t)).alias("_q")
+    clusters = near_duplicate_clusters(df, text_col, id_col, threshold, max_iter)
+    scored = clusters.join(df.select(id_col, quality), id_col)
+    best = scored.groupBy("cluster_rep").agg(
+        F.min(
+            F.struct((-F.col("_q")).alias("nq"), F.col(id_col).alias("bid"))
+        ).alias("_b")
+    )
+    return scored.join(best, "cluster_rep").select(
+        id_col,
+        "cluster_rep",
+        "cluster_size",
+        F.round("_q", 6).alias("quality"),
+        (F.col(id_col) == F.col("_b.bid")).alias("keep"),
+    )
+
+
+def near_duplicate_best_representatives_sql(
+    table: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+) -> str:
+    """DuckDB twin of :func:`near_duplicate_best_representatives`."""
+    from ..text.rules import quality_features_sql_exprs
+
+    ex = quality_features_sql_exprs(f"coalesce({text_col}, '')")
+    return f"""
+WITH nbr_clusters AS MATERIALIZED (
+{near_duplicate_clusters_sql(table, text_col, id_col, threshold)}
+), nbr_scored AS MATERIALIZED (
+  SELECT c.{id_col}, c.cluster_rep, c.cluster_size,
+         ({ex["alpha_ratio"]}) - ({ex["repetition_ratio"]}) AS q
+  FROM nbr_clusters c JOIN {table} d ON d.{id_col} = c.{id_col}
+), nbr_ranked AS (
+  SELECT {id_col}, cluster_rep, cluster_size, q,
+         row_number() OVER (
+             PARTITION BY cluster_rep ORDER BY q DESC, {id_col} ASC
+         ) AS rn
+  FROM nbr_scored
+)
+SELECT {id_col}, cluster_rep, cluster_size,
+       round(q, 6) AS quality, rn = 1 AS keep
+FROM nbr_ranked
+"""

@@ -235,3 +235,45 @@ def test_plan_has_no_reinlined_chain_and_no_cartesian(spark):
         .toString()
     )
     assert "CartesianProduct" not in pair_plan
+
+
+def test_minhash_best_representative_prefers_quality_over_id(spark):
+    """Keep-best policy: in a planted near-dup cluster the cleaner
+    (higher alpha_ratio - repetition_ratio) document wins even with the
+    HIGHER id; ties elsewhere keep singletons."""
+    import duckdb
+
+    from sparkclean.dedup.minhash import (
+        near_duplicate_best_representatives,
+        near_duplicate_best_representatives_sql,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
+    rows = [
+        (0, base + "9999 !!!"),  # noisy copy, low id
+        (1, base + "lambda"),  # clean copy, high id
+        (2, "a totally different standalone document about nothing"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    got = {
+        r["doc_id"]: (r["cluster_rep"], r["cluster_size"], r["keep"])
+        for r in near_duplicate_best_representatives(df, threshold=0.5).collect()
+    }
+    assert got[0][1] == 2 and got[1][1] == 2  # planted pair clusters
+    assert got[0][0] == got[1][0] == 0  # rep is still min-id (labels)
+    assert not got[0][2] and got[1][2]  # but the KEEPER is the clean doc
+    assert got[2] == (2, 1, True)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    want = sorted(
+        tuple(r)
+        for r in con.sql(
+            near_duplicate_best_representatives_sql("documents", threshold=0.5)
+        ).fetchall()
+    )
+    spark_rows = sorted(
+        tuple(r)
+        for r in near_duplicate_best_representatives(df, threshold=0.5).collect()
+    )
+    assert spark_rows == want
