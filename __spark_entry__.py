@@ -3040,8 +3040,8 @@ FROM documents"""
                             i -> array_to_string(w[i:i+1], ' ')),
              chr(10)) ELSE '' END AS text
   FROM (SELECT doc_id,
-               CASE WHEN trim(text) = '' THEN []::VARCHAR[]
-                    ELSE string_split_regex(trim(text), '\\s+') END AS w
+               CASE WHEN trim(text, ' ') = '' THEN []::VARCHAR[]
+                    ELSE string_split_regex(trim(text, ' '), '[ \\t\\n\\x0B\\f\\r]+') END AS w
         FROM documents) dlw
 ) dl"""
     o["aspect_buckets"] = img_buckets.assign_aspect_buckets_sql(
@@ -3295,7 +3295,7 @@ FROM dobs o CROSS JOIN pv CROSS JOIN cnts c"""
     )
     o["softmin_token_scores"] = f"""
 SELECT doc_id, round({softmin_sql(tok_scores)}, 6) AS sentence_score
-FROM documents WHERE length(trim(text)) > 0"""
+FROM documents WHERE length(trim(text, ' ')) > 0"""
 
     given = "list_sort([label::INT, ((label + 3) % 10)::INT])"
     o["multilabel_ema_scores"] = f"""
@@ -3719,7 +3719,7 @@ FROM evn GROUP BY 1, 2"""
 WITH toks AS (
   SELECT doc_id, unnest({tok_scores}) AS token_score,
          unnest(range(0, len({tok_scores}))) AS token_idx
-  FROM documents WHERE length(trim(text)) > 0
+  FROM documents WHERE length(trim(text, ' ')) > 0
 )
 SELECT doc_id, token_idx::INT AS token_idx, round(token_score, 6) AS token_score
 FROM toks WHERE token_score < 0.3"""
@@ -3786,7 +3786,7 @@ FROM rows_ r CROSS JOIN ovh"""
 tokq AS (
   SELECT doc_id, unnest({_tokw}) AS t,
          unnest(range(0, len({_tokw}))) AS token_idx
-  FROM documents WHERE length(trim(text)) > 0
+  FROM documents WHERE length(trim(text, ' ')) > 0
 ), tl AS (
   SELECT doc_id, token_idx::INT AS token_idx, t AS token,
          ({_h_lbl} % 2)::INT AS label,

@@ -82,9 +82,11 @@ def chunk_documents(
     whitespace tokens starting every ``stride`` tokens; the last window
     starts at the first stride multiple reaching the document end, so
     no chunk is fully contained in its predecessor.  With L tokens the
-    chunk count is ``1 + ceil(max(L - chunk_size, 0) / stride)``; empty
-    or null documents produce NO rows (documented choice — the output
-    is the exploded chunk table).
+    chunk count is ``1 + ceil(max(L - chunk_size, 0) / stride)``,
+    clamped to ``1 + (L-1) div stride`` so no window starts past the
+    end (the clamp only binds when ``stride > chunk_size`` — the
+    gap-subsampling regime); empty or null documents produce NO rows
+    (documented choice — the output is the exploded chunk table).
 
     Scale shape: entirely row-local — words materialise once per row,
     windows are O(chunk_size) slices of that attribute, and the explode
@@ -103,14 +105,18 @@ def chunk_documents(
     ).withColumn("_ck_len", F.size("_ck_w"))
     n_chunks = F.when(
         F.col("_ck_len") > 0,
-        F.lit(1)
-        + F.floor(
-            (
-                F.greatest(F.col("_ck_len") - chunk_size, F.lit(0))
-                + (stride - 1)
-            )
-            / stride
-        ).cast("int"),
+        F.least(
+            F.lit(1)
+            + F.floor(
+                (
+                    F.greatest(F.col("_ck_len") - chunk_size, F.lit(0))
+                    + (stride - 1)
+                )
+                / stride
+            ).cast("int"),
+            F.lit(1)
+            + F.floor((F.col("_ck_len") - 1) / stride).cast("int"),
+        ),
     ).otherwise(F.lit(0))
 
     def _chunk_at(i: Column) -> Column:
@@ -163,14 +169,17 @@ WITH ckw AS MATERIALIZED (
 ), ckc AS (
   SELECT id, w, len(w) AS L,
          CASE WHEN len(w) = 0 THEN 0
-              ELSE 1 + (greatest(len(w) - {chunk_size}, 0) + {stride - 1})
-                       // {stride}
+              ELSE least(
+                  1 + (greatest(len(w) - {chunk_size}, 0) + {stride - 1})
+                      // {stride},
+                  1 + (len(w) - 1) // {stride})
          END AS nc
   FROM ckw
 )
 SELECT id AS {id_col},
        i::BIGINT AS chunk_id,
-       array_to_string(w[(i * {stride} + 1):(i * {stride} + {chunk_size})], ' ')
+       coalesce(array_to_string(
+           w[(i * {stride} + 1):(i * {stride} + {chunk_size})], ' '), '')
            AS chunk_text,
        least({chunk_size}, L - (i * {stride} + 1) + 1)::BIGINT AS n_tokens
 FROM ckc, unnest(range(0, nc)) t(i)

@@ -63,10 +63,17 @@ def words_col(text: Column) -> Column:
     return F.when(t == "", F.array().cast("array<string>")).otherwise(F.split(t, r"\s+"))
 
 
+#: Java ``\s`` spelled explicitly for RE2: DuckDB's regex engine does
+#: NOT include vertical tab (0x0B) in ``\s``, while Java and Python's
+#: ASCII ``\s`` do — a live twin divergence on any text containing \v
+#: (caught by the round-4 whitespace property suite).
+WS_CLASS_SQL = "[ \\t\\n\\x0B\\f\\r]+"
+
+
 def words_sql(text: str) -> str:
     return (
-        f"CASE WHEN trim({text}) = '' THEN []::VARCHAR[] "
-        f"ELSE string_split_regex(trim({text}), '\\s+') END"
+        f"CASE WHEN trim({text}, ' ') = '' THEN []::VARCHAR[] "
+        f"ELSE string_split_regex(trim({text}, ' '), '{WS_CLASS_SQL}') END"
     )
 
 
@@ -78,8 +85,10 @@ _WS_ASCII = _re.compile(r"\s+", _re.ASCII)
 
 def words_py(text: str) -> list[str]:
     """Python twin of :func:`words_col` / :func:`words_sql`, byte-exact
-    on EVERY input: space-only trim (Spark/DuckDB ``trim`` strips 0x20
-    only), ASCII ``\\s+`` split (Java/DuckDB ``\\s`` is ASCII-only —
+    on EVERY input: space-only trim (Spark ``trim`` strips 0x20 only;
+    DuckDB's DEFAULT trim strips unicode spaces incl. NBSP, so the SQL
+    twins must spell ``trim(x, ' ')`` — caught by the round-4
+    whitespace property suite), ASCII ``\\s+`` split (Java/DuckDB ``\\s`` is ASCII-only —
     Python's default Unicode ``\\s`` would split NBSP/EM-space), empty
     leading/trailing tokens retained (split limit -1), '' → [].
     Python ``str.strip().split()`` matches NONE of those on adversarial

@@ -37,5 +37,8 @@ def fingerprint_col(text: Column) -> Column:
 
 
 def fingerprint_sql(text: str) -> str:
-    norm = f"trim(regexp_replace(lower({text}), '\\s+', ' ', 'g'))"
+    from .shared import WS_CLASS_SQL
+
+    # explicit ASCII class, not '\s': RE2's \s misses vertical tab
+    norm = f"trim(regexp_replace(lower({text}), '{WS_CLASS_SQL}', ' ', 'g'), ' ')"
     return hash60_sql(norm)

@@ -68,7 +68,10 @@ def _serial_chunks(chunk, stride):
         w = words_py(text or "")
         if not w:
             continue
-        nc = 1 + max(0, -(-(max(len(w) - chunk, 0)) // stride))
+        nc = min(
+            1 + max(0, -(-(max(len(w) - chunk, 0)) // stride)),
+            1 + (len(w) - 1) // stride,
+        )
         for c in range(nc):
             s = c * stride
             out[(i, c)] = (" ".join(w[s : s + chunk]), min(chunk, len(w) - s))
