@@ -100,3 +100,36 @@ def test_contamination_twin_parity(texts, n):
         ).fetchall()
     }
     assert got == want
+
+
+@given(DOCS)
+@settings(max_examples=40, deadline=None)
+def test_c4_clean_twin_parity(texts):
+    from sparkclean.text import c4 as C4
+
+    rows = list(enumerate(texts))
+    want = {}
+    for i, t in rows:
+        cleaned, n_kept = C4.c4_clean_py(t)
+        want[i] = (cleaned, n_kept, C4.c4_keep_py(t, cleaned))
+    con = _con(rows)
+    got = {
+        r[0]: (r[1], r[2], r[4])
+        for r in con.sql(C4.c4_line_clean_sql("documents")).fetchall()
+    }
+    assert got == want
+
+
+@given(DOCS)
+@settings(max_examples=25, deadline=None)
+def test_gopher_twin_parity(texts):
+    from sparkclean.text import gopher as G
+
+    rows = list(enumerate(texts))
+    want = {}
+    for i, t in rows:
+        f = G.gopher_features_py(t)
+        want[i] = tuple(round(f[k], 6) for k in G.FEATURES) + (G.gopher_keep_py(f),)
+    con = _con(rows)
+    got = {r[0]: tuple(r[1:]) for r in con.sql(G.gopher_repetition_sql("documents")).fetchall()}
+    assert got == want
