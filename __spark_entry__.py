@@ -45,6 +45,8 @@ from sparkclean.text import langid as t_langid
 from sparkclean.text import ppl as t_ppl
 from sparkclean.text import rules as t_rules
 from sparkclean.text import scrub as t_scrub
+from sparkclean.text.shared import ascii_lower_col as _alower
+from sparkclean.text.shared import ascii_lower_sql as _alower_sql
 from sparkclean.text import tfidf as t_tfidf
 from sparkclean.text import tokenize as t_tok
 from sparkclean.text import winnow as t_winnow
@@ -422,7 +424,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         docs = _docs(spark, sf).where(F.length(F.trim("text")) > 0)
         toks = docs.select(
-            "doc_id", F.posexplode(words_col(F.lower(F.col("text")))).alias("token_idx", "_t")
+            "doc_id", F.posexplode(words_col(_alower(F.col("text")))).alias("token_idx", "_t")
         )
         s = (hash60_col(F.col("_t")) % F.lit(1000)).cast("double") / F.lit(1000.0)
         toks = toks.select(
@@ -449,7 +451,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         docs = _docs(spark, sf).where(F.length(F.trim("text")) > 0)
         toks = docs.select(
-            "doc_id", F.posexplode(words_col(F.lower(F.col("text")))).alias("token_idx", "token")
+            "doc_id", F.posexplode(words_col(_alower(F.col("text")))).alias("token_idx", "token")
         )
         s = (hash60_col(F.col("token")) % F.lit(1000)).cast("double") / F.lit(1000.0)
         toks = toks.select(
@@ -736,7 +738,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         docs = _docs(spark, sf).where(F.length(F.trim("text")) > 0)
         tok_scores = F.transform(
-            words_col(F.lower(F.col("text"))),
+            words_col(_alower(F.col("text"))),
             lambda t: (hash60_col(t) % F.lit(1000)).cast("double") / F.lit(1000.0)
             * F.lit(0.8)
             + F.lit(0.1),
@@ -918,7 +920,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from sparkclean.text.shared import words_col
 
         docs = _docs(spark, sf).where(F.col("doc_id") < 200)
-        sh = docs.withColumn("_w", words_col(F.lower(F.col("text")))).select(
+        sh = docs.withColumn("_w", words_col(_alower(F.col("text")))).select(
             "doc_id", dedup_minhash.shingles_from_words(F.col("_w")).alias("_sh")
         )
         a = sh.select(F.col("doc_id").alias("id_a"), F.col("_sh").alias("_sa"))
@@ -1508,7 +1510,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         docs = _docs(spark, sf)
         tok_scores = F.transform(
-            words_col(F.lower(F.col("text"))),
+            words_col(_alower(F.col("text"))),
             lambda t: (hash60_col(t) % F.lit(1000)).cast("double") / F.lit(1000.0)
             * F.lit(0.8)
             + F.lit(0.1),
@@ -1807,7 +1809,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         docs = _docs(spark, sf)
         toks = docs.select(
-            F.explode(words_col(F.lower(F.col("text")))).alias("token")
+            F.explode(words_col(_alower(F.col("text")))).alias("token")
         )
         score = (hash60_col(F.col("token")) % F.lit(1000)).cast("double") / F.lit(1000.0)
         flagged = toks.withColumn("_s", score).withColumn("_iss", F.col("_s") < 0.2)
@@ -3220,7 +3222,7 @@ FROM guessed"""
 
     o["common_token_issues"] = f"""
 WITH toks AS (
-  SELECT unnest({_wsql('lower(text)')}) AS token FROM documents
+  SELECT unnest({_wsql(_alower_sql('text'))}) AS token FROM documents
 ), scored AS (
   SELECT token, ({_h60('token')} % 1000)::DOUBLE / 1000.0 AS s FROM toks
 )
@@ -3290,7 +3292,7 @@ FROM dobs o CROSS JOIN pv CROSS JOIN cnts c"""
     from sparkclean.text.shared import hash60_sql, words_sql
 
     tok_scores = (
-        f"list_transform({words_sql('lower(text)')}, "
+        f"list_transform({words_sql(_alower_sql('text'))}, "
         f"t -> ({hash60_sql('t')} % 1000)::DOUBLE / 1000.0 * 0.8 + 0.1)"
     )
     o["softmin_token_scores"] = f"""
@@ -3779,7 +3781,7 @@ SELECT r.s AS class_index,
        round(ovh.h, 6) AS overall_health_score
 FROM rows_ r CROSS JOIN ovh"""
 
-    _tokw = words_sql("lower(text)")
+    _tokw = words_sql(_alower_sql("text"))
     _h_s = hash60_sql("t")
     _h_lbl = hash60_sql("(t || '#lbl')")
     _TOK_CTE = f"""

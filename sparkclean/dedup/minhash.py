@@ -23,7 +23,14 @@ import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..text.shared import hash60_col, hash60_sql, words_col, words_sql
+from ..text.shared import (
+    ascii_lower_col,
+    ascii_lower_sql,
+    hash60_col,
+    hash60_sql,
+    words_col,
+    words_sql,
+)
 
 NUM_HASHES = 32
 BANDS = 8
@@ -58,11 +65,11 @@ def shingles_col(text: Column, n: int = 3) -> Column:
     """Distinct hashed word n-gram shingles (array<long>).  Convenience
     form for small inputs / oracle parity; hot paths should materialise
     the words column and call :func:`shingles_from_words`."""
-    return shingles_from_words(words_col(F.lower(text)), n)
+    return shingles_from_words(words_col(ascii_lower_col(text)), n)
 
 
 def shingles_sql(text: str, n: int = 3) -> str:
-    w = words_sql(f"lower({text})")
+    w = words_sql(ascii_lower_sql(text))
     gram = " || ' ' || ".join(f"w[i+{off}]" for off in range(n))
     h = hash60_sql(f"({gram})")
     return (
@@ -161,7 +168,7 @@ def near_duplicate_pairs(
     # Keep the declarative form and let the optimizer share the subtree.
     base = (
         ensure_parallelism(df)
-        .withColumn("_w", words_col(F.lower(F.col(text_col))))
+        .withColumn("_w", words_col(ascii_lower_col(F.col(text_col))))
         .where(F.size("_w") >= 3)
         .select(F.col(id_col).alias("_id"), shingles_from_words(F.col("_w")).alias("_sh"))
     )

@@ -14,13 +14,20 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
-from ..text.shared import hash60_col, hash60_sql, words_col, words_sql
+from ..text.shared import (
+    ascii_lower_col,
+    ascii_lower_sql,
+    hash60_col,
+    hash60_sql,
+    words_col,
+    words_sql,
+)
 
 BITS = 32
 
 
 def token_hashes_col(text: Column) -> Column:
-    w = F.array_distinct(words_col(F.lower(text)))
+    w = F.array_distinct(words_col(ascii_lower_col(text)))
     return F.transform(w, lambda t: hash60_col(t))
 
 
@@ -87,7 +94,7 @@ def simhash_from_hashes_udf():
 
 
 def simhash_sql(text: str) -> str:
-    w = words_sql(f"lower({text})")
+    w = words_sql(ascii_lower_sql(text))
     h = hash60_sql("t")
     # outer CAST: DuckDB widens the BIGINT list-sum to HUGEINT, which
     # pandas renders as float64 — the driver hash then diverges from

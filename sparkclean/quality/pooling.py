@@ -19,6 +19,10 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from ..text.shared import ascii_lower_col as _ascii_lower_col
+from ..text.shared import ascii_lower_py as _ascii_lower_py
+from ..text.shared import ascii_lower_sql as _ascii_lower_sql
+
 
 def softmin_col(scores: Column, temperature: float = 0.05) -> Column:
     """Two scalar folds: Σ s·e^{(1-s)/T} / Σ e^{(1-s)/T}.
@@ -80,10 +84,10 @@ def filter_issues_by_token(issues, token: str, token_col: str = "token"):
     token_classification/summary.py:302-345 semantics (case-insensitive
     equality), as a pure predicate over the issue frame (which carries
     the token string, so no join back to the sentence table is needed)."""
-    return issues.where(F.lower(F.col(token_col)) == token.lower())
+    return issues.where(_ascii_lower_col(F.col(token_col)) == _ascii_lower_py(token))
 
 
 def filter_issues_by_token_sql(token: str, token_col: str = "token") -> str:
     """DuckDB twin predicate of :func:`filter_issues_by_token`."""
-    escaped = token.lower().replace("'", "''")
-    return f"(lower({token_col}) = '{escaped}')"
+    escaped = _ascii_lower_py(token).replace("'", "''")
+    return f"({_ascii_lower_sql(token_col)} = '{escaped}')"

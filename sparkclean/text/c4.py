@@ -51,7 +51,14 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
-from .shared import TOXICITY_LEXICON, words_py, words_sql
+from .shared import (
+    TOXICITY_LEXICON,
+    ascii_lower_col,
+    ascii_lower_py,
+    ascii_lower_sql,
+    words_py,
+    words_sql,
+)
 
 MIN_WORDS_PER_LINE = 5
 MIN_SENTENCES = 3
@@ -67,7 +74,7 @@ def _keep_line(x: Column) -> Column:
     return (
         F.substring(x, -1, 1).isin(*TERMINALS)
         & (F.size(words) >= MIN_WORDS_PER_LINE)
-        & ~F.contains(F.lower(x), F.lit("javascript"))
+        & ~F.contains(ascii_lower_col(x), F.lit("javascript"))
     )
 
 
@@ -92,7 +99,7 @@ def c4_line_clean(
         cleaned = F.array_join(F.col("_c4_kept"), "\n")
         n_kept = F.size(F.col("_c4_kept"))
     n_sent = (F.size(F.split(cleaned, r"[.!?]", -1)) - 1).cast("long")
-    raw_lower = F.lower(F.coalesce(F.col(text_col), F.lit("")))
+    raw_lower = ascii_lower_col(F.coalesce(F.col(text_col), F.lit("")))
     page_ok = (
         (n_sent >= MIN_SENTENCES)
         & ~F.contains(raw_lower, F.lit("lorem ipsum"))
@@ -120,12 +127,12 @@ def c4_line_clean_sql(
     return f"""
 WITH base AS MATERIALIZED (
   SELECT {id_col} AS id,
-         lower(coalesce({text_col}, '')) AS raw_lower,
+         {ascii_lower_sql(f"coalesce({text_col}, '')")} AS raw_lower,
          list_filter(
              string_split(coalesce({text_col}, ''), chr(10)),
              x -> right(x, 1) IN ({terms})
                   AND len({words_sql('x')}) >= {MIN_WORDS_PER_LINE}
-                  AND NOT contains(lower(x), 'javascript')
+                  AND NOT contains({ascii_lower_sql('x')}, 'javascript')
          ) AS kept
   FROM {table}
 ), feat AS (
@@ -353,13 +360,13 @@ def c4_clean_py(text: str | None) -> tuple[str, int]:
         for ln in text.split("\n")
         if ln[-1:] in _TERM_SET
         and len(words_py(ln)) >= MIN_WORDS_PER_LINE
-        and "javascript" not in ln.lower()
+        and "javascript" not in ascii_lower_py(ln)
     ]
     return "\n".join(kept), len(kept)
 
 
 def c4_keep_py(text: str | None, cleaned: str) -> bool:
-    raw_lower = (text or "").lower()
+    raw_lower = ascii_lower_py(text or "")
     return (
         len(_SENT_RE.findall(cleaned)) >= MIN_SENTENCES
         and "lorem ipsum" not in raw_lower

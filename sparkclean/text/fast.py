@@ -26,7 +26,7 @@ import pandas as pd
 
 from ..constants import CONFIDENT_THRESHOLDS_LOWER_BOUND
 from .ppl import FALLBACK_LOGP, LOGP_MAX, LOGP_MIN, RES
-from .shared import ENGLISH_STOPWORDS, LANG_MARKERS, LANG_ORDER
+from .shared import ascii_lower_py, ENGLISH_STOPWORDS, LANG_MARKERS, LANG_ORDER
 
 _STOPSET = frozenset(ENGLISH_STOPWORDS)
 _LANG_SETS = [frozenset(LANG_MARKERS[lang]) for lang in LANG_ORDER]
@@ -121,7 +121,9 @@ def caption_features_batch(texts) -> dict[str, np.ndarray]:
     # constant-size lookup table over unique tokens + one bincount over
     # int codes (accumulation order = row order, same as the per-row
     # fold, so float sums are bit-identical to the scalar path).
-    wl = pd.Series([words_py(t) for t in stripped.str.lower()], index=s.index)
+    wl = pd.Series(
+        [words_py(ascii_lower_py(t)) for t in stripped], index=s.index
+    )
     exploded = wl.explode().dropna()
     rowids = exploded.index.to_numpy(dtype=np.int64)
     tok_codes, tok_uniq = pd.factorize(exploded.to_numpy())

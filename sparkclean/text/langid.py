@@ -22,7 +22,15 @@ from pyspark.sql import Column, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
-from .shared import LANG_MARKERS, LANG_ORDER, lit_str_array, sql_str_list, words_sql
+from .shared import (
+    LANG_MARKERS,
+    LANG_ORDER,
+    ascii_lower_col,
+    ascii_lower_sql,
+    lit_str_array,
+    sql_str_list,
+    words_sql,
+)
 
 # ------------------------------------------------------ marker-word langid
 
@@ -34,7 +42,7 @@ def _marker_hits_col(words_lower: Column, lang: str) -> Column:
 
 def langid_markers_col(text: Column) -> Column:
     """Predicted language code ('und' if no marker hits)."""
-    words = F.split(F.lower(F.trim(text)), r"\s+")
+    words = F.split(ascii_lower_col(F.trim(text)), r"\s+")
     hits = [_marker_hits_col(words, lang) for lang in LANG_ORDER]
     best = F.greatest(*hits)
     pred = F.lit("und")
@@ -50,7 +58,7 @@ def langid_markers_sql(text: str) -> str:
     form; prefer :func:`langid_markers_query_sql` for whole-table
     oracles — the inline form re-evaluates every hit count O(L²) times
     per row inside the greatest/CASE chain)."""
-    w = words_sql(f"lower({text})")
+    w = words_sql(ascii_lower_sql(text))
     hit_exprs = {
         lang: f"len(list_filter({w}, t -> list_contains({sql_str_list(LANG_MARKERS[lang])}, t)))"
         for lang in LANG_ORDER
@@ -70,7 +78,7 @@ def langid_hits_cols_sql(text: str) -> str:
     per language from ``text`` — stage these ONCE in a MATERIALIZED CTE
     (DuckDB re-evaluates inline subexpressions per reference, so the
     single-expression form costs O(L²) list scans per row)."""
-    w = words_sql(f"lower({text})")
+    w = words_sql(ascii_lower_sql(text))
     return ",\n         ".join(
         f"len(list_filter({w}, t -> list_contains({sql_str_list(LANG_MARKERS[lang])}, t))) AS _h_{lang}"
         for lang in LANG_ORDER

@@ -22,7 +22,7 @@ from pyspark.sql import Column, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
-from .shared import hash60_col, hash60_sql, words_col, words_sql
+from .shared import ascii_lower_col, ascii_lower_py, ascii_lower_sql, hash60_col, hash60_sql, words_col, words_sql
 
 LOGP_MIN = -8.0
 LOGP_MAX = -0.5
@@ -42,7 +42,7 @@ def ppl_hash_col(text: Column) -> Column:
     array (NOT element_at inside a transform lambda, which would
     re-split the text per bigram — O(n²) under interpreted HOFs).
     """
-    w = words_col(F.lower(text))
+    w = words_col(ascii_lower_col(text))
     n = F.size(w)
     bigrams = F.zip_with(
         F.slice(w, 1, F.greatest(n - 1, F.lit(0))),
@@ -60,7 +60,7 @@ def ppl_hash_col(text: Column) -> Column:
 
 def ppl_hash_sql(text: str) -> str:
     """DuckDB twin of :func:`ppl_hash_col`."""
-    w = words_sql(f"lower({text})")
+    w = words_sql(ascii_lower_sql(text))
     h = hash60_sql(f"(w[i] || ' ' || w[i+1])")
     logp = f"({LOGP_MIN} + (({h}) % {RES})::DOUBLE / {RES} * {LOGP_MAX - LOGP_MIN})"
     return (
@@ -98,7 +98,7 @@ class NgramTablePpl:
             for i, t in enumerate(texts.fillna("")):
                 # engine-twin tokenization (ASCII \s, space-only trim) —
                 # str.split() would diverge on tab-led/NBSP text
-                toks = words_py(str(t).lower())
+                toks = words_py(ascii_lower_py(str(t)))
                 if len(toks) < 2:
                     out[i] = np.exp(-FALLBACK_LOGP)
                     continue

@@ -10,7 +10,15 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .shared import ENGLISH_STOPWORDS, lit_str_array, sql_str_list, words_col, words_sql
+from .shared import (
+    ENGLISH_STOPWORDS,
+    ascii_lower_col,
+    ascii_lower_sql,
+    lit_str_array,
+    sql_str_list,
+    words_col,
+    words_sql,
+)
 
 
 def _ratio_col(text: Column, char_class: str) -> Column:
@@ -53,7 +61,7 @@ def repetition_ratio_col(text: Column) -> Column:
 
 
 def stopword_ratio_col(text: Column) -> Column:
-    w = words_col(F.lower(text))
+    w = words_col(ascii_lower_col(text))
     n = F.size(w)
     sw = lit_str_array(ENGLISH_STOPWORDS)
     hits = F.size(F.filter(w, lambda t: F.array_contains(sw, t)))
@@ -86,7 +94,7 @@ def with_quality_features(df: DataFrame, text_col: str = "caption") -> DataFrame
 def quality_features_sql_exprs(text: str) -> dict[str, str]:
     """DuckDB expressions mirroring :func:`with_quality_features`."""
     w = words_sql(text)
-    wl = words_sql(f"lower({text})")
+    wl = words_sql(ascii_lower_sql(text))
     sw = sql_str_list(ENGLISH_STOPWORDS)
     return {
         "n_chars": f"length({text})",

@@ -70,6 +70,30 @@ def words_col(text: Column) -> Column:
 WS_CLASS_SQL = "[ \\t\\n\\x0B\\f\\r]+"
 
 
+#: ASCII-scope case folding — the ONLY cross-engine-portable lowercase.
+#: Unicode case mapping is engine-specific: Java/Python apply
+#: context-sensitive rules (final sigma ΣΑΣ→σας, Turkish İ→i+U+0307)
+#: while DuckDB's utf8proc maps per-codepoint (σασ, plain i) — so any
+#: twin built on full lower() silently hash-diverges on such inputs
+#: (found by the round-4 casing property probe).  All case-folding
+#: operators fold A-Z only; non-ASCII case is left untouched BY DESIGN.
+_UPPER = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+_LOWER = "abcdefghijklmnopqrstuvwxyz"
+_PY_FOLD = str.maketrans(_UPPER, _LOWER)
+
+
+def ascii_lower_col(text: Column) -> Column:
+    return F.translate(text, _UPPER, _LOWER)
+
+
+def ascii_lower_sql(text: str) -> str:
+    return f"translate({text}, '{_UPPER}', '{_LOWER}')"
+
+
+def ascii_lower_py(text: str) -> str:
+    return text.translate(_PY_FOLD)
+
+
 def words_sql(text: str) -> str:
     return (
         f"CASE WHEN trim({text}, ' ') = '' THEN []::VARCHAR[] "

@@ -5,7 +5,15 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-from .shared import TOKEN_REGEX, hash60_col, hash60_sql, words_col, words_sql
+from .shared import (
+    TOKEN_REGEX,
+    ascii_lower_col,
+    ascii_lower_sql,
+    hash60_col,
+    hash60_sql,
+    words_col,
+    words_sql,
+)
 
 
 def ws_token_count_col(text: Column) -> Column:
@@ -27,7 +35,7 @@ def bpe_token_count_sql(text: str) -> str:
 
 
 def _normalized(text: Column) -> Column:
-    return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+    return F.trim(F.regexp_replace(ascii_lower_col(text), r"\s+", " "))
 
 
 def fingerprint_col(text: Column) -> Column:
@@ -40,5 +48,5 @@ def fingerprint_sql(text: str) -> str:
     from .shared import WS_CLASS_SQL
 
     # explicit ASCII class, not '\s': RE2's \s misses vertical tab
-    norm = f"trim(regexp_replace(lower({text}), '{WS_CLASS_SQL}', ' ', 'g'), ' ')"
+    norm = f"trim(regexp_replace({ascii_lower_sql(text)}, '{WS_CLASS_SQL}', ' ', 'g'), ' ')"
     return hash60_sql(norm)

@@ -16,7 +16,7 @@ from sparkclean.text.shared import words_py, words_sql
 
 # ASCII whitespace zoo + unicode spaces (NBSP, EM) that Java/Python
 # ASCII \s must NOT split on + quoting hazards
-ALPHABET = list("ab x.!?'\"\t\n\r\x0b\x0c") + [" ", " "]
+ALPHABET = list("abAB x.!?'\"\t\n\r\x0b\x0c") + ["\u00a0", "\u2003", "\u0130", "\u03a3", "\u03c2"]
 TEXT = st.text(alphabet=st.sampled_from(ALPHABET), max_size=40)
 DOCS = st.lists(TEXT, min_size=1, max_size=5)
 
