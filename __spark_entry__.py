@@ -1175,11 +1175,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def token_stats(spark, sf):
+        # coalesce null text like every other text query: a null row
+        # otherwise yields null counts, and the driver's hash compare
+        # chokes on the mixed null/NaN dtypes (zoo-corpus find)
+        t = F.coalesce(F.col("text"), F.lit(""))
         return _docs(spark, sf).select(
             "doc_id",
-            t_tok.ws_token_count_col(F.col("text")).alias("ws_tokens"),
-            t_tok.bpe_token_count_col(F.col("text")).alias("bpe_tokens"),
-            t_tok.fingerprint_col(F.col("text")).alias("fingerprint"),
+            t_tok.ws_token_count_col(t).alias("ws_tokens"),
+            t_tok.bpe_token_count_col(t).alias("bpe_tokens"),
+            t_tok.fingerprint_col(t).alias("fingerprint"),
         )
 
     def c4_line_clean(spark, sf):
@@ -3028,9 +3032,9 @@ FROM pp JOIN pp2 ON pp.vec_id = pp2.vec_id"""
     o["langid_markers"] = t_langid.langid_markers_query_sql("documents", "doc_id")
     o["perplexity"] = f"SELECT doc_id, round({t_ppl.ppl_hash_sql('text')}, 6) AS ppl FROM documents"
     o["token_stats"] = f"""
-SELECT doc_id, {t_tok.ws_token_count_sql('text')} AS ws_tokens,
-       {t_tok.bpe_token_count_sql('text')} AS bpe_tokens,
-       {t_tok.fingerprint_sql('text')} AS fingerprint
+SELECT doc_id, {t_tok.ws_token_count_sql("coalesce(text, '')")} AS ws_tokens,
+       {t_tok.bpe_token_count_sql("coalesce(text, '')")} AS bpe_tokens,
+       {t_tok.fingerprint_sql("coalesce(text, '')")} AS fingerprint
 FROM documents"""
     o["ngram_contamination"] = t_contam.ngram_contamination_sql(
         "documents", "doc_id % 49 = 0", n=5

@@ -41,8 +41,12 @@ ENGLISH_STOPWORDS = LANG_MARKERS["en"] + [
 # machinery is what matters; swap the list for a production lexicon).
 TOXICITY_LEXICON = ["badword", "toxicterm", "slurword", "hateterm", "curseword"]
 
-# BPE-ish token regex shared by both engines (letters | digits | other-symbol).
-TOKEN_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+# BPE-ish token regex shared by both engines (letters | digits |
+# other-symbol).  The whitespace exclusion is the EXPLICIT ASCII class,
+# not \s: inside the negated class RE2's narrower \s (no VT) makes
+# DuckDB count vertical tab as a symbol token while Java does not —
+# the same RE2-vs-Java divergence as WS_CLASS_SQL (zoo-corpus find).
+TOKEN_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\x0B\f\r]"
 
 # ------------------------------------------------------------- primitives
 

@@ -1,0 +1,73 @@
+"""Generate the adversarial "zoo" corpus: the documents table rebuilt
+with hostile text (VT/FF/CR separators, NBSP/EM spaces, uppercase,
+Turkish İ, Greek sigma, quotes, braces, planted dups, empty and null
+texts) plus the other sf0.001 tables copied verbatim, so
+tools/check_correctness.py can drive the REAL gate harness over inputs
+the plain-ASCII driver corpus never exercises.
+
+This corpus found four latent cross-engine divergences in round 4
+(RE2 \\s vs VT — twice, incl. inside TOKEN_REGEX's negated class;
+DuckDB unicode trim; null-text token_stats).  Re-run after touching
+any text twin:
+
+    python tools/make_zoo.py && \\
+    python tools/check_correctness.py /tmp/zoo_sf <text queries...>
+"""
+
+from __future__ import annotations
+
+import os
+import random
+import shutil
+
+import duckdb
+
+OUT = "/tmp/zoo_sf"
+SRC = "/root/testdata/sf0.001"
+WORDS = [
+    "table", "value", "part", "scan", "the", "is", "with", "und", "der",
+    "le", "la", "AB", "Ab", "aB", "İstanbul", "ΣΑΣ", "σας", "ΒΙΟΣ",
+    "word'quote", 'dq"uote', "java", "script", "javascript", "lorem",
+    "ipsum", "{brace}", "a", "b", "badword",
+]
+SEPS = [" ", "  ", "\t", "\n", "\x0b", "\x0c", "\r", " ", " ", " "]
+
+
+def main() -> None:
+    os.makedirs(OUT, exist_ok=True)
+    for t in [
+        "region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "embeddings",
+    ]:
+        shutil.copy(f"{SRC}/{t}.parquet", f"{OUT}/{t}.parquet")
+    rng = random.Random(42)
+    docs = []
+    for i in range(120):
+        n = rng.randint(0, 30)
+        toks = [rng.choice(WORDS) for _ in range(n)]
+        seps = [rng.choice(SEPS) for _ in range(max(n - 1, 0))]
+        text = "".join(
+            t + (s if j < len(seps) else "")
+            for j, (t, s) in enumerate(zip(toks, seps + [""]))
+        )
+        if rng.random() < 0.15:
+            text = rng.choice(SEPS) + text + rng.choice(SEPS)
+        if rng.random() < 0.1:
+            text = text + "."
+        docs.append((i, text, rng.choice(["en", "fr", "und"]), f"src{i % 5}", len(text)))
+    docs.append((120, docs[3][1], "en", "src0", len(docs[3][1])))  # exact dup
+    docs.append((121, docs[7][1] + " tail", "en", "src1", 0))      # near dup
+    docs.append((122, "", "en", "src2", 0))
+    docs.append((123, None, "en", "src3", 0))
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE d (doc_id BIGINT, text VARCHAR, lang VARCHAR,"
+        " source VARCHAR, n_chars BIGINT)"
+    )
+    con.executemany("INSERT INTO d VALUES (?,?,?,?,?)", docs)
+    con.execute(f"COPY d TO '{OUT}/documents.parquet' (FORMAT parquet)")
+    print(f"zoo written: {len(docs)} docs -> {OUT}")
+
+
+if __name__ == "__main__":
+    main()
