@@ -51,14 +51,21 @@ def norm_col(a: Column) -> Column:
 
 
 def cosine_col(a: Column, b: Column) -> Column:
-    return dot_col(a, b) / (norm_col(a) * norm_col(b))
+    # zero-norm guard: cosine with a degenerate vector is DEFINED as 0
+    # (ANSI Spark throws DIVIDE_BY_ZERO on double /0; DuckDB and NumPy
+    # would return inf/nan — all three routes share this convention)
+    n = norm_col(a) * norm_col(b)
+    return F.when(n > 0.0, dot_col(a, b) / n).otherwise(F.lit(0.0))
 
 
 def cosine_sql(a: str, b: str) -> str:
     dot = f"list_aggregate(list_transform(range(1, len({a})+1), i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE), 'sum')"
     na = f"sqrt(list_aggregate(list_transform({a}, x -> x::DOUBLE * x::DOUBLE), 'sum'))"
     nb = f"sqrt(list_aggregate(list_transform({b}, x -> x::DOUBLE * x::DOUBLE), 'sum'))"
-    return f"({dot} / ({na} * {nb}))"
+    return (
+        f"(CASE WHEN ({na} * {nb}) > 0 THEN {dot} / ({na} * {nb}) "
+        f"ELSE 0.0 END)"
+    )
 
 
 def cosine_topk(
@@ -347,7 +354,8 @@ def pair_dist_udf(dim: int, metric: str):
             dot += ma[:, d] * mb[:, d]
             na += ma[:, d] * ma[:, d]
             nb += mb[:, d] * mb[:, d]
-        cos = dot / (np.sqrt(na) * np.sqrt(nb))
+        denom = np.sqrt(na) * np.sqrt(nb)
+        cos = np.divide(dot, denom, out=np.zeros(len(ma)), where=denom > 0)
         return pd.Series(cos if metric == "cosine_sim" else 1.0 - cos)
 
     return dist

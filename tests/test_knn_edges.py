@@ -228,3 +228,30 @@ def test_knn_edges_rejects_bad_metric_and_empty_df(spark):
     empty = spark.createDataFrame([], "vec_id: long, embedding: array<double>")
     with pytest.raises(ValueError, match="cannot infer dim"):
         knn_edges(empty, k=3)
+
+
+def test_cosine_zero_norm_is_zero_in_all_three_routes(spark):
+    """Zero-norm vectors define cosine = 0 (ANSI Spark would otherwise
+    throw DIVIDE_BY_ZERO; DuckDB/NumPy would emit inf/nan) — the
+    ties-zoo corpus found this live in knn_bruteforce."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from sparkclean.sim.knn import cosine_col, cosine_sql
+
+    rows = [
+        (0, [0.0, 0.0, 0.0], [1.0, 2.0, 2.0]),
+        (1, [0.0, 0.0, 0.0], [0.0, 0.0, 0.0]),
+        (2, [1.0, 0.0, 0.0], [1.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "i: long, a: array<double>, b: array<double>")
+    got = {
+        r["i"]: r["c"]
+        for r in df.select("i", cosine_col(F.col("a"), F.col("b")).alias("c")).collect()
+    }
+    assert got == {0: 0.0, 1: 0.0, 2: 1.0}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (i BIGINT, a DOUBLE[], b DOUBLE[])")
+    con.executemany("INSERT INTO t VALUES (?,?,?)", rows)
+    want = dict(con.sql(f"SELECT i, {cosine_sql('a','b')} FROM t").fetchall())
+    assert got == want

@@ -37,7 +37,7 @@ def main() -> None:
     os.makedirs(OUT, exist_ok=True)
     for t in [
         "region", "nation", "customer", "supplier", "part", "orders",
-        "lineitem", "events", "embeddings",
+        "lineitem", "events",
     ]:
         shutil.copy(f"{SRC}/{t}.parquet", f"{OUT}/{t}.parquet")
     rng = random.Random(42)
@@ -66,7 +66,29 @@ def main() -> None:
     )
     con.executemany("INSERT INTO d VALUES (?,?,?,?,?)", docs)
     con.execute(f"COPY d TO '{OUT}/documents.parquet' (FORMAT parquet)")
-    print(f"zoo written: {len(docs)} docs -> {OUT}")
+
+    # ties-heavy embeddings: 40 base vectors x 10 EXACT copies (every
+    # score/rank tie-break path live), a zero vector (cosine zero-norm
+    # guard — found the ANSI DIVIDE_BY_ZERO in knn_bruteforce) and
+    # softmax-saturating extremes; all 10 labels present.
+    erows, vid = [], 0
+    for b in range(40):
+        base = [round(rng.uniform(-2, 2), 3) for _ in range(64)]
+        if b == 0:
+            base = [0.0] * 64
+        if b == 1:
+            base = [10.0] * 64
+        if b == 2:
+            base = [-10.0] * 64
+        for _ in range(10):
+            erows.append((vid, [float(x) for x in base], b % 10))
+            vid += 1
+    con.execute(
+        "CREATE TABLE e (vec_id BIGINT, embedding FLOAT[], label INTEGER)"
+    )
+    con.executemany("INSERT INTO e VALUES (?,?,?)", erows)
+    con.execute(f"COPY e TO '{OUT}/embeddings.parquet' (FORMAT parquet)")
+    print(f"zoo written: {len(docs)} docs, {len(erows)} embeddings -> {OUT}")
 
 
 if __name__ == "__main__":
