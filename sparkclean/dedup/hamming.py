@@ -6,8 +6,24 @@ perceptual hashes (cleanlab/datalab/internal/issue_manager/duplicate.py:
 20-228; SURVEY.md §2.6 maps it to "hamming-ball (near)" on the `phash`
 column).
 
-Strategy — blocked candidates + exact popcount verify:
+Strategy — distinct-fingerprint collapse + blocked candidates + exact
+popcount verify:
 
+* **collapse exact-duplicate fingerprints first** (``groupBy(hash)`` →
+  min-id representative).  This is the hot-key guard: a mega-cluster of
+  m identical fingerprints (blank / solid-color images are common at
+  corpus scale) is ONE row in the band join instead of m rows that
+  would meet themselves in every block bucket and emit O(m²) candidate
+  pairs.  The reference applies the same correction — exact-duplicate
+  sets are collapsed before the neighbor graph
+  (/root/reference/cleanlab/internal/neighbor/knn_graph.py:492-566) —
+  and winnowing's max_df stop-fingerprint anti-join
+  (sparkclean/text/winnow.py) is the in-repo precedent.  Consequence
+  for the pair contract: :func:`hamming_pairs` reports pairs between
+  DISTINCT fingerprints only (so every reported distance is >= 1),
+  identified by their group representatives; distance-0 "pairs" are
+  exact duplicates and belong to ``dedup.exact`` /
+  :func:`hamming_clusters`, which expands full membership linearly;
 * split the ``bits``-wide fingerprint into ``bits/block_bits``
   contiguous blocks; any pair within Hamming distance
   ``nblocks - 1`` shares at least one block EXACTLY (pigeonhole), so
@@ -18,14 +34,15 @@ Strategy — blocked candidates + exact popcount verify:
 
 Scale knobs:
 
-* ``block_bits`` — expected bucket size grows ~N/2^block_bits; at
-  10^12 rows raise it (e.g. 32) to keep buckets ~N/2^32;
+* ``block_bits`` — expected bucket size grows ~D/2^block_bits (D =
+  DISTINCT fingerprints after the collapse); at 10^12 rows raise it
+  (e.g. 32) to keep buckets ~D/2^32;
 * ``n_perms`` — wider blocks lose the pigeonhole guarantee for larger
   radii, so the permuted-table scheme re-blocks ``n_perms`` cyclic
   ROTATIONS of the fingerprint (rotation step coprime with ``bits`` so
   windows sweep all offsets).  Each rotation contributes another
   independent chance for an error-free window; recall on random bit
-  flips recovers while bucket sizes stay at N/2^block_bits.  The
+  flips recovers while bucket sizes stay at D/2^block_bits.  The
   candidate union stays an equi-join (rotation index is part of the
   key), exactly like knn_edges' OR-of-bands.
 """
@@ -99,35 +116,42 @@ def hamming_block_keys(
     return keys
 
 
-def hamming_pairs(
-    df: DataFrame,
-    id_col: str,
-    hash_col: str,
-    max_distance: int = 3,
-    bits: int = 64,
-    block_bits: int = 16,
-    n_perms: int = 1,
-) -> DataFrame:
-    """(id_a, id_b, hamming) pairs with popcount distance
-    <= ``max_distance``, id_a < id_b, found via blocked equi-join —
-    exact (every pair found) whenever
-    ``max_distance <= bits/block_bits - 1``; beyond that the rotation
-    union makes recall probabilistic (planted-flip recall tests pin the
-    configs).  NULL fingerprints (e.g. failed image decodes) are
-    excluded — concat_ws would otherwise silently fold them into one
-    shared bucket."""
-    s = df.select(F.col(id_col).alias("_id"), F.col(hash_col).alias("_h")).where(
-        F.col("_h").isNotNull()
+def _fingerprint_groups(df: DataFrame, id_col: str, hash_col: str) -> DataFrame:
+    """One row per DISTINCT non-null fingerprint: ``(_h, _rep)`` with
+    ``_rep`` = min id of the exact-duplicate group.  NULL fingerprints
+    (e.g. failed image decodes) are excluded — concat_ws in the block
+    keys would otherwise silently fold them into one shared bucket.
+
+    Built identically by :func:`hamming_pairs` and
+    :func:`hamming_clusters` so the groupBy exchange is deduplicated by
+    ReuseExchange when both appear in one plan (round-3 lesson: measure
+    before persisting shared subtrees)."""
+    return (
+        df.select(F.col(id_col).alias("_id"), F.col(hash_col).alias("_h"))
+        .where(F.col("_h").isNotNull())
+        .groupBy("_h")
+        .agg(F.min("_id").alias("_rep"))
     )
-    halves = s.select(
-        "_id",
+
+
+def _rep_pairs(
+    groups: DataFrame,
+    max_distance: int,
+    bits: int,
+    block_bits: int,
+    n_perms: int,
+) -> DataFrame:
+    """Verified representative-level pairs from a ``(_h, _rep)`` distinct
+    fingerprint frame."""
+    halves = groups.select(
+        "_rep",
         "_h",
         F.explode(
             F.array(*hamming_block_keys(F.col("_h"), bits, block_bits, n_perms))
         ).alias("_key"),
     )
-    l = halves.select(F.col("_id").alias("id_a"), F.col("_h").alias("h_a"), "_key")
-    r = halves.select(F.col("_id").alias("id_b"), F.col("_h").alias("h_b"), "_key")
+    l = halves.select(F.col("_rep").alias("id_a"), F.col("_h").alias("h_a"), "_key")
+    r = halves.select(F.col("_rep").alias("id_b"), F.col("_h").alias("h_b"), "_key")
     pairs = (
         l.join(r, "_key")
         .where(F.col("id_a") < F.col("id_b"))
@@ -141,6 +165,33 @@ def hamming_pairs(
     )
 
 
+def hamming_pairs(
+    df: DataFrame,
+    id_col: str,
+    hash_col: str,
+    max_distance: int = 3,
+    bits: int = 64,
+    block_bits: int = 16,
+    n_perms: int = 1,
+) -> DataFrame:
+    """(id_a, id_b, hamming) pairs of DISTINCT fingerprints with popcount
+    distance <= ``max_distance``, id_a < id_b, found via blocked
+    equi-join — exact (every distinct-fingerprint pair found) whenever
+    ``max_distance <= bits/block_bits - 1``; beyond that the rotation
+    union makes recall probabilistic (planted-flip recall tests pin the
+    configs).
+
+    Exact-duplicate fingerprints are collapsed to their min-id
+    representative BEFORE banding (see module docstring): a group of m
+    identical fingerprints contributes one band row and zero output
+    pairs, not O(m²) of each — so every reported ``hamming`` is >= 1 and
+    both the candidate volume and the output are linear in the distinct
+    fingerprint count.  Full duplicate-group membership (including
+    distance-0 members) is :func:`hamming_clusters`' job."""
+    groups = _fingerprint_groups(df, id_col, hash_col)
+    return _rep_pairs(groups, max_distance, bits, block_bits, n_perms)
+
+
 def _pairs_ctes(
     table: str,
     id_col: str,
@@ -151,8 +202,10 @@ def _pairs_ctes(
     n_perms: int,
 ) -> str:
     """Shared CTE chain ending in ``vpairs(id_a, id_b, hamming)`` — the
-    verified pair set both :func:`hamming_pairs_sql` and
-    :func:`hamming_clusters_sql` select from."""
+    verified representative-level pair set both
+    :func:`hamming_pairs_sql` and :func:`hamming_clusters_sql` select
+    from.  ``hgrp`` is the distinct-fingerprint collapse (one row per
+    hash, min-id representative) mirroring :func:`_fingerprint_groups`."""
     nblocks = _check_blocks(bits, block_bits)
     mask = (1 << block_bits) - 1
     rows = []
@@ -160,18 +213,19 @@ def _pairs_ctes(
         hr = _rot_sql("_h", r, bits)
         for b in range(nblocks):
             rows.append(
-                f"  SELECT _id, _h, '{p}:{b}:' || "
-                f"((({hr}) >> {b * block_bits}) & {mask})::VARCHAR AS _key FROM hsrc"
+                f"  SELECT _rep, _h, '{p}:{b}:' || "
+                f"((({hr}) >> {b * block_bits}) & {mask})::VARCHAR AS _key FROM hgrp"
             )
     blocks = "\n  UNION ALL\n".join(rows)
     return f"""hsrc AS MATERIALIZED (SELECT {id_col} AS _id, {hash_expr} AS _h FROM {table}
   WHERE ({hash_expr}) IS NOT NULL),
+hgrp AS MATERIALIZED (SELECT _h, min(_id) AS _rep FROM hsrc GROUP BY _h),
 hkeys AS (
 {blocks}
 ),
 hpairs AS (
-  SELECT DISTINCT l._id AS id_a, r._id AS id_b, l._h AS h_a, r._h AS h_b
-  FROM hkeys l JOIN hkeys r ON l._key = r._key AND l._id < r._id
+  SELECT DISTINCT l._rep AS id_a, r._rep AS id_b, l._h AS h_a, r._h AS h_b
+  FROM hkeys l JOIN hkeys r ON l._key = r._key AND l._rep < r._rep
 ),
 vpairs AS MATERIALIZED (
   SELECT id_a, id_b, bit_count(xor(h_a, h_b))::INT AS hamming
@@ -188,8 +242,9 @@ def hamming_pairs_sql(
     block_bits: int = 16,
     n_perms: int = 1,
 ) -> str:
-    """DuckDB twin of :func:`hamming_pairs` (same keys, same verify;
-    ``hash_expr`` must evaluate to the identical BIGINT fingerprint)."""
+    """DuckDB twin of :func:`hamming_pairs` (same collapse, same keys,
+    same verify; ``hash_expr`` must evaluate to the identical BIGINT
+    fingerprint)."""
     ctes = _pairs_ctes(table, id_col, hash_expr, max_distance, bits, block_bits, n_perms)
     return f"""
 WITH {ctes}
@@ -211,22 +266,38 @@ def hamming_clusters(
     near-dup cluster" shape a training pipeline actually applies
     (``WHERE id = cluster_rep`` after this).  Returns
     ``(id, cluster_rep, cluster_size)`` for every input row; singletons
-    keep themselves (size 1).
+    (including NULL-fingerprint rows) keep themselves (size 1).
 
-    Components resolve via the shared pair-graph primitive
-    (:func:`sparkclean.graph.components_from_pairs`): min-label
-    propagation + pointer jumping over only the PAIRED nodes, changed-row
-    convergence (string-id-safe), raises on non-convergence.
-    """
-    from ..graph import components_from_pairs
+    Components resolve at the DISTINCT-fingerprint level (min-label
+    propagation + pointer jumping over group representatives,
+    :func:`sparkclean.graph.component_labels`), then every row joins its
+    representative's component through one linear membership join — a
+    mega-cluster of m identical fingerprints costs m membership rows,
+    never m² pairs.  Cluster semantics are unchanged from the
+    pre-collapse implementation: identical fingerprints are distance-0
+    neighbours, so an exact-duplicate group always lands in one cluster."""
+    from ..graph import component_labels
 
-    pairs = hamming_pairs(
-        df, id_col, hash_col, max_distance, bits, block_bits, n_perms
+    groups = _fingerprint_groups(df, id_col, hash_col)
+    pairs = _rep_pairs(groups, max_distance, bits, block_bits, n_perms)
+    labels = component_labels(pairs, max_iter=max_iter).select(
+        F.col("id").alias("_rep"), "comp"
     )
-    out = components_from_pairs(
-        pairs, df.select(F.col(id_col).alias("id")), max_iter=max_iter
+    member = (
+        df.select(F.col(id_col).alias("_mid"), F.col(hash_col).alias("_h"))
+        .join(groups, "_h", "left")
+        .join(labels, "_rep", "left")
+        .select(
+            F.col("_mid").alias("id"),
+            F.coalesce("comp", "_rep", "_mid").alias("cluster_rep"),
+        )
     )
-    return out.withColumnRenamed("id", id_col)
+    sizes = member.groupBy("cluster_rep").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        member.join(sizes, "cluster_rep")
+        .select("id", "cluster_rep", "cluster_size")
+        .withColumnRenamed("id", id_col)
+    )
 
 
 def hamming_clusters_sql(
@@ -239,8 +310,9 @@ def hamming_clusters_sql(
     n_perms: int = 1,
 ) -> str:
     """DuckDB twin of :func:`hamming_clusters`: recursive reachability
-    over the same verified pair set, component label = min reaching id
-    (fine at oracle scale; the Spark side pointer-jumps)."""
+    over the same verified representative pair set, component label =
+    min reaching id (fine at oracle scale; the Spark side
+    pointer-jumps), membership expanded through the hgrp collapse."""
     ctes = _pairs_ctes(table, id_col, hash_expr, max_distance, bits, block_bits, n_perms)
     return f"""
 WITH RECURSIVE {ctes},
@@ -255,10 +327,13 @@ hreach AS (
   SELECT e.dst AS id, r.comp FROM hreach r JOIN hedges e ON e.src = r.id
 ),
 hcomp AS (SELECT id, min(comp) AS comp FROM hreach GROUP BY id),
+hmem AS (SELECT s._id AS id, g._rep FROM hsrc s JOIN hgrp g USING (_h)),
 hall AS (SELECT {id_col} AS id FROM {table}),
 hasg AS (
-  SELECT a.id, coalesce(c.comp, a.id) AS cluster_rep
-  FROM hall a LEFT JOIN hcomp c USING (id)
+  SELECT a.id, coalesce(c.comp, m._rep, a.id) AS cluster_rep
+  FROM hall a
+  LEFT JOIN hmem m USING (id)
+  LEFT JOIN hcomp c ON c.id = m._rep
 ),
 hsizes AS (SELECT cluster_rep, count(*) AS cluster_size FROM hasg GROUP BY 1)
 SELECT id AS {id_col}, cluster_rep, cluster_size

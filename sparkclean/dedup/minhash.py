@@ -140,24 +140,75 @@ def jaccard_col(a: Column, b: Column) -> Column:
     return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
 
 
+def shingle_set_key_col(sh: Column) -> Column:
+    """Order-independent 60-bit key of a shingle SET (hash of the sorted
+    comma-joined values) — the exact-duplicate-content collapse key.
+    Docs whose shingle sets are equal have Jaccard exactly 1, so they are
+    always near-duplicates at any threshold <= 1 and can be collapsed to
+    one representative before the band join (the reference's
+    exact-duplicate-sets correction, knn_graph.py:492-566)."""
+    return hash60_col(
+        F.array_join(F.transform(F.array_sort(sh), lambda x: x.cast("string")), ",")
+    )
+
+
+def shingle_set_key_sql(sh: str) -> str:
+    return hash60_sql(
+        f"array_to_string(list_transform(list_sort({sh}), x -> x::VARCHAR), ',')"
+    )
+
+
+def _content_members(
+    df: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """``(_id, _gk, _sh)`` for every doc with >= 1 shingle: _gk is the
+    shingle-set collapse key.  Built identically by the pair and cluster
+    paths so ReuseExchange shares the groupBy exchange."""
+    from ..skew import ensure_parallelism
+
+    # Filter on the word count, NOT on size(_sh) > 0: an equivalent
+    # predicate on the shingle array gets pushed below the exchange and
+    # re-inlines the whole O(len^2) shingle expression over raw text.
+    return (
+        ensure_parallelism(df)
+        .withColumn("_w", words_col(ascii_lower_col(F.col(text_col))))
+        .where(F.size("_w") >= 3)
+        .select(F.col(id_col).alias("_id"), shingles_from_words(F.col("_w")).alias("_sh"))
+        .withColumn("_gk", shingle_set_key_col(F.col("_sh")))
+    )
+
+
+def _content_groups(members: DataFrame) -> DataFrame:
+    """One row per DISTINCT shingle set: ``(_gk, _id=min id, _sh)`` —
+    the hot-key guard.  m exact-content duplicates (identical shingle
+    sets — Zipf-common in web corpora: boilerplate pages, mirrored docs)
+    collide in EVERY band, so uncollapsed they emit O(m²) candidate
+    pairs per bucket; collapsed they are one band row and their
+    membership expands linearly in the cluster step."""
+    return members.groupBy("_gk").agg(
+        F.min("_id").alias("_id"), F.min_by("_sh", "_id").alias("_sh")
+    )
+
+
 def near_duplicate_pairs(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float = 0.8,
 ) -> DataFrame:
-    """(id_a, id_b, jaccard) for near-duplicate pairs above threshold.
+    """(id_a, id_b, jaccard) for near-duplicate pairs above threshold,
+    between DISTINCT shingle sets — exact-content duplicate groups are
+    collapsed to their min-id representative before the band join (see
+    :func:`_content_groups`), so every reported jaccard is < 1 and both
+    candidate volume and output are linear in the distinct-content
+    count.  Full duplicate-group membership is
+    :func:`near_duplicate_clusters`' job.
 
     Scale shape: the LSH band self-join carries ONLY (id, bucket) — the
     multi-hundred-element shingle arrays never enter the candidate
     shuffle or the pair dedup; they are joined back just for the final
     (tiny) candidate set's exact-Jaccard check.  At 100 TB the band join
     shuffles ~16 bytes/row/band instead of ~2 KB/row/band."""
-    from ..skew import ensure_parallelism
-
-    # Filter on the word count, NOT on size(_sh) > 0: an equivalent
-    # predicate on the shingle array gets pushed below the exchange and
-    # re-inlines the whole O(len^2) shingle expression over raw text.
     # NOTE on the apparent triple shingle computation: `base` appears in
     # three plan subtrees (bucket path + the two verify join-backs), but
     # the a/b sides are IDENTICAL exchanges and Spark's ReuseExchange
@@ -166,12 +217,7 @@ def near_duplicate_pairs(
     # candidate rows ran 1.5-1.8x SLOWER at sf0.1 (extra distinct +
     # semi-join + cache round-trips outweigh the reused shingle pass).
     # Keep the declarative form and let the optimizer share the subtree.
-    base = (
-        ensure_parallelism(df)
-        .withColumn("_w", words_col(ascii_lower_col(F.col(text_col))))
-        .where(F.size("_w") >= 3)
-        .select(F.col(id_col).alias("_id"), shingles_from_words(F.col("_w")).alias("_sh"))
-    )
+    base = _content_groups(_content_members(df, text_col, id_col))
     sig = base.withColumn("_sig", minhash_signature_col(F.col("_sh")))
     buckets = sig.select(
         "_id", F.explode(band_buckets_col(F.col("_sig"))).alias("_bucket")
@@ -194,33 +240,54 @@ def near_duplicate_pairs(
     )
 
 
-def near_duplicate_pairs_sql(
-    table: str, text_col: str = "text", id_col: str = "doc_id", threshold: float = 0.8
+def _pairs_ctes_sql(
+    table: str, text_col: str, id_col: str, threshold: float
 ) -> str:
+    """Shared CTE chain ending in ``mvpairs(id_a, id_b, jaccard)`` (the
+    verified representative-level pair set) plus ``mmem(_id, _gk)`` /
+    ``mgroups(_gk, _id, _sh)`` — the shingle-set collapse both
+    :func:`near_duplicate_pairs_sql` and
+    :func:`near_duplicate_clusters_sql` select from."""
     sh = shingles_sql(text_col)
     sig = minhash_signature_sql("_sh")
     bk = band_buckets_sql("_sig")
-    return f"""
-WITH base AS (
+    gk = shingle_set_key_sql("_sh")
+    return f"""mbase AS (
   SELECT {id_col} AS _id, {sh} AS _sh FROM {table}
-), nonempty AS (
-  SELECT _id, _sh, {sig} AS _sig FROM base WHERE len(_sh) > 0
-), buckets AS (
-  SELECT _id, _sh, unnest({bk}) AS _bucket FROM nonempty
-), pairs AS (
+), mmem AS MATERIALIZED (
+  SELECT _id, _sh, {gk} AS _gk FROM mbase WHERE len(_sh) > 0
+), mgroups AS MATERIALIZED (
+  SELECT _gk, min(_id) AS _id, arg_min(_sh, _id) AS _sh FROM mmem GROUP BY _gk
+), msig AS (
+  SELECT _id, _sh, {sig} AS _sig FROM mgroups
+), mbuckets AS (
+  SELECT _id, unnest({bk}) AS _bucket FROM msig
+), mpairs AS (
   SELECT DISTINCT l._id AS id_a, r._id AS id_b
-  FROM buckets l JOIN buckets r ON l._bucket = r._bucket AND l._id < r._id
-), scored AS (
+  FROM mbuckets l JOIN mbuckets r ON l._bucket = r._bucket AND l._id < r._id
+), mscored AS (
   SELECT p.id_a, p.id_b,
          CASE WHEN len(list_distinct(a._sh || b._sh)) > 0 THEN
            len(list_intersect(a._sh, b._sh))::DOUBLE / len(list_distinct(a._sh || b._sh))
          ELSE 0.0 END AS jaccard
-  FROM pairs p
-  JOIN (SELECT DISTINCT _id, _sh FROM nonempty) a ON p.id_a = a._id
-  JOIN (SELECT DISTINCT _id, _sh FROM nonempty) b ON p.id_b = b._id
-)
-SELECT id_a, id_b, round(jaccard, 6) AS jaccard FROM scored WHERE jaccard >= {threshold}
-"""
+  FROM mpairs p
+  JOIN mgroups a ON p.id_a = a._id
+  JOIN mgroups b ON p.id_b = b._id
+), mvpairs AS MATERIALIZED (
+  SELECT id_a, id_b, round(jaccard, 6) AS jaccard
+  FROM mscored WHERE jaccard >= {threshold}
+)"""
+
+
+def near_duplicate_pairs_sql(
+    table: str, text_col: str = "text", id_col: str = "doc_id", threshold: float = 0.8
+) -> str:
+    """DuckDB twin of :func:`near_duplicate_pairs` (same shingle-set
+    collapse, same bands, same exact-Jaccard verify)."""
+    ctes = _pairs_ctes_sql(table, text_col, id_col, threshold)
+    return f"""
+WITH {ctes}
+SELECT id_a, id_b, jaccard FROM mvpairs"""
 
 
 def near_duplicate_clusters(
@@ -236,26 +303,77 @@ def near_duplicate_clusters(
     ``(id, cluster_rep, cluster_size)`` for every input row; singletons
     keep themselves at size 1.  Shares the pointer-jumping component
     primitive with the hamming/phash path
-    (:func:`sparkclean.graph.components_from_pairs`)."""
-    from ..graph import components_from_pairs
+    (:func:`sparkclean.graph.component_labels`).
 
+    Components resolve at the DISTINCT-shingle-set level (representative
+    pairs from :func:`near_duplicate_pairs`), then every doc joins its
+    set-group representative's component through one linear membership
+    join — identical-content groups have Jaccard 1 >= any threshold, so
+    cluster semantics are unchanged from the pre-collapse
+    implementation while a mega-group of m boilerplate copies costs m
+    membership rows, never m² pairs."""
+    from ..graph import component_labels
+
+    members = _content_members(df, text_col, id_col)
+    groups = _content_groups(members)
     pairs = near_duplicate_pairs(df, text_col, id_col, threshold)
-    out = components_from_pairs(
-        pairs, df.select(F.col(id_col).alias("id")), max_iter=max_iter
+    labels = component_labels(pairs, max_iter=max_iter).select(
+        F.col("id").alias("_rid"), "comp"
     )
-    return out.withColumnRenamed("id", id_col)
+    membership = members.select("_id", "_gk").join(
+        groups.select("_gk", F.col("_id").alias("_rid")), "_gk"
+    )
+    asg = (
+        df.select(F.col(id_col).alias("_id"))
+        .join(membership, "_id", "left")
+        .join(labels, "_rid", "left")
+        .select(
+            F.col("_id").alias("id"),
+            F.coalesce("comp", "_rid", "_id").alias("cluster_rep"),
+        )
+    )
+    sizes = asg.groupBy("cluster_rep").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        asg.join(sizes, "cluster_rep")
+        .select("id", "cluster_rep", "cluster_size")
+        .withColumnRenamed("id", id_col)
+    )
 
 
 def near_duplicate_clusters_sql(
     table: str, text_col: str = "text", id_col: str = "doc_id", threshold: float = 0.8
 ) -> str:
-    """DuckDB twin of :func:`near_duplicate_clusters` — the pair query
-    nests as a CTE body under the shared recursive-components wrapper."""
-    from ..graph import components_sql
-
-    return components_sql(
-        near_duplicate_pairs_sql(table, text_col, id_col, threshold), table, id_col
-    )
+    """DuckDB twin of :func:`near_duplicate_clusters`: recursive
+    reachability over the representative pair set, membership expanded
+    through the mgroups collapse."""
+    ctes = _pairs_ctes_sql(table, text_col, id_col, threshold)
+    return f"""
+WITH RECURSIVE {ctes},
+medges AS (
+  SELECT id_a AS src, id_b AS dst FROM mvpairs
+  UNION
+  SELECT id_b, id_a FROM mvpairs
+),
+mreach AS (
+  SELECT src AS id, src AS comp FROM medges
+  UNION
+  SELECT e.dst AS id, r.comp FROM mreach r JOIN medges e ON e.src = r.id
+),
+mcomp AS (SELECT id, min(comp) AS comp FROM mreach GROUP BY id),
+mship AS (
+  SELECT m._id AS id, g._id AS _rid
+  FROM mmem m JOIN mgroups g USING (_gk)
+),
+mall AS (SELECT {id_col} AS id FROM {table}),
+masg AS (
+  SELECT a.id, coalesce(c.comp, s._rid, a.id) AS cluster_rep
+  FROM mall a
+  LEFT JOIN mship s USING (id)
+  LEFT JOIN mcomp c ON c.id = s._rid
+),
+msizes AS (SELECT cluster_rep, count(*) AS cluster_size FROM masg GROUP BY 1)
+SELECT id AS {id_col}, cluster_rep, cluster_size
+FROM masg JOIN msizes USING (cluster_rep)"""
 
 
 def near_duplicate_best_representatives(

@@ -159,7 +159,13 @@ def simhash_candidate_pairs(
     """Candidate near-dup pairs sharing a ``block_bits``-wide simhash
     block, verified by exact popcount Hamming distance <= max_hamming.
     Fingerprinting is simhash's; the blocked search itself delegates to
-    the shared Hamming-ball machinery (dedup/hamming.py).
+    the shared Hamming-ball machinery (dedup/hamming.py) — including its
+    distinct-fingerprint collapse: docs with IDENTICAL simhashes are
+    collapsed to one min-id representative before banding (so reported
+    pairs are between distinct fingerprints, hamming >= 1, and a
+    mega-group of identical boilerplate never emits O(m²) pairs); full
+    duplicate-group membership comes from
+    ``dedup.hamming.hamming_clusters`` over the same fingerprints.
 
     ``block_bits`` is the scale knob (the simhash analog of knn_edges'
     EDGE_BITS): expected bucket size grows ~N/2^block_bits, so at 10^12

@@ -20,19 +20,19 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def components_from_pairs(
+def component_labels(
     pairs_df: DataFrame,
-    nodes_df: DataFrame,
     src_col: str = "id_a",
     dst_col: str = "id_b",
     max_iter: int = 20,
 ) -> DataFrame:
-    """``(id, cluster_rep, cluster_size)`` for every row of ``nodes_df``
-    (single column ``id``): cluster_rep = min id in the connected
-    component of the undirected ``pairs_df`` graph; singletons keep
-    themselves at size 1.  Raises if ``max_iter`` pointer-jumping rounds
-    do not converge — partially-converged labels would silently split
-    true components."""
+    """``(id, comp)`` for every node TOUCHED by ``pairs_df`` (undirected):
+    comp = min id in the node's connected component.  The raw label
+    loop behind :func:`components_from_pairs`; callers that cluster at a
+    collapsed/representative level (e.g. distinct-fingerprint dedup)
+    use this directly and expand membership themselves.  Raises if
+    ``max_iter`` pointer-jumping rounds do not converge —
+    partially-converged labels would silently split true components."""
     pairs = pairs_df.select(F.col(src_col).alias("id_a"), F.col(dst_col).alias("id_b"))
     edges = pairs.unionByName(
         pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
@@ -75,9 +75,24 @@ def components_from_pairs(
             break
     else:
         raise RuntimeError(
-            f"components_from_pairs did not converge in {max_iter} rounds "
+            f"component_labels did not converge in {max_iter} rounds "
             f"({changed} labels still moving); raise max_iter"
         )
+    return comp
+
+
+def components_from_pairs(
+    pairs_df: DataFrame,
+    nodes_df: DataFrame,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """``(id, cluster_rep, cluster_size)`` for every row of ``nodes_df``
+    (single column ``id``): cluster_rep = min id in the connected
+    component of the undirected ``pairs_df`` graph; singletons keep
+    themselves at size 1."""
+    comp = component_labels(pairs_df, src_col, dst_col, max_iter)
     asg = nodes_df.join(comp, "id", "left").select(
         "id", F.coalesce("comp", F.col("id")).alias("cluster_rep")
     )

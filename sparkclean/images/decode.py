@@ -329,8 +329,14 @@ def phash_near_duplicates(
     (duplicate.py:20-228; SURVEY.md §2.6); :func:`phash_duplicate_clusters`
     is the exact half.  Delegates to the generic blocked search
     (dedup/hamming.py): exact whenever ``max_distance <= 64/block_bits - 1``;
-    at 10^12 rows raise ``block_bits`` (buckets ~N/2^block_bits) and add
-    rotations (``n_perms``) to recover recall."""
+    at 10^12 rows raise ``block_bits`` (buckets ~D/2^block_bits over the
+    D DISTINCT phashes) and add rotations (``n_perms``) to recover
+    recall.  Identical phashes (blank / solid-color mega-clusters) are
+    collapsed to one min-id representative BEFORE banding, so pairs are
+    between distinct phashes only (hamming >= 1) and a 10^6-image blank
+    cluster costs one band row, not 10^12 candidate pairs; full
+    membership comes from :func:`phash_near_duplicate_clusters` /
+    :func:`phash_duplicate_clusters`."""
     from sparkclean.dedup.hamming import hamming_pairs
 
     return hamming_pairs(

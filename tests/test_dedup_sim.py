@@ -46,12 +46,15 @@ def test_exact_duplicates(spark, dup_docs):
 def test_minhash_near_duplicates(spark, dup_docs):
     pairs = d_minhash.near_duplicate_pairs(dup_docs, "text", "doc_id", threshold=0.5)
     got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs.collect()}
-    # identical docs → jaccard 1.0
-    assert got.get((100, 101)) == 1.0
-    assert got.get((100, 103)) == 1.0
-    # one-word change → high but < 1
-    near = [v for (a, b), v in got.items() if 110 in (a, b) and (a in (100, 101, 102, 103) or b in (100, 101, 102, 103))]
-    assert near and all(0.5 <= v < 1.0 for v in near)
+    # exact-content group {100,101,102,103} (identical shingle SETS —
+    # 103 differs only in whitespace) collapses to representative 100:
+    # no jaccard-1 within-group pairs in the output
+    assert not any(
+        a in (101, 102, 103) or b in (101, 102, 103) for (a, b) in got
+    )
+    assert all(v < 1.0 for v in got.values())
+    # one-word change still pairs with the group REPRESENTATIVE
+    assert (100, 110) in got and 0.5 <= got[(100, 110)] < 1.0
     # unrelated doc never pairs with the base cluster
     assert not any(120 in (a, b) for (a, b) in got)
 
@@ -59,9 +62,24 @@ def test_minhash_near_duplicates(spark, dup_docs):
 def test_simhash_pairs(spark, dup_docs):
     out = d_simhash.simhash_candidate_pairs(dup_docs, "text", "doc_id", max_hamming=4)
     got = {(r["id_a"], r["id_b"]): r["hamming"] for r in out.collect()}
-    assert got.get((100, 101)) == 0
-    assert got.get((100, 103)) == 0
-    assert all(h <= 4 for h in got.values())
+    # identical fingerprints ({100,101,102,103} hash alike) collapse to
+    # rep 100 before banding: no distance-0 pairs, no non-rep members
+    assert all(1 <= h <= 4 for h in got.values())
+    assert not any(
+        a in (101, 102, 103) or b in (101, 102, 103) for (a, b) in got
+    )
+    # duplicate-group MEMBERSHIP comes from clusters over the fingerprints
+    from sparkclean.dedup.hamming import hamming_clusters
+
+    fps = d_simhash.with_simhash(dup_docs, "text", "sh").select("doc_id", "sh")
+    cl = {
+        r["doc_id"]: (r["cluster_rep"], r["cluster_size"])
+        for r in hamming_clusters(
+            fps, "doc_id", "sh", max_distance=0, bits=32
+        ).collect()
+    }
+    assert cl[100][0] == cl[101][0] == cl[102][0] == cl[103][0] == 100
+    assert cl[100][1] >= 4
     # a one-word change moves the fingerprint but stays closer than an
     # unrelated doc (compare raw hamming distances, not candidacy —
     # 13-token docs flip several of 32 bits per token change)
@@ -87,7 +105,18 @@ def test_simhash_block_bits_knob(spark, dup_docs):
     got16 = {(r["id_a"], r["id_b"]) for r in base.collect()}
     got8 = {(r["id_a"], r["id_b"]) for r in wide.collect()}
     assert got16 <= got8
-    assert (100, 101) in got16 and (100, 101) in got8
+    # the planted exact group rides the collapse (not the band join):
+    # 100/103 share a fingerprint, so they cluster at any block_bits
+    from sparkclean.dedup.hamming import hamming_clusters
+
+    fps = d_simhash.with_simhash(dup_docs, "text", "sh").select("doc_id", "sh")
+    cl = {
+        r["doc_id"]: r["cluster_rep"]
+        for r in hamming_clusters(
+            fps, "doc_id", "sh", max_distance=3, bits=32, block_bits=8
+        ).collect()
+    }
+    assert cl[100] == cl[103]
     with pytest.raises(ValueError):
         d_simhash.simhash_candidate_pairs(dup_docs, block_bits=7)
 
@@ -120,10 +149,23 @@ def test_simhash_null_text(spark):
         f"SELECT doc_id, {d_simhash.simhash_sql('text')} FROM docs"
     ).fetchall())
     assert oracle == sh  # DuckDB twin agrees row-for-row
+    # identical fingerprints ({1,3} share a hash; {2,4} are both 0)
+    # collapse before banding: no distance-0 pairs — membership comes
+    # from clusters, which must group each pair and keep them apart
     pairs = {(r["id_a"], r["id_b"])
              for r in d_simhash.simhash_candidate_pairs(df).collect()}
-    assert (1, 3) in pairs
-    assert (2, 4) in pairs  # both fingerprint 0 → hamming 0, both engines
+    assert not ((1, 3) in pairs or (2, 4) in pairs)
+    from sparkclean.dedup.hamming import hamming_clusters
+
+    fps = d_simhash.with_simhash(df, "text", "sh").select("doc_id", "sh")
+    cl = {
+        r["doc_id"]: (r["cluster_rep"], r["cluster_size"])
+        for r in hamming_clusters(
+            fps, "doc_id", "sh", max_distance=3, bits=32
+        ).collect()
+    }
+    assert cl[1] == cl[3] == (1, 2)
+    assert cl[2] == cl[4] == (2, 2)
 
 
 @pytest.fixture(scope="module")
@@ -364,12 +406,23 @@ def test_minhash_near_duplicate_clusters(spark, dup_docs):
     }
     assert len(out) == dup_docs.count()
 
+    # the operator's verified pair set is representative-level since the
+    # shingle-set collapse, so the oracle union-find also unions each
+    # exact-content group (same _gk) — jaccard-1 edges by definition
     pairs = [
         (r["id_a"], r["id_b"])
         for r in d_minhash.near_duplicate_pairs(
             dup_docs, "text", "doc_id", threshold=0.8
         ).collect()
     ]
+    gk_members: dict[int, list[int]] = {}
+    for r in d_minhash._content_members(dup_docs, "text", "doc_id").select(
+        "_id", "_gk"
+    ).collect():
+        gk_members.setdefault(r["_gk"], []).append(r["_id"])
+    for members in gk_members.values():
+        rep = min(members)
+        pairs.extend((rep, m) for m in members if m != rep)
     ids = sorted(out)
     parent = {i: i for i in ids}
     def find(x):
@@ -459,3 +512,148 @@ def test_cluster_operators_plan_shape(spark, dup_docs, vectors):
     for name, df in frames.items():
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan, f"{name} plan has a cartesian product"
+
+
+# ------------------------------------------- hot-fingerprint guard (r5)
+
+
+def test_hamming_mega_cluster_linear_not_quadratic(spark):
+    """The hot-fingerprint guard (VERDICT r4 item 1): m rows sharing ONE
+    fingerprint (blank/solid-color images at corpus scale) collapse to a
+    single band-join row — the pair output is linear in DISTINCT hashes
+    (zero within-group pairs, not C(m,2)), while clusters still expand
+    full membership, including a NULL-fingerprint singleton."""
+    from sparkclean.dedup.hamming import hamming_clusters, hamming_pairs
+
+    m = 5000
+    h0 = 0x0123456789ABCDEF
+    h1 = h0 ^ 0b10000000101  # exactly 3 flipped bits
+    far = -0x7EDCBA987654321
+    rows = [(i, h0) for i in range(m)] + [(m, h1), (m + 1, far), (m + 2, None)]
+    df = spark.createDataFrame(rows, "id: long, phash: long")
+    pairs = hamming_pairs(df, "id", "phash", max_distance=3).collect()
+    assert [(r["id_a"], r["id_b"], r["hamming"]) for r in pairs] == [(0, m, 3)]
+    cl = {
+        r["id"]: (r["cluster_rep"], r["cluster_size"])
+        for r in hamming_clusters(df, "id", "phash", max_distance=3).collect()
+    }
+    assert len(cl) == m + 3
+    assert all(cl[i] == (0, m + 1) for i in range(m + 1))
+    assert cl[m + 1] == (m + 1, 1)
+    assert cl[m + 2] == (m + 2, 1)  # NULL fingerprint stays a singleton
+
+
+def test_minhash_mega_group_linear_not_quadratic(spark):
+    """Same guard on the minhash band join: m identical docs are ONE
+    shingle-set group — pair output stays linear (one rep-level pair to
+    the near variant), clusters expand the full m+1 membership."""
+    # change only the LAST word: 1 of 38 trigram shingles differs →
+    # jaccard 37/39 ≈ 0.949, band-hit probability ~1 - 1.7e-6 (a
+    # mid-document change leaves ~0.85 jaccard, which misses all 8
+    # bands for ~0.2% of fixtures — this one stays deterministic-safe)
+    words = [f"w{i:02d}" for i in range(40)]
+    base = " ".join(words)
+    variant = " ".join(words[:-1] + ["CHANGED"])
+    m = 1000
+    rows = [(i, base) for i in range(m)] + [
+        (m, variant),
+        (m + 1, "an entirely unrelated document about spark shuffles and joins"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    pairs = d_minhash.near_duplicate_pairs(df, "text", "doc_id", threshold=0.8).collect()
+    assert [(r["id_a"], r["id_b"]) for r in pairs] == [(0, m)]
+    assert 0.8 <= pairs[0]["jaccard"] < 1.0
+    cl = {
+        r["doc_id"]: (r["cluster_rep"], r["cluster_size"])
+        for r in d_minhash.near_duplicate_clusters(
+            df, "text", "doc_id", threshold=0.8
+        ).collect()
+    }
+    assert all(cl[i] == (0, m + 1) for i in range(m + 1))
+    assert cl[m + 1] == (m + 1, 1)
+
+
+def test_hamming_twins_on_duplicate_heavy_fixture(spark):
+    """Cross-engine pin for the collapse path: Spark and the DuckDB twin
+    must agree row-for-row on a fixture dominated by duplicate
+    fingerprints (the gate corpus has none, so this is the real twin
+    coverage for hgrp/hmem)."""
+    import duckdb
+
+    from sparkclean.dedup import hamming as H
+
+    h0 = 0x0123456789ABCDEF
+    rows = (
+        [(i, h0) for i in range(50)]
+        + [(50, h0 ^ 0b11), (51, h0 ^ 0b11), (52, -0x7EDCBA987654321)]
+        + [(53, None)]
+    )
+    df = spark.createDataFrame(rows, "doc_id: long, phash: long")
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, phash BIGINT)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    got_pairs = sorted(
+        tuple(r) for r in H.hamming_pairs(df, "doc_id", "phash").collect()
+    )
+    want_pairs = sorted(
+        tuple(r)
+        for r in con.sql(H.hamming_pairs_sql("documents", "doc_id", "phash")).fetchall()
+    )
+    assert got_pairs == want_pairs == [(0, 50, 2)]
+    got_cl = sorted(
+        tuple(r) for r in H.hamming_clusters(df, "doc_id", "phash").collect()
+    )
+    want_cl = sorted(
+        tuple(r)
+        for r in con.sql(
+            H.hamming_clusters_sql("documents", "doc_id", "phash")
+        ).fetchall()
+    )
+    assert got_cl == want_cl
+    assert dict((i, (rep, sz)) for i, rep, sz in got_cl)[53] == (53, 1)
+
+
+def test_minhash_twins_on_duplicate_heavy_fixture(spark):
+    """Cross-engine pin for the shingle-set collapse: duplicate-heavy +
+    degenerate rows (empty text, NULL text, whitespace-only) hash
+    identically through both engines' collapse + expansion."""
+    import duckdb
+
+    words = [f"tok{i:02d}" for i in range(40)]
+    base = " ".join(words)
+    # last-word change: 1/38 shingles differ, jaccard 37/39 (see the
+    # band-hit note in test_minhash_mega_group_linear_not_quadratic)
+    variant = " ".join(words[:-1] + ["CHANGED"])
+    rows = (
+        [(i, base) for i in range(30)]
+        + [(30, variant), (31, "short text only"), (32, ""), (33, None), (34, "   ")]
+    )
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    got_pairs = sorted(
+        tuple(r)
+        for r in d_minhash.near_duplicate_pairs(df, "text", "doc_id", 0.8).collect()
+    )
+    want_pairs = sorted(
+        tuple(r)
+        for r in con.sql(
+            d_minhash.near_duplicate_pairs_sql("documents", "text", "doc_id", 0.8)
+        ).fetchall()
+    )
+    assert got_pairs == want_pairs == [(0, 30, pytest.approx(37 / 39, abs=1e-6))]
+    got_cl = sorted(
+        tuple(r)
+        for r in d_minhash.near_duplicate_clusters(df, "text", "doc_id", 0.8).collect()
+    )
+    want_cl = sorted(
+        tuple(r)
+        for r in con.sql(
+            d_minhash.near_duplicate_clusters_sql("documents", "text", "doc_id", 0.8)
+        ).fetchall()
+    )
+    assert got_cl == want_cl
+    cl = {i: (rep, sz) for i, rep, sz in got_cl}
+    assert all(cl[i] == (0, 31) for i in range(31))
+    assert all(cl[i] == (i, 1) for i in (31, 32, 33, 34))

@@ -230,10 +230,14 @@ def test_checkpoint_resume(spark, corpus, tmp_path):
 def test_phash_near_duplicates_on_decoded_corpus(spark, corpus):
     """Hamming-ball near-dup over phashes RECOMPUTED from decoded pixels:
     exact vs a NumPy brute force at distance <= 3 (block_bits=16 is
-    pigeonhole-exact there), and the planted same-seed clusters surface
-    at distance 0 while jpeg-vs-png encodings of the same seed may land
-    at small nonzero distances."""
-    from sparkclean.images.decode import phash_near_duplicates
+    pigeonhole-exact there) over DISTINCT phashes — identical phashes
+    (the planted same-seed clusters) collapse to their min-id
+    representative before banding, so their membership surfaces through
+    the cluster expansion, not as distance-0 pairs."""
+    from sparkclean.images.decode import (
+        phash_near_duplicate_clusters,
+        phash_near_duplicates,
+    )
 
     stats = decode_stats(corpus).select("image_id", "phash_recomputed")
     got = {
@@ -244,18 +248,32 @@ def test_phash_near_duplicates_on_decoded_corpus(spark, corpus):
     }
 
     rows = stats.collect()
-    ids = [r["image_id"] for r in rows]
-    hs = [r["phash_recomputed"] % (1 << 64) for r in rows]
+    groups: dict[int, list] = {}
+    for r in rows:
+        groups.setdefault(r["phash_recomputed"] % (1 << 64), []).append(r["image_id"])
+    reps = {h: min(ids) for h, ids in groups.items()}
+    hs = sorted(reps)
     exp = {}
-    for i in range(len(ids)):
-        for j in range(i + 1, len(ids)):
-            d = (hs[i] ^ hs[j]).bit_count()
+    for i, hi in enumerate(hs):
+        for hj in hs[i + 1 :]:
+            d = (hi ^ hj).bit_count()
             if d <= 3:
-                a, b = sorted((ids[i], ids[j]))
+                a, b = sorted((reps[hi], reps[hj]))
                 exp[(a, b)] = d
     assert got == exp
-    # the corpus plants same-seed duplicate clusters -> distance-0 pairs
-    assert any(d == 0 for d in got.values())
+    assert all(d >= 1 for d in got.values())
+    # the planted same-seed duplicate clusters surface via the linear
+    # membership expansion: every identical-phash group shares a cluster
+    cl_rep = {
+        r["image_id"]: r["cluster_rep"]
+        for r in phash_near_duplicate_clusters(
+            stats, id_col="image_id", phash_col="phash_recomputed"
+        ).collect()
+    }
+    dup_groups = [ids for ids in groups.values() if len(ids) > 1]
+    assert dup_groups  # the corpus plants same-seed duplicates
+    for ids in dup_groups:
+        assert len({cl_rep[i] for i in ids}) == 1
 
 
 def test_failed_decodes_get_null_phash_not_sentinel(spark):
@@ -287,5 +305,18 @@ def test_failed_decodes_get_null_phash_not_sentinel(spark):
             stats, id_col="image_id", phash_col="phash_recomputed"
         ).collect()
     }
-    # only the identical good pair — no phantom cluster of broken images
-    assert pairs == {("ok_1", "ok_2")}
+    # identical good images collapse to one representative (no pairs at
+    # all), and the broken images must not form a phantom cluster: the
+    # good pair groups via cluster expansion, NULLs stay singletons
+    assert pairs == set()
+    from sparkclean.images.decode import phash_near_duplicate_clusters
+
+    cl = {
+        r["image_id"]: (r["cluster_rep"], r["cluster_size"])
+        for r in phash_near_duplicate_clusters(
+            stats, id_col="image_id", phash_col="phash_recomputed"
+        ).collect()
+    }
+    assert cl["ok_1"] == cl["ok_2"] == ("ok_1", 2)
+    for bad in ("null_1", "null_2", "corrupt_1", "corrupt_2"):
+        assert cl[bad] == (bad, 1), bad
