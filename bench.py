@@ -18,6 +18,21 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# process-global for the multi-core VM probe: set by run() right before
+# the ProcessPoolExecutor forks, so workers inherit the loaded sample
+_PROBE_SAMPLE = None
+
+
+def _mt_probe_worker(_i: int) -> float:
+    """One kernel pass over the fork-inherited probe sample; used by the
+    multi-core canary (processes, not threads — see run())."""
+    from sparkclean.images.decode import _stats_for_batch
+
+    t0 = time.time()
+    _stats_for_batch(_PROBE_SAMPLE)
+    return time.time() - t0
+
+
 HEADLINE = [
     "caption_quality_pipeline",
     "issues_low_self_confidence",
@@ -90,14 +105,51 @@ def run(sf_dir: str, cpus: int, image_n: int, include_headline: bool = True) -> 
     # first pass pays python-worker spawn + JIT, and local-mode runs show
     # ±20% scheduling noise; the second pass is the steady-state number a
     # long-running cluster job sees.
+    # Per-stage sub-timings (self-diagnosing bench, round-5): the image
+    # number decomposes into the three jobs the pipeline actually runs —
+    #   pass1_scan_thresholds: decode+caption-feature Arrow scan into the
+    #     persist, paid by the thresholds aggregation;
+    #   pass2_issue_count: fused issue-count agg over the cached frame;
+    #   final_write: bottom-n selection + scrub + noop write;
+    #   plan_build_other: driver-side plan construction remainder.
+    # The breakdown recorded is the one from the BEST rep, so the stages
+    # sum to (approximately) the reported image_pipeline number.
     image_secs = float("inf")
+    image_stages: dict[str, float] = {}
     for _ in range(2):
+        st: dict[str, float] = {}
         t0 = time.time()
-        out = run_image_caption_quality_from_path(spark, corpus_path)
+        out = run_image_caption_quality_from_path(spark, corpus_path, stage_times=st)
+        t_build = time.time() - t0
+        t0w = time.time()
         out.write.format("noop").mode("overwrite").save()
-        image_secs = min(image_secs, time.time() - t0)
+        t_write = time.time() - t0w
+        rep_total = t_build + t_write
+        if rep_total < image_secs:
+            image_secs = rep_total
+            image_stages = dict(st)
+            image_stages["final_write"] = round(t_write, 3)
+            image_stages["plan_build_other"] = round(
+                t_build - sum(st.values()), 3
+            )
         spark.catalog.clearCache()
     timings["image_pipeline"] = round(image_secs, 3)
+
+    # Decode-stage isolation (diagnostic, not part of the suite total):
+    # the same corpus through the Arrow scan alone, with and without the
+    # fused caption-feature kernel — separates "decode got slower" from
+    # "caption scoring got slower" from "the aggregation jobs got slower".
+    from sparkclean.images.decode import decode_scan
+
+    for flag, key in ((False, "decode_scan_only"), (True, "decode_scan_with_captions")):
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            decode_scan(spark, corpus_path, with_caption_features=flag).write.format(
+                "noop"
+            ).mode("overwrite").save()
+            best = min(best, time.time() - t0)
+        image_stages[key] = round(best, 3)
 
     # VM-speed canary: the decode/stats kernel over a fixed 3000-row
     # corpus sample, single-threaded, best-of-two.  The kernel is
@@ -130,8 +182,36 @@ def run(sf_dir: str, cpus: int, image_n: int, include_headline: bool = True) -> 
             _stats_for_batch(sample)
             best = min(best, time.time() - t0)
         probe = round(len(sample) / best, 0)
+
+        # Multi-core canary (round-5): the single-thread probe provably
+        # under-detects — the r4 driver run read probe=1999 (clean)
+        # alongside a 25.2 s suite.  Run the same kernel in min(cpus, 8)
+        # concurrent PROCESSES (Spark's python workers are processes;
+        # threads are GIL-bound here — a thread pool measured aggregate
+        # BELOW single-thread) to surface memory-bandwidth contention
+        # the solo probe can't see.  Reports aggregate rows/s and
+        # efficiency vs (single-process probe x workers): on a clean VM
+        # this sits ~0.6-0.9 (shared DRAM); a contended epoch drags it
+        # well below its own history even when the solo probe looks
+        # clean.
+        from concurrent.futures import ProcessPoolExecutor
+
+        global _PROBE_SAMPLE
+        _PROBE_SAMPLE = sample  # fork-inherited by the pool workers
+        nworkers = min(cpus, 8)
+        with ProcessPoolExecutor(nworkers) as ex:
+            list(ex.map(_mt_probe_worker, range(nworkers)))  # warm/spawn
+            best_mt = float("inf")
+            for _ in range(2):
+                t0 = time.time()
+                list(ex.map(_mt_probe_worker, range(nworkers)))
+                best_mt = min(best_mt, time.time() - t0)
+        probe_mt = round(nworkers * len(sample) / best_mt, 0)
+        probe_mt_eff = round(probe_mt / (probe * nworkers), 3) if probe else None
     except Exception:
-        pass
+        probe_mt = None
+        probe_mt_eff = None
+        nworkers = None
 
     total = round(sum(timings.values()), 3)
     result = {
@@ -145,6 +225,10 @@ def run(sf_dir: str, cpus: int, image_n: int, include_headline: bool = True) -> 
         "cpus": cpus,
         "knn_rescue_rows": rescue_count if include_headline else None,
         "vm_probe_rows_per_sec": probe,
+        "vm_probe_mt_rows_per_sec": probe_mt,
+        "vm_probe_mt_workers": nworkers,
+        "vm_probe_mt_efficiency": probe_mt_eff,
+        "image_stages": image_stages,
     }
     spark.stop()
     return result

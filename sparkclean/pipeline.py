@@ -88,7 +88,10 @@ def _with_label_and_probs(df: DataFrame) -> DataFrame:
 
 
 def caption_scores(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    stage_times: dict | None = None,
 ) -> DataFrame:
     """Caption quality dataflow; returns the input columns plus label,
     quality_score (unrounded), is_label_issue, keep, scrubbed_text.
@@ -106,7 +109,17 @@ def caption_scores(
     long-lived callers issuing many pipelines should do the same or
     call ``spark.catalog.clearCache()`` when done — the same contract
     as sim.knn.knn_edges' session-pinned graph.
+
+    ``stage_times``, if given, receives wall-clock seconds for the two
+    eager jobs this function triggers — ``pass1_scan_thresholds`` (the
+    thresholds aggregation, which pays the full scan/decode/feature
+    stage into the persist) and ``pass2_issue_count`` (the fused
+    issue-count aggregation over the cached frame).  Zero cost when
+    None (the default); bench.py uses it so recorded bench numbers are
+    self-diagnosing per stage.
     """
+    import time as _time
+
     if "label" in df.columns and "pred_probs" in df.columns:
         # fast path: features + pseudo-labels already computed upstream
         # (e.g. inside the decode_scan Arrow pass — text.fast)
@@ -115,7 +128,10 @@ def caption_scores(
         feats = _with_label_and_probs(_features(df, text_col))
     feats = feats.persist()
 
+    _t0 = _time.time()
     thresholds = get_confident_thresholds(feats, NUM_CLASSES)
+    if stage_times is not None:
+        stage_times["pass1_scan_thresholds"] = round(_time.time() - _t0, 3)
     t_arr = F.array(*[F.lit(float(t)) for t in thresholds])
 
     # fast-path issue count (label_issues_batched thorough=False),
@@ -125,10 +141,13 @@ def caption_scores(
         F.array_max(F.col("pred_probs"))
         >= F.element_at(t_arr, am + 1) - F.lit(FLOATING_POINT_COMPARISON)
     ) & (am != F.col("label"))
+    _t0 = _time.time()
     agg_row = feats.agg(
         F.sum(F.when(confident_neq, 1).otherwise(0)).alias("_n_issues"),
         F.count(F.lit(1)).alias("_total"),
     ).collect()[0]
+    if stage_times is not None:
+        stage_times["pass2_issue_count"] = round(_time.time() - _t0, 3)
     n_issues = int(agg_row["_n_issues"] or 0)
     total = int(agg_row["_total"])
 
@@ -184,7 +203,7 @@ def run_image_caption_quality(
 
 def run_image_caption_quality_from_path(
     spark, path: str, id_col: str = "image_id", text_col: str = "caption",
-    fast_captions: bool = True,
+    fast_captions: bool = True, stage_times: dict | None = None,
 ) -> DataFrame:
     """Like :func:`run_image_caption_quality` but scanning the parquet
     corpus with the python-native reader (images.decode.decode_scan) so
@@ -202,7 +221,9 @@ def run_image_caption_quality_from_path(
     # python-source plan and never changes the layout.
     scanned = decode_scan(spark, path, with_caption_features=fast_captions)
     projected = with_image_issues(scanned)
-    joined = caption_scores(projected, id_col=id_col, text_col=text_col)
+    joined = caption_scores(
+        projected, id_col=id_col, text_col=text_col, stage_times=stage_times
+    )
     return _finalize_image_output(joined, id_col)
 
 
