@@ -88,7 +88,8 @@ _GATE_COST = {
     "knn_lsh_topk": 1.5, "spurious_correlations": 1.8, "ngram_jaccard_pairs": 2.1,
     "simhash_fingerprints": 2.2, "datalab_issue_summary": 2.3,
     "minhash_near_duplicates": 2.4, "embedding_near_duplicates": 2.6,
-    "caption_quality_pipeline": 3.1, "non_iid_check": 3.1, "data_valuation": 3.6,
+    "caption_quality_pipeline": 3.1, "iceberg_roundtrip": 3.1,
+    "non_iid_check": 3.1, "data_valuation": 3.6,
     "knn_ivf_topk": 3.7, "objectlab_box_scores": 4.4,
     "underperforming_group_graph": 4.4, "crowdlab_consensus_quality": 4.5,
     "crowdlab_weights": 4.6, "label_issues_from_features": 5.3,
@@ -1423,6 +1424,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def caption_quality_pipeline(spark, sf):
         return pl.run_caption_quality(_docs(spark, sf), id_col="doc_id", text_col="text")
 
+    def iceberg_roundtrip(spark, sf):
+        # Real Iceberg v2 metadata round-trip (sparkclean/iceberg.py, pure
+        # Python per the public spec; avro layer pinned against the Java
+        # reference reader in tests).  Two snapshot commits of the
+        # documents table (even ids, then odd), then a time-travel read of
+        # snapshot 1 plus a current-snapshot read — value-exact vs the
+        # source table, which is exactly what the oracle asserts.
+        import tempfile
+
+        from sparkclean import iceberg as ice
+
+        docs = _docs(spark, sf).select("doc_id", "text")
+        loc = tempfile.mkdtemp(prefix="sparkclean_ice_gate_")
+        s1 = ice.commit_append(spark, docs.where(F.col("doc_id") % 2 == 0), loc)
+        ice.commit_append(spark, docs.where(F.col("doc_id") % 2 == 1), loc)
+        snap1 = ice.read_table(spark, loc, snapshot_id=s1["snapshot-id"]).select(
+            "doc_id", "text", F.lit("s1").alias("snap")
+        )
+        cur = ice.read_table(spark, loc).select(
+            "doc_id", "text", F.lit("cur").alias("snap")
+        )
+        return snap1.unionByName(cur)
+
     # ---- similarity search over embeddings
     def knn_bruteforce(spark, sf):
         df = _emb(spark, sf)
@@ -1956,6 +1980,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         phash_near_duplicates=phash_near_duplicates,
         phash_near_duplicate_clusters=phash_near_duplicate_clusters,
         caption_quality_pipeline=caption_quality_pipeline,
+        iceberg_roundtrip=iceberg_roundtrip,
         knn_bruteforce=knn_bruteforce,
         embedding_near_duplicates=embedding_near_duplicates,
         embedding_near_duplicate_clusters=embedding_near_duplicate_clusters,
@@ -3128,6 +3153,14 @@ FROM documents"""
         _ph_tab, "doc_id", _ph_expr, max_distance=3, block_bits=16
     )
     o["caption_quality_pipeline"] = pl.oracle_sql_for("documents", "doc_id", "text")
+    # iceberg_roundtrip: a value-exact round-trip means the snapshot-1
+    # read equals the even-id half and the current read equals the whole
+    # table — no iceberg machinery on the oracle side, by design.
+    o["iceberg_roundtrip"] = """
+SELECT doc_id, text, 's1' AS snap FROM documents WHERE doc_id % 2 = 0
+UNION ALL
+SELECT doc_id, text, 'cur' AS snap FROM documents
+"""
     o["knn_bruteforce"] = sim_knn.cosine_topk_sql("embeddings", "vec_id < 20", k=5)
     o["embedding_near_duplicates"] = sim_knn.embedding_near_duplicates_sql(
         "embeddings", threshold=0.9

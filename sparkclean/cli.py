@@ -5,12 +5,15 @@ Usage (cluster):
         --input /data/images_table --output /data/scored \
         --buckets 256
 
-Reads the image+caption table (Iceberg via ``--format iceberg`` on a
-cluster with the runtime jar; parquet locally), runs the fused
+Reads the image+caption table (``--format iceberg``: via the
+iceberg-spark runtime jar when present, else the pure-python metadata
+reader in sparkclean.iceberg; parquet otherwise), runs the fused
 keep/drop + scrub pipeline, writes bucket-partitioned output with the
 checkpoint manifest + lineage counters beside it, and prints the
 counter summary.  Re-running with the same ``--output`` resumes from
-the manifest (completed buckets are skipped).
+the manifest (completed buckets are skipped).  With ``--format
+iceberg`` each run additionally commits the newly completed buckets as
+an Iceberg snapshot on the output, counters in the snapshot summary.
 """
 
 from __future__ import annotations
@@ -42,7 +45,18 @@ def main(argv: list[str] | None = None) -> None:
     from .session import get_spark
 
     spark = get_spark("sparkclean-cli", master=args.master)
-    if args.format == "parquet" and args.fast_scan:
+    if args.format == "iceberg":
+        # with the iceberg-spark runtime jar (real cluster) the catalog
+        # route is authoritative; without it, scan planning falls back to
+        # the pure-python metadata reader (sparkclean.iceberg)
+        try:
+            df = spark.read.format("iceberg").load(args.input)
+        except Exception:
+            from .iceberg import read_table
+
+            df = read_table(spark, args.input)
+        scored = run_image_caption_quality(df, id_col=args.id_col, text_col=args.text_col)
+    elif args.fast_scan:
         scored = run_image_caption_quality_from_path(
             spark, args.input, id_col=args.id_col, text_col=args.text_col
         )
@@ -53,6 +67,14 @@ def main(argv: list[str] | None = None) -> None:
     manifest = run_checkpointed(
         scored, args.output, id_col=args.id_col, n_buckets=args.buckets
     )
+    if args.format == "iceberg":
+        # lineage counters ride the snapshot summary, one snapshot per
+        # (resume) run — rows already registered are never re-added
+        from .iceberg import publish_checkpoint
+
+        snap = publish_checkpoint(spark, args.output)
+        if snap is not None:
+            print(f"iceberg snapshot {snap['snapshot-id']} seq {snap['sequence-number']}")
     print(json.dumps(manifest["counters"], indent=1, sort_keys=True))
     spark.stop()
 
