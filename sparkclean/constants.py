@@ -18,6 +18,11 @@ CONFIDENT_THRESHOLDS_LOWER_BOUND = 2 * FLOATING_POINT_COMPARISON
 # Tiny denominator guard for driver-side matrix normalisation.
 TINY_VALUE = 1e-100
 
+# The reference version whose numeric semantics this engine reproduces;
+# recorded in saved Datalab bundles (save_datalab) the way the reference
+# records cleanlab.__version__ in its pickles.
+REFERENCE_VERSION = "2.9.0"
+
 # Threshold assigned to classes absent from the label column; chosen so no
 # valid probability (<=1) can ever reach it.
 MISSING_CLASS_THRESHOLD = 2.0

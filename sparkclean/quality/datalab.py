@@ -674,6 +674,94 @@ def find_issues(
     return out, summary
 
 
+def frame_fingerprint(df: DataFrame, cols: list[str] | None = None) -> int:
+    """Order-independent dataset fingerprint: sum of per-row xxhash64
+    over the (sorted) column set, one narrow aggregation.  The Spark
+    analog of the reference's dataset hash used by ``Datalab.load`` to
+    refuse a lab whose data changed underneath it
+    (datalab/internal/data.py hash + datalab.py:602-640)."""
+    cols = sorted(cols or df.columns)
+    h = df.agg(
+        F.sum(F.xxhash64(*[F.col(c) for c in cols]).cast("decimal(38,0)")).alias("h")
+    ).collect()[0]["h"]
+    return int(h or 0)
+
+
+def save_datalab(
+    issues_df: DataFrame,
+    summary_df: DataFrame,
+    path: str,
+    force: bool = False,
+    data: DataFrame | None = None,
+    info: dict | None = None,
+    id_col: str = "id",
+    num_classes: int | None = None,
+) -> None:
+    """Persist a find_issues result bundle to ``path/`` — the Spark
+    analog of ``Datalab.save`` (reference datalab.py:581-599 +
+    internal/serialize.py:28-85): the per-row issues table, the issue
+    summary, and a JSON info/statistics sidecar.
+
+    Deliberate divergences from the reference, both documented here:
+    the issues table serializes as PARQUET, not issues.csv (the per-row
+    table is data-sized — CSV would be the one non-columnar, schema-less
+    artifact in the pipeline); and instead of pickling the lab object,
+    everything ``load_datalab`` needs is explicit JSON (pickles are not
+    portable across versions — the reference itself warns about this).
+    Like the reference, the DATASET is not saved — only its fingerprint,
+    so ``load_datalab(data=...)`` can refuse modified data.
+    """
+    import json
+    import os
+
+    if os.path.exists(path):
+        if not force:
+            raise FileExistsError("Please specify a new path or set force=True")
+    else:
+        os.makedirs(path, exist_ok=True)
+    issues_df.write.mode("overwrite").parquet(os.path.join(path, "issues.parquet"))
+    summary_df.write.mode("overwrite").parquet(os.path.join(path, "summary.parquet"))
+    from .. import constants
+
+    meta = {
+        "format": 1,
+        "sparkclean_reference_version": constants.REFERENCE_VERSION,
+        "id_col": id_col,
+        "num_classes": num_classes,
+        "issue_columns": issues_df.columns,
+        "data_fingerprint": frame_fingerprint(data) if data is not None else None,
+        "info": info or {},
+    }
+    tmp = os.path.join(path, "datalab.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f, indent=1, sort_keys=True)
+    os.replace(tmp, os.path.join(path, "datalab.json"))
+
+
+def load_datalab(
+    spark, path: str, data: DataFrame | None = None
+) -> tuple[DataFrame, DataFrame, dict]:
+    """Reload a saved bundle: (issues_df, summary_df, meta) — the Spark
+    analog of ``Datalab.load`` (reference datalab.py:602-640).  When
+    ``data`` is passed, its fingerprint must match the one recorded at
+    save time (the reference raises on modified data; so do we)."""
+    import json
+    import os
+
+    with open(os.path.join(path, "datalab.json")) as f:
+        meta = json.load(f)
+    if data is not None and meta.get("data_fingerprint") is not None:
+        fp = frame_fingerprint(data)
+        if fp != meta["data_fingerprint"]:
+            raise ValueError(
+                "Data has been modified since Lab was saved. "
+                "Cannot load Lab with modified data."
+            )
+    issues = spark.read.parquet(os.path.join(path, "issues.parquet"))
+    summary = spark.read.parquet(os.path.join(path, "summary.parquet"))
+    return issues, summary, meta
+
+
 def get_report(
     issues_df: DataFrame,
     summary_df: DataFrame,

@@ -281,6 +281,53 @@ def test_datalab_get_report(spark):
     assert "No issues found" in rep2
 
 
+def test_datalab_save_load_report_roundtrip(spark, tmp_path):
+    """Datalab.save/load parity (reference datalab.py:581-640 +
+    internal/serialize.py): the reloaded bundle re-emits a
+    byte-identical report, the info sidecar survives, modified data is
+    refused, and an existing path needs force=True."""
+    import pytest
+
+    from sparkclean.quality.datalab import (
+        find_issues,
+        get_report,
+        load_datalab,
+        save_datalab,
+    )
+    from tests.conftest import probs_df
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    probs = rng.dirichlet([1.0] * 4, size=150)
+    labels = probs.argmax(1)
+    labels[:12] = (labels[:12] + 1) % 4
+    df = probs_df(spark, labels, probs)
+    issues, summary = find_issues(df, 4)
+    rep_before = get_report(issues, summary, id_col="id", num_classes=4)
+
+    path = str(tmp_path / "lab")
+    save_datalab(
+        issues, summary, path, data=df,
+        info={"thresholds": [0.5, 0.5, 0.5, 0.5]}, id_col="id", num_classes=4,
+    )
+    issues2, summary2, meta = load_datalab(spark, path, data=df)
+    rep_after = get_report(issues2, summary2, id_col="id", num_classes=4)
+    assert rep_after == rep_before
+    assert meta["num_classes"] == 4
+    assert meta["info"]["thresholds"] == [0.5, 0.5, 0.5, 0.5]
+    assert meta["sparkclean_reference_version"] == "2.9.0"
+
+    # modified data refused (reference load raises on hash mismatch)
+    mutated = df.withColumn("label", (F.col("label") + 1) % 4)
+    with pytest.raises(ValueError, match="modified"):
+        load_datalab(spark, path, data=mutated)
+
+    # force semantics mirrored from the reference serializer
+    with pytest.raises(FileExistsError):
+        save_datalab(issues, summary, path, data=df)
+    save_datalab(issues, summary, path, force=True, data=df)
+
+
 def test_every_query_has_an_oracle():
     """CLAUDE.md invariant: every queries() entry ships a DuckDB oracle
     twin (no rows-only checks), and no oracle is orphaned."""
