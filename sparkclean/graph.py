@@ -6,12 +6,31 @@ The shared "cluster the near-duplicate pairs" primitive behind
 near_duplicate manager's duplicate SETS, duplicate.py:89-120, re-expressed
 as components of the pair graph).
 
-Scale shape: only PAIRED nodes enter the loop (near-dup graphs are tiny
-relative to N); each round is one equi-join + partial agg + a self-join
-pointer jump with lineage cut by lazy localCheckpoint — O(log diameter)
-rounds.  Labels only ever decrease toward the component min, so
-convergence is a narrow changed-row count carried as a column: no extra
-join, and it works for string ids where a numeric-sum check cannot.
+Algorithm: alternating large-star / small-star contraction (Kiveris,
+Lattanzi, Mirrokni, Rastogi, Vassilvitskii, "Connected Components in
+MapReduce and Beyond", SoCC 2014 — a public algorithm, re-expressed in
+DataFrame ops).  Each round rewrites the EDGE LIST so every node hooks
+to the minimum of its neighborhood; the paper proves connectivity is
+preserved and convergence takes O(log² n) rounds worst-case, ~log n in
+practice.  At the fixpoint the edge set is a star per component
+(node → component-min), which IS the label table.
+
+This replaced the round-1..4 min-label-propagation + single pointer
+jump loop after a planted giant-path stress (round 5) showed two
+failure modes the small-diameter dedup graphs never exercised: label
+propagation crawls the path tail hop-by-hop (O(diameter) rounds), and
+the lazy ``localCheckpoint(eager=False)`` chain did not actually
+truncate lineage under AQE — per-round wall time tripled every round
+once plans nested ~18 deep.  Checkpoints are now EAGER per round
+(bounded plan, measured flat per-round cost), and the star contraction
+gives the O(log) round count the 100 TB story needs.
+
+Ids may be strings (hamming clusters image ids) — "minimum" is the
+column type's natural ordering, matching min()/least() everywhere else
+in the cluster twins.  Convergence check: (edge count, exact decimal
+sum of per-edge xxhash64) fixpoint — one narrow agg per round, the
+round-3 decimal-sum convergence pattern; a false positive needs a
+2⁻⁶⁴ hash-sum collision.
 """
 
 from __future__ import annotations
@@ -20,65 +39,118 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _large_star(edges: DataFrame) -> DataFrame:
+    """(u,v) edge list → large-star step: for every node n, connect all
+    strictly-larger neighbors to min(Γ(n) ∪ {n})."""
+    sym = edges.unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    mins = sym.groupBy("u").agg(F.min("v").alias("_m"))
+    return (
+        sym.join(mins, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.least("_m", F.col("u")).alias("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """(u,v) edge list → small-star step: orient every edge
+    (larger → smaller), then connect each node's smaller neighbors (and
+    itself) to the minimum of that set."""
+    d = edges.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    ).where(F.col("u") != F.col("v"))
+    mins = d.groupBy("u").agg(F.min("v").alias("_m"))
+    hooked = d.join(mins, "u")
+    return (
+        hooked.where(F.col("v") != F.col("_m"))
+        .select(F.col("v").alias("u"), F.col("_m").alias("v"))
+        .unionByName(mins.select("u", F.col("_m").alias("v")))
+        .distinct()
+    )
+
+
 def component_labels(
     pairs_df: DataFrame,
     src_col: str = "id_a",
     dst_col: str = "id_b",
     max_iter: int = 20,
+    rounds_out: list | None = None,
 ) -> DataFrame:
     """``(id, comp)`` for every node TOUCHED by ``pairs_df`` (undirected):
-    comp = min id in the node's connected component.  The raw label
-    loop behind :func:`components_from_pairs`; callers that cluster at a
+    comp = min id in the node's connected component.  The raw primitive
+    behind :func:`components_from_pairs`; callers that cluster at a
     collapsed/representative level (e.g. distinct-fingerprint dedup)
     use this directly and expand membership themselves.  Raises if
-    ``max_iter`` pointer-jumping rounds do not converge —
-    partially-converged labels would silently split true components."""
-    pairs = pairs_df.select(F.col(src_col).alias("id_a"), F.col(dst_col).alias("id_b"))
-    edges = pairs.unionByName(
-        pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
-    ).persist()
-    touched = edges.select(F.col("id_a").alias("id")).distinct()
-    comp = touched.withColumn("comp", F.col("id")).localCheckpoint(eager=False)
-    changed = None
-    for _ in range(max_iter):
-        nbr_min = (
-            edges.join(comp.select(F.col("id").alias("id_b"), "comp"), "id_b")
-            .groupBy(F.col("id_a").alias("id"))
-            .agg(F.min("comp").alias("_nc"))
+    ``max_iter`` large+small-star rounds do not converge —
+    partially-converged labels would silently split true components.
+
+    ``rounds_out``, if given, receives the number of rounds actually run
+    (the O(log n) claim is pinned by a planted giant path+star worst-case
+    test — tests/test_graph_ops.py).
+
+    Implementation note: constraint propagation is disabled for the
+    loop's own jobs (and restored after).  The star steps self-union a
+    checkpointed frame with a column-swapped projection of itself, and
+    Spark's ``UnionBase.rewriteConstraints`` throws
+    ``NoSuchElementException: key not found`` on that shape whenever the
+    id columns are nullable (any parquet source) — reproduced minimally
+    in round 5.  The loop pre-filters nulls and joins on equi-keys, so
+    the inferred IsNotNull filters the setting would add are redundant
+    here; the returned frame is eagerly checkpointed so callers compose
+    against a plain scan, never the fragile union plan."""
+    spark = pairs_df.sparkSession
+    _CP = "spark.sql.constraintPropagation.enabled"
+    prior_cp = spark.conf.get(_CP, "true")
+    spark.conf.set(_CP, "false")
+    try:
+        edges = (
+            pairs_df.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .where(F.col("u").isNotNull() & F.col("v").isNotNull())
+            .distinct()
+            .localCheckpoint(eager=True)
         )
-        stepped = (
-            comp.join(nbr_min, "id", "left")
-            .select(
-                "id",
-                F.col("comp").alias("_prev"),
-                F.least(F.col("comp"), F.coalesce("_nc", "comp")).alias("comp"),
+        touched = (
+            edges.select("u")
+            .unionByName(edges.select(F.col("v").alias("u")))
+            .distinct()
+            .select(F.col("u").alias("id"))
+        )
+
+        def _checksum(e: DataFrame) -> tuple[int, int]:
+            r = e.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+            ).collect()[0]
+            return int(r["n"]), int(r["h"] or 0)
+
+        prev = None
+        converged = False
+        for _round in range(max_iter):
+            edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+            chk = _checksum(edges)
+            if chk == prev:
+                converged = True
+                if rounds_out is not None:
+                    rounds_out.append(_round + 1)
+                break
+            prev = chk
+        if not converged:
+            raise RuntimeError(
+                f"component_labels did not converge in {max_iter} rounds; "
+                "raise max_iter"
             )
-            .localCheckpoint(eager=False)
+        # fixpoint edge set is a star per component: (node, component-min)
+        parents = edges.groupBy(F.col("u").alias("id")).agg(F.min("v").alias("_p"))
+        return (
+            touched.join(parents, "id", "left")
+            .select("id", F.coalesce("_p", F.col("id")).alias("comp"))
+            .localCheckpoint(eager=True)
         )
-        jumped = (
-            stepped.alias("a")
-            .join(
-                stepped.select(
-                    F.col("id").alias("comp"), F.col("comp").alias("_root")
-                ).alias("b"),
-                "comp",
-                "left",
-            )
-            .select("id", "_prev", F.coalesce("_root", "comp").alias("comp"))
-            .localCheckpoint(eager=False)
-        )
-        changed = (
-            jumped.agg(F.count(F.when(F.col("comp") != F.col("_prev"), 1))).collect()[0][0]
-        )
-        comp = jumped.drop("_prev")
-        if changed == 0:
-            break
-    else:
-        raise RuntimeError(
-            f"component_labels did not converge in {max_iter} rounds "
-            f"({changed} labels still moving); raise max_iter"
-        )
-    return comp
+    finally:
+        spark.conf.set(_CP, prior_cp)
 
 
 def components_from_pairs(

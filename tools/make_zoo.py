@@ -59,6 +59,17 @@ def main() -> None:
     docs.append((121, docs[7][1] + " tail", "en", "src1", 0))      # near dup
     docs.append((122, "", "en", "src2", 0))
     docs.append((123, None, "en", "src3", 0))
+    # identical-content mega-group (round 5): 25 copies of one
+    # boilerplate page — identical shingle sets and simhashes, the
+    # hot-fingerprint shape the distinct-collapse guards against.  The
+    # gate twins must stay hash-exact with the group collapsed to one
+    # representative on BOTH engines.
+    boiler = (
+        "lorem ipsum the table value is with part scan the value table "
+        "is part with scan lorem ipsum value the table part"
+    )
+    for j in range(25):
+        docs.append((130 + j, boiler, "en", f"src{j % 5}", len(boiler)))
     con = duckdb.connect()
     con.execute(
         "CREATE TABLE d (doc_id BIGINT, text VARCHAR, lang VARCHAR,"
