@@ -117,17 +117,39 @@ def ivf_topk(
     n_cells: int = IVF_CELLS,
     n_probe: int = IVF_PROBE,
     n_iters: int = IVF_ITERS,
+    centroids: np.ndarray | None = None,
+    cell_col: str | None = None,
 ) -> DataFrame:
     """Approximate cosine top-k: candidates restricted to the query's
-    ``n_probe`` nearest IVF cells — an equi-join on cell id."""
+    ``n_probe`` nearest IVF cells — an equi-join on cell id.
+
+    ``centroids`` (from :func:`train_centroids`) lets callers amortise
+    index training across query batches — at corpus scale the index is
+    built once and queried many times, so train and query cost are
+    reported separately in bench/ann.py.  ``cell_col`` names an ALREADY
+    MATERIALISED cell-assignment column on ``df`` (the 100 TB shape: the
+    cell id is written into the table — ideally as its partition key, so
+    probes prune at the scan — rather than recomputed per query batch);
+    when absent the assignment runs inline."""
     from .knn import pair_dist_udf
 
-    cents = train_centroids(df, dim, id_col, vec_col, n_cells, n_iters)
-    indexed = df.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("_cvec"),
-        _assign_udf(cents)(F.col(vec_col)).alias("_cell"),
+    cents = (
+        centroids
+        if centroids is not None
+        else train_centroids(df, dim, id_col, vec_col, n_cells, n_iters)
     )
+    if cell_col is not None and cell_col in df.columns:
+        indexed = df.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("_cvec"),
+            F.col(cell_col).alias("_cell"),
+        )
+    else:
+        indexed = df.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("_cvec"),
+            _assign_udf(cents)(F.col(vec_col)).alias("_cell"),
+        )
     probed = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("_qvec"),
