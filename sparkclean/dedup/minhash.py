@@ -179,15 +179,21 @@ def _content_members(
 
 
 def _content_groups(members: DataFrame) -> DataFrame:
-    """One row per DISTINCT shingle set: ``(_gk, _id=min id, _sh)`` —
-    the hot-key guard.  m exact-content duplicates (identical shingle
-    sets — Zipf-common in web corpora: boilerplate pages, mirrored docs)
-    collide in EVERY band, so uncollapsed they emit O(m²) candidate
-    pairs per bucket; collapsed they are one band row and their
-    membership expands linearly in the cluster step."""
-    return members.groupBy("_gk").agg(
-        F.min("_id").alias("_id"), F.min_by("_sh", "_id").alias("_sh")
-    )
+    """One row per DISTINCT shingle set: ``(_gk, _id=min id)`` — the
+    hot-key guard, SCALARS ONLY.  m exact-content duplicates (identical
+    shingle sets — Zipf-common in web corpora: boilerplate pages,
+    mirrored docs) collide in EVERY band, so uncollapsed they emit
+    O(m²) candidate pairs per bucket; collapsed they are one band row
+    and their membership expands linearly in the cluster step.
+
+    Deliberately does NOT carry the shingle array through the groupBy
+    (a ``min_by(_sh, _id)`` here shuffles the full multi-KB array
+    payload corpus-wide — measured 2x the whole pair query at sf0.1;
+    the round-1 'band join carries (id, bucket) only' discipline).
+    Consumers apply the collapse by LEFT SEMI joining scalar rows
+    against these representative ids and recompute shingles map-side
+    where needed."""
+    return members.groupBy("_gk").agg(F.min("_id").alias("_id"))
 
 
 def near_duplicate_pairs(
@@ -205,22 +211,35 @@ def near_duplicate_pairs(
     :func:`near_duplicate_clusters`' job.
 
     Scale shape: the LSH band self-join carries ONLY (id, bucket) — the
-    multi-hundred-element shingle arrays never enter the candidate
-    shuffle or the pair dedup; they are joined back just for the final
-    (tiny) candidate set's exact-Jaccard check.  At 100 TB the band join
-    shuffles ~16 bytes/row/band instead of ~2 KB/row/band."""
-    # NOTE on the apparent triple shingle computation: `base` appears in
-    # three plan subtrees (bucket path + the two verify join-backs), but
-    # the a/b sides are IDENTICAL exchanges and Spark's ReuseExchange
-    # deduplicates them at execution — measured: an "optimized" rewrite
-    # that persisted the small bucket frame and re-shingled only
-    # candidate rows ran 1.5-1.8x SLOWER at sf0.1 (extra distinct +
-    # semi-join + cache round-trips outweigh the reused shingle pass).
-    # Keep the declarative form and let the optimizer share the subtree.
-    base = _content_groups(_content_members(df, text_col, id_col))
-    sig = base.withColumn("_sig", minhash_signature_col(F.col("_sh")))
-    buckets = sig.select(
-        "_id", F.explode(band_buckets_col(F.col("_sig"))).alias("_bucket")
+    multi-hundred-element shingle arrays never enter ANY shuffle: the
+    duplicate-content collapse picks representatives with a scalar
+    (_gk → min id) aggregation and applies it as a LEFT SEMI join on
+    the exploded scalar bucket rows, and the exact-Jaccard verify joins
+    the (tiny) candidate set back against the map-side-recomputed
+    shingle projection.  At 100 TB the exchanges carry ~16 bytes/row
+    instead of ~2 KB/row.  (A min_by(_sh) collapse that carried the
+    arrays through the groupBy measured 2x the whole query at sf0.1 and
+    was reverted — see :func:`_content_groups`.)"""
+    # NOTE on the apparent repeated shingle computation: `members`
+    # appears in multiple plan subtrees (bucket path + the two verify
+    # join-backs), but identical exchanges are deduplicated by
+    # ReuseExchange at execution — measured r3: a persist+re-shingle
+    # "optimization" ran 1.5-1.8x SLOWER at sf0.1.  Keep the
+    # declarative form and let the optimizer share the subtree.
+    members = _content_members(df, text_col, id_col)
+    sig = members.withColumn("_sig", minhash_signature_col(F.col("_sh")))
+    # Per-(bucket, content-key) collapse: identical shingle sets have
+    # identical signatures, hence identical bucket rows — so the min id
+    # per (_bucket, _gk) IS the group's global representative, and the
+    # collapse folds into the band path as ONE scalar partial
+    # aggregation (map-side combine shrinks hot groups before the
+    # exchange).  No extra shingle pass, no array shuffle.
+    buckets = (
+        sig.select(
+            "_gk", "_id", F.explode(band_buckets_col(F.col("_sig"))).alias("_bucket")
+        )
+        .groupBy("_bucket", "_gk")
+        .agg(F.min("_id").alias("_id"))
     )
     cand = (
         buckets.select(F.col("_id").alias("id_a"), "_bucket")
@@ -229,8 +248,8 @@ def near_duplicate_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    a = base.select(F.col("_id").alias("id_a"), F.col("_sh").alias("_sh_a"))
-    b = base.select(F.col("_id").alias("id_b"), F.col("_sh").alias("_sh_b"))
+    a = members.select(F.col("_id").alias("id_a"), F.col("_sh").alias("_sh_a"))
+    b = members.select(F.col("_id").alias("id_b"), F.col("_sh").alias("_sh_b"))
     return (
         cand.join(a, "id_a")
         .join(b, "id_b")
@@ -301,7 +320,7 @@ def near_duplicate_clusters(
     verified :func:`near_duplicate_pairs` graph (the keep-one-per-cluster
     shape: ``WHERE {id} = cluster_rep`` after this).  Returns
     ``(id, cluster_rep, cluster_size)`` for every input row; singletons
-    keep themselves at size 1.  Shares the pointer-jumping component
+    keep themselves at size 1.  Shares the star-contraction component
     primitive with the hamming/phash path
     (:func:`sparkclean.graph.component_labels`).
 
