@@ -237,7 +237,12 @@ def commit_append(
     """
     meta = load_metadata(location)
     seq = (meta["last-sequence-number"] + 1) if meta else 1
-    data_dir = os.path.join(location, "data", f"seq-{seq:05d}")
+    # unique dir per attempt: a crash between data write and metadata
+    # commit must not collide on retry — uncommitted orphan dirs are
+    # unreachable from any snapshot (standard Iceberg behaviour)
+    data_dir = os.path.join(
+        location, "data", f"seq-{seq:05d}-{uuid.uuid4().hex[:8]}"
+    )
     df.write.mode("errorifexists").parquet(data_dir)
     files = sorted(glob.glob(os.path.join(data_dir, "*.parquet")))
     return commit_files(
@@ -457,6 +462,58 @@ def read_table(spark, location: str, snapshot_id: int | None = None):
     if not files:
         raise ValueError(f"snapshot has no data files at {location}")
     return spark.read.parquet(*files)
+
+
+def last_committed_epoch(location: str) -> int | None:
+    """Highest ``streaming-epoch-id`` recorded in any snapshot summary,
+    or None for a fresh/non-streaming table."""
+    meta = load_metadata(location)
+    if meta is None:
+        return None
+    epochs = [
+        int(s["summary"]["streaming-epoch-id"])
+        for s in meta["snapshots"]
+        if "streaming-epoch-id" in s.get("summary", {})
+    ]
+    return max(epochs) if epochs else None
+
+
+def append_stream(stream_df, location: str, summary_extra_fn=None):
+    """Structured-Streaming sink: one Iceberg append snapshot per
+    micro-batch via ``foreachBatch``, idempotent under batch replay.
+
+    Exactly-once shape (the pattern the real Iceberg Spark sink uses):
+    the micro-batch epoch id is recorded in the snapshot summary as
+    ``streaming-epoch-id``; on restart, Structured Streaming re-delivers
+    the last unacknowledged batch, and the handler SKIPS any epoch <=
+    the table's last committed one — re-delivery becomes a no-op instead
+    of a duplicate snapshot.  ``summary_extra_fn(batch_df)``, if given,
+    computes extra lineage counters for the summary (runs before the
+    write, so aggregate on a persisted frame or cheap columns).
+
+    Returns the ``DataStreamWriter`` (caller adds trigger/checkpoint
+    options and ``.start()``)."""
+    return stream_df.writeStream.foreachBatch(
+        iceberg_batch_handler(location, summary_extra_fn)
+    )
+
+
+def iceberg_batch_handler(location: str, summary_extra_fn=None):
+    """The (batch_df, epoch_id) foreachBatch handler behind
+    :func:`append_stream`, exposed so replay idempotency is directly
+    testable and so callers composing their own writeStream can reuse
+    it."""
+
+    def handle(batch_df, epoch_id: int) -> None:
+        last = last_committed_epoch(location)
+        if last is not None and epoch_id <= last:
+            return  # replayed epoch: already committed, skip
+        extra = {"streaming-epoch-id": str(epoch_id)}
+        if summary_extra_fn is not None:
+            extra.update(summary_extra_fn(batch_df))
+        commit_append(batch_df.sparkSession, batch_df, location, summary_extra=extra)
+
+    return handle
 
 
 def publish_checkpoint(spark, output_dir: str, location: str | None = None) -> dict | None:

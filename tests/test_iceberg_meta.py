@@ -276,6 +276,56 @@ def test_cli_iceberg_end_to_end(spark, tmp_path):
     assert read_table(spark, out).count() == 200
 
 
+def test_iceberg_streaming_append_idempotent(spark, tmp_path):
+    """foreachBatch Iceberg sink: one snapshot per micro-batch with the
+    epoch id in the summary; a replayed epoch is skipped, not
+    re-committed (the exactly-once discipline of the real Iceberg
+    streaming sink)."""
+    from sparkclean.iceberg import append_stream, last_committed_epoch
+
+    src = str(tmp_path / "src")
+    loc = str(tmp_path / "itbl")
+    # two source files + maxFilesPerTrigger=1 -> two micro-batches
+    spark.range(0, 5).coalesce(1).write.parquet(src)
+    spark.range(5, 9).coalesce(1).write.mode("append").parquet(src)
+    static = spark.read.parquet(src)
+    stream = spark.readStream.schema(static.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    q = (
+        append_stream(
+            stream, loc,
+            summary_extra_fn=lambda bdf: {"rows_scored": str(bdf.count())},
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    meta = load_metadata(loc)
+    assert len(meta["snapshots"]) == 2
+    epochs = [s["summary"]["streaming-epoch-id"] for s in meta["snapshots"]]
+    assert epochs == ["0", "1"]
+    assert {int(r["id"]) for r in read_table(spark, loc).collect()} == set(range(9))
+    assert last_committed_epoch(loc) == 1
+    for s in meta["snapshots"]:
+        assert s["summary"]["rows_scored"] in ("4", "5")
+
+    # replayed epoch (restart re-delivery) through the REAL handler is a
+    # no-op; the next epoch commits
+    from sparkclean.iceberg import iceberg_batch_handler
+
+    handler = iceberg_batch_handler(loc)
+    batch = spark.range(0, 5)
+    handler(batch, 1)  # replay of committed epoch 1
+    assert len(load_metadata(loc)["snapshots"]) == 2
+    handler(batch, 2)  # fresh epoch
+    meta = load_metadata(loc)
+    assert len(meta["snapshots"]) == 3
+    assert meta["snapshots"][-1]["summary"]["streaming-epoch-id"] == "2"
+    assert last_committed_epoch(loc) == 2
+
+
 def test_iceberg_schema_mapping(spark, tmp_path):
     """Nested arrays/structs map to iceberg list/struct with unique ids;
     the round-trip preserves values."""
