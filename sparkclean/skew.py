@@ -122,12 +122,26 @@ def ensure_parallelism(
 
 
 def salted_repartition(
-    df: DataFrame, key_cols: list[str], salt_buckets: int = 16, salt_col: str = "_salt"
+    df: DataFrame,
+    key_cols: list[str],
+    salt_buckets: int = 16,
+    salt_col: str = "_salt",
+    id_cols: list[str] | None = None,
 ) -> DataFrame:
     """Repartition by (keys..., salt) so one hot key spreads over
-    ``salt_buckets`` partitions.  Deterministic salt from a row hash, so
-    the layout is stable across retries."""
+    ``salt_buckets`` partitions.  Deterministic salt, so the layout is
+    stable across retries.
+
+    ``id_cols`` names the row-IDENTITY columns the salt hashes (default:
+    all columns).  Pass the table's id column whenever hot keys can
+    carry DUPLICATE row content — a phash mega-cluster or boilerplate
+    caption group is exactly m rows with identical values, and a
+    content hash maps them all to ONE salt (no spread at all, found by
+    the round-5 pin test).  Row identity (image_id/doc_id) spreads them
+    uniformly while staying retry-deterministic, which
+    position/rand-based salts are not."""
+    cols = id_cols or df.columns
     salted = df.withColumn(
-        salt_col, F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(salt_buckets))
+        salt_col, F.pmod(F.xxhash64(*[F.col(c) for c in cols]), F.lit(salt_buckets))
     )
     return salted.repartition(*[F.col(c) for c in key_cols], F.col(salt_col))
