@@ -89,6 +89,7 @@ _GATE_COST = {
     "simhash_fingerprints": 2.2, "datalab_issue_summary": 2.3,
     "minhash_near_duplicates": 2.4, "embedding_near_duplicates": 2.6,
     "caption_quality_pipeline": 3.1, "iceberg_roundtrip": 3.1,
+    "span_quality_scores": 0.5,
     "non_iid_check": 3.1, "data_valuation": 3.6,
     "knn_ivf_topk": 3.7, "objectlab_box_scores": 4.4,
     "underperforming_group_graph": 4.4, "crowdlab_consensus_quality": 4.5,
@@ -1547,6 +1548,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", F.round(softmin_col(tok_scores), 6).alias("sentence_score")
         )
 
+    def span_quality_scores(spark, sf):
+        # experimental/span_classification.py:19-106: single-span-class
+        # token probs p expand to [1-p, p] pred_probs; per-token quality
+        # is the binary self-confidence, sentence score the softmin pool
+        # (delegating to the token machinery), and n_pred_neq counts the
+        # predicted!=given tokens.  Probs/labels are the deterministic
+        # hash fixture of softmin_token_scores.
+        from sparkclean.quality.pooling import (
+            span_sentence_score_col,
+            span_token_scores_col,
+        )
+        from sparkclean.text.shared import hash60_col, words_col
+
+        docs = _docs(spark, sf)
+        words = words_col(_alower(F.col("text")))
+        sp = F.transform(
+            words,
+            lambda t: (hash60_col(t) % F.lit(1000)).cast("double")
+            / F.lit(1000.0) * F.lit(0.8) + F.lit(0.1),
+        )
+        lb = F.transform(
+            words,
+            lambda t: (hash60_col(F.concat(t, F.lit("#sp"))) % F.lit(2)).cast("int"),
+        )
+        tok = span_token_scores_col(sp, lb)
+        neq = F.aggregate(
+            F.zip_with(
+                sp, lb,
+                lambda p, l: F.when(
+                    (p >= F.lit(0.5)).cast("int") != l, F.lit(1)
+                ).otherwise(F.lit(0)),
+            ),
+            F.lit(0),
+            lambda a, x: a + x,
+        )
+        return (
+            docs.where(F.length(F.trim("text")) > 0)
+            .where(F.size(words) > 0)
+            .select(
+                "doc_id",
+                F.round(span_sentence_score_col(sp, lb), 6).alias("sentence_score"),
+                F.round(F.array_min(tok), 6).alias("worst_token_score"),
+                neq.alias("n_pred_neq"),
+            )
+        )
+
     def multilabel_ema_scores(spark, sf):
         from sparkclean.quality.task_scores import multilabel_quality_score
 
@@ -2001,6 +2048,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         data_valuation=data_valuation,
         non_iid_check=non_iid_check,
         softmin_token_scores=softmin_token_scores,
+        span_quality_scores=span_quality_scores,
         multilabel_ema_scores=multilabel_ema_scores,
         regression_residual=regression_residual,
         segmentation_image_scores=segmentation_image_scores,
@@ -3321,7 +3369,11 @@ SELECT round(o.d, 6) AS ks_statistic, round(pv.p_value, 6) AS p_value,
        (pv.p_value < {_NIID_SIG}) AS is_non_iid_issue
 FROM dobs o CROSS JOIN pv CROSS JOIN cnts c"""
 
-    from sparkclean.quality.pooling import softmin_sql
+    from sparkclean.quality.pooling import (
+        softmin_sql,
+        span_sentence_score_sql,
+        span_token_scores_sql,
+    )
     from sparkclean.quality.task_scores import (
         multilabel_quality_score_sql,
         regression_residual_score_sql,
@@ -3335,6 +3387,29 @@ FROM dobs o CROSS JOIN pv CROSS JOIN cnts c"""
     o["softmin_token_scores"] = f"""
 SELECT doc_id, round({softmin_sql(tok_scores)}, 6) AS sentence_score
 FROM documents WHERE length(trim(text, ' ')) > 0"""
+
+    _span_words = words_sql(_alower_sql("text"))
+    _span_probs = (
+        f"list_transform({_span_words}, "
+        f"t -> ({hash60_sql('t')} % 1000)::DOUBLE / 1000.0 * 0.8 + 0.1)"
+    )
+    _span_label_hash = hash60_sql("t || '#sp'")
+    _span_labels = (
+        f"list_transform({_span_words}, t -> ({_span_label_hash} % 2)::INT)"
+    )
+    o["span_quality_scores"] = f"""
+WITH sp0 AS MATERIALIZED (
+  SELECT doc_id, {_span_probs} AS sp, {_span_labels} AS lb
+  FROM documents
+  WHERE length(trim(text, ' ')) > 0 AND len({_span_words}) > 0
+)
+SELECT doc_id,
+  round({span_sentence_score_sql("sp", "lb")}, 6) AS sentence_score,
+  round(list_min({span_token_scores_sql("sp", "lb")}), 6) AS worst_token_score,
+  list_aggregate(list_transform(range(1, len(sp) + 1),
+      i -> CASE WHEN (CASE WHEN sp[i] >= 0.5 THEN 1 ELSE 0 END) <> lb[i]
+           THEN 1 ELSE 0 END), 'sum')::BIGINT AS n_pred_neq
+FROM sp0"""
 
     given = "list_sort([label::INT, ((label + 3) % 10)::INT])"
     o["multilabel_ema_scores"] = f"""

@@ -79,6 +79,43 @@ def ema_sql(scores: str, alpha: float | None = None) -> str:
  FROM (SELECT sc, list_sort(sc, 'DESC') AS sc_desc FROM (SELECT {scores} AS sc)))"""
 
 
+def span_token_scores_col(span_probs: Column, labels: Column) -> Column:
+    """Span-classification per-token quality scores
+    (experimental/span_classification.py:19-106): the single-span-class
+    probability p becomes token pred_probs [1-p, p]
+    (_get_pred_prob_token), and the per-token score is the
+    self-confidence of the given binary label — p when the token is
+    labeled in-span, 1-p otherwise."""
+    return F.zip_with(
+        span_probs,
+        labels,
+        lambda p, l: F.when(l == F.lit(1), p).otherwise(F.lit(1.0) - p),
+    )
+
+
+def span_token_scores_sql(span_probs: str, labels: str) -> str:
+    return (
+        f"list_transform(range(1, len({span_probs}) + 1), "
+        f"i -> CASE WHEN {labels}[i] = 1 THEN {span_probs}[i] "
+        f"ELSE 1.0 - {span_probs}[i] END)"
+    )
+
+
+def span_sentence_score_col(
+    span_probs: Column, labels: Column, temperature: float = 0.05
+) -> Column:
+    """Span-classification sentence score: softmin pool of the per-token
+    scores — the reference's get_label_quality_scores delegation to
+    token_classification/rank.py over the expanded [1-p, p] probs."""
+    return softmin_col(span_token_scores_col(span_probs, labels), temperature)
+
+
+def span_sentence_score_sql(
+    span_probs: str, labels: str, temperature: float = 0.05
+) -> str:
+    return softmin_sql(span_token_scores_sql(span_probs, labels), temperature)
+
+
 def filter_issues_by_token(issues, token: str, token_col: str = "token"):
     """Subset of token label issues involving a particular token —
     token_classification/summary.py:302-345 semantics (case-insensitive
