@@ -370,3 +370,45 @@ def test_multilabel_cj_dense_grid_with_diagonal_clip(spark):
     # class 2 has no positive examples: its (1, 1) cell is the pure clip
     assert out[(2, 1, 1)] == 1
     assert out[(2, 1, 0)] == 0
+
+
+def test_span_scores_match_reference_expansion(spark):
+    """Span-classification semantics (reference
+    experimental/span_classification.py:19-106, docstring example): the
+    span prob p expands to token pred_probs [1-p, p], so the per-token
+    quality is p where the label is 1 and 1-p where it is 0, and the
+    sentence score is the softmin pool of those token scores."""
+    import numpy as np
+
+    from sparkclean.quality.pooling import (
+        span_sentence_score_col,
+        span_token_scores_col,
+    )
+
+    rows = [
+        (0, [0.9, 0.9, 0.9, 0.1], [0, 0, 1, 1]),
+        (1, [0.1, 0.1, 0.9], [1, 1, 0]),
+    ]
+    df = spark.createDataFrame(
+        rows, "sid: long, sp: array<double>, lb: array<int>"
+    )
+    out = df.select(
+        "sid",
+        span_token_scores_col(F.col("sp"), F.col("lb")).alias("tok"),
+        span_sentence_score_col(F.col("sp"), F.col("lb")).alias("sent"),
+    ).collect()
+    by_id = {r["sid"]: r for r in out}
+    # token scores: p if label==1 else 1-p (reference expansion to [1-p,p]
+    # then self-confidence of the given binary label)
+    exp0 = [1 - 0.9, 1 - 0.9, 0.9, 0.1]
+    exp1 = [0.1, 0.1, 1 - 0.9]
+    assert np.allclose(by_id[0]["tok"], exp0)
+    assert np.allclose(by_id[1]["tok"], exp1)
+
+    def softmin(s, t=0.05):
+        s = np.asarray(s, dtype=float)
+        w = np.exp((1 - s) / t)
+        return float((s * w).sum() / w.sum())
+
+    assert abs(by_id[0]["sent"] - softmin(exp0)) < 1e-12
+    assert abs(by_id[1]["sent"] - softmin(exp1)) < 1e-12
