@@ -251,6 +251,32 @@ def commit_append(
     )
 
 
+def commit_overwrite(
+    spark,
+    df,
+    location: str,
+    properties: dict[str, str] | None = None,
+    summary_extra: dict[str, Any] | None = None,
+) -> dict:
+    """Replace the table contents with ``df`` in one snapshot
+    (operation=overwrite): the new manifest list carries ONLY the new
+    manifest, so prior data files drop out of scan planning while every
+    earlier snapshot remains time-travelable — the re-run-and-replace
+    output pattern."""
+    meta = load_metadata(location)
+    seq = (meta["last-sequence-number"] + 1) if meta else 1
+    data_dir = os.path.join(
+        location, "data", f"seq-{seq:05d}-{uuid.uuid4().hex[:8]}"
+    )
+    df.write.mode("errorifexists").parquet(data_dir)
+    files = sorted(glob.glob(os.path.join(data_dir, "*.parquet")))
+    return commit_files(
+        spark, files, location, schema=df.schema,
+        properties=properties, summary_extra=summary_extra,
+        operation="overwrite",
+    )
+
+
 def commit_files(
     spark,
     files: list[str],
@@ -258,12 +284,16 @@ def commit_files(
     schema=None,
     properties: dict[str, str] | None = None,
     summary_extra: dict[str, Any] | None = None,
+    operation: str = "append",
 ) -> dict:
-    """Commit EXISTING parquet files as a new append snapshot — the
+    """Commit EXISTING parquet files as a new snapshot — the
     write-data-then-commit-metadata shape of a real pipeline (the
     checkpointed bucket writer produces the files; this registers them).
     ``schema`` (Spark StructType) is required on table creation; on
-    later commits the table schema is authoritative."""
+    later commits the table schema is authoritative.  ``operation`` is
+    "append" (prior manifests carried forward) or "overwrite" (the new
+    manifest list holds only this commit's manifest; prior snapshots
+    stay time-travelable)."""
     import pyarrow.parquet as pq
 
     meta = load_metadata(location)
@@ -346,7 +376,7 @@ def commit_files(
 
     # 3. manifest list = prior snapshot's entries + the new manifest
     prior_entries: list[dict] = []
-    if parent_id is not None:
+    if parent_id is not None and operation == "append":
         prior_list = _current_snapshot(meta, parent_id)["manifest-list"]
         _, _, prior_entries = read_ocf(prior_list)
     new_entry = {
@@ -374,11 +404,11 @@ def commit_files(
 
     # 4. new table metadata version
     prev_total = 0
-    if parent_id is not None:
+    if parent_id is not None and operation == "append":
         prev = _current_snapshot(meta, parent_id)
         prev_total = int(prev["summary"].get("total-records", 0))
     summary = {
-        "operation": "append",
+        "operation": operation,
         "added-data-files": str(len(entries)),
         "added-records": str(added_rows),
         "total-data-files": str(sum(e["added_files_count"] for e in prior_entries)

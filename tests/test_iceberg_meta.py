@@ -276,6 +276,28 @@ def test_cli_iceberg_end_to_end(spark, tmp_path):
     assert read_table(spark, out).count() == 200
 
 
+def test_iceberg_commit_overwrite(spark, table):
+    """operation=overwrite: scan planning sees ONLY the new files, the
+    summary records the operation with totals reset, and every earlier
+    snapshot stays time-travelable."""
+    from sparkclean.iceberg import commit_overwrite
+
+    loc, s1, s2 = table
+    df3 = spark.range(100, 103).select(
+        F.col("id"), F.concat(F.lit("new-"), F.col("id")).alias("text")
+    )
+    s3 = commit_overwrite(spark, df3, loc)
+    assert s3["summary"]["operation"] == "overwrite"
+    assert s3["summary"]["total-records"] == "3"
+    cur = read_table(spark, loc).orderBy("id").collect()
+    assert [r["id"] for r in cur] == [100, 101, 102]
+    assert cur[0]["text"] == "new-100"
+    # prior snapshots still time-travelable
+    old = read_table(spark, loc, snapshot_id=s2["snapshot-id"]).count()
+    assert old == 15
+    assert sum(f["record_count"] for f in plan_files(loc)) == 3
+
+
 def test_iceberg_streaming_append_idempotent(spark, tmp_path):
     """foreachBatch Iceberg sink: one snapshot per micro-batch with the
     epoch id in the summary; a replayed epoch is skipped, not
