@@ -35,6 +35,14 @@ Reference parity note: the reference repo has no table-format layer
 (cleanlab operates on in-memory arrays); this module exists for the
 north rule's Iceberg input/output requirement (BASELINE.json
 input_hint), open since round 1.
+
+Concurrency: SINGLE WRITER per table.  Metadata files are written
+atomically (tmp + os.replace) so readers never see a torn version, but
+the read-modify-write of version-hint has no compare-and-swap — real
+Iceberg serialises committers through an atomic catalog swap, which is
+exactly the part that needs a catalog service this sandbox lacks.  One
+Spark driver (the checkpointed pipeline / one streaming query) is the
+supported topology.
 """
 
 from __future__ import annotations
