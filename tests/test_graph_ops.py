@@ -230,3 +230,41 @@ def test_giant_component_star_contraction_logarithmic(spark):
     assert agg["nc"] == 1 and agg["mn"] == 0
     assert rounds and rounds[0] <= math.ceil(math.log2(n)) + 3, rounds
     spark.catalog.clearCache()
+
+
+def test_star_contraction_random_graph_matches_union_find(spark):
+    """Seeded random graph (several components, cycles, isolated pairs):
+    component_labels must agree exactly with a driver union-find oracle
+    on min-id component labels."""
+    import numpy as np
+
+    from sparkclean.graph import component_labels
+
+    rng = np.random.RandomState(17)
+    n = 200
+    edges = [(int(a), int(b)) for a, b in rng.randint(0, n, size=(150, 2)) if a != b]
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    touched = sorted({v for e in edges for v in e})
+    want = {v: find(v) for v in touched}
+    # union-find roots are not necessarily component minima; normalise
+    by_root = {}
+    for v in touched:
+        by_root.setdefault(find(v), []).append(v)
+    root_min = {r: min(vs) for r, vs in by_root.items()}
+    want = {v: root_min[find(v)] for v in touched}
+
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r["id"]: r["comp"] for r in component_labels(df).collect()}
+    assert got == want
+    spark.catalog.clearCache()
