@@ -31,6 +31,16 @@ in the cluster twins.  Convergence check: (edge count, exact decimal
 sum of per-edge xxhash64) fixpoint — one narrow agg per round, the
 round-3 decimal-sum convergence pattern; a false positive needs a
 2⁻⁶⁴ hash-sum collision.
+
+Cluster deployment note: ``localCheckpoint`` stores blocks on executor
+local storage — fast, but NOT fault-tolerant (an executor loss kills
+the truncated lineage).  In-sandbox (single JVM) that is the right
+trade; on a 1000-executor cluster running hour-long jobs, set
+``spark.sparkContext.setCheckpointDir`` to durable storage and switch
+the two ``localCheckpoint(eager=True)`` calls to ``checkpoint()`` —
+the algorithm is unchanged, each round's edge list is small (near-dup
+graphs are sparse relative to the corpus), and the durable write cost
+is paid O(log n) times.
 """
 
 from __future__ import annotations
