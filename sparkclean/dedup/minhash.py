@@ -339,8 +339,18 @@ def near_duplicate_clusters(
     labels = component_labels(pairs, max_iter=max_iter).select(
         F.col("id").alias("_rid"), "comp"
     )
-    membership = members.select("_id", "_gk").join(
-        groups.select("_gk", F.col("_id").alias("_rid")), "_gk"
+    # membership is the SMALL scalar result of the expensive shingle
+    # pass (id, gk, rep-id triples).  Checkpoint it eagerly: the cluster
+    # frame is consumed multiple times downstream (sizes agg + final
+    # join here; twice again in near_duplicate_best_representatives),
+    # and without the cut each consumer re-runs shingling+hashing over
+    # the full corpus — measured 31 s/action at sf0.1, ~3 s with the
+    # cut (the r3 rule: shrink first, persist the small result, never
+    # the wide intermediate).
+    membership = (
+        members.select("_id", "_gk")
+        .join(groups.select("_gk", F.col("_id").alias("_rid")), "_gk")
+        .localCheckpoint(eager=True)
     )
     asg = (
         df.select(F.col(id_col).alias("_id"))
