@@ -175,8 +175,13 @@ def components_from_pairs(
     component of the undirected ``pairs_df`` graph; singletons keep
     themselves at size 1."""
     comp = component_labels(pairs_df, src_col, dst_col, max_iter)
-    asg = nodes_df.join(comp, "id", "left").select(
-        "id", F.coalesce("comp", F.col("id")).alias("cluster_rep")
+    # asg is the small (id, cluster_rep) frame consumed twice (sizes agg
+    # + final join); the cut keeps each consumer from re-evaluating
+    # nodes_df's lineage (same discipline as the dedup membership cuts)
+    asg = (
+        nodes_df.join(comp, "id", "left")
+        .select("id", F.coalesce("comp", F.col("id")).alias("cluster_rep"))
+        .localCheckpoint(eager=True)
     )
     sizes = asg.groupBy("cluster_rep").agg(F.count(F.lit(1)).alias("cluster_size"))
     # edges stays persisted until the caller's next clearCache — the
