@@ -1432,12 +1432,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # documents table (even ids, then odd), then a time-travel read of
         # snapshot 1 plus a current-snapshot read — value-exact vs the
         # source table, which is exactly what the oracle asserts.
-        import tempfile
+        import shutil
 
         from sparkclean import iceberg as ice
 
         docs = _docs(spark, sf).select("doc_id", "text")
-        loc = tempfile.mkdtemp(prefix="sparkclean_ice_gate_")
+        # fixed path, wiped at query start: a fresh mkdtemp per run
+        # leaked ~2x the docs table into /tmp on every gate/bench rep
+        # (and CLAUDE.md documents /tmp pressure corrupting scaling
+        # runs); the harness runs queries serially, so one bounded
+        # leftover is safe
+        loc = "/tmp/sparkclean_ice_gate"
+        shutil.rmtree(loc, ignore_errors=True)
         s1 = ice.commit_append(spark, docs.where(F.col("doc_id") % 2 == 0), loc)
         ice.commit_append(spark, docs.where(F.col("doc_id") % 2 == 1), loc)
         snap1 = ice.read_table(spark, loc, snapshot_id=s1["snapshot-id"]).select(

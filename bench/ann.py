@@ -38,7 +38,6 @@ def synth_embeddings(spark, n: int, dim: int = 64, n_clusters: int = 256,
     def gen(batches):
         for pdf in batches:
             ids = pdf["id"].to_numpy()
-            rs = np.random.RandomState(100003)
             # per-row noise must not depend on partitioning: derive it
             # counter-style from the id
             noise = np.stack([

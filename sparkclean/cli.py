@@ -51,7 +51,13 @@ def main(argv: list[str] | None = None) -> None:
         # the pure-python metadata reader (sparkclean.iceberg)
         try:
             df = spark.read.format("iceberg").load(args.input)
-        except Exception:
+        except Exception as e:
+            # fall back ONLY when the data source itself is absent (no
+            # runtime jar); a real table error from a jar-backed read
+            # (corrupt snapshot, permissions) must surface, not be
+            # shadowed by a second reader's view
+            if "DATA_SOURCE_NOT_FOUND" not in str(e):
+                raise
             from .iceberg import read_table
 
             df = read_table(spark, args.input)

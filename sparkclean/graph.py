@@ -109,7 +109,12 @@ def component_labels(
     in round 5.  The loop pre-filters nulls and joins on equi-keys, so
     the inferred IsNotNull filters the setting would add are redundant
     here; the returned frame is eagerly checkpointed so callers compose
-    against a plain scan, never the fragile union plan."""
+    against a plain scan, never the fragile union plan.  The toggle is
+    session-global state: this loop must not run concurrently with
+    other queries on the same session (the repo's topology — one driver
+    thread, harness-serial queries — guarantees that; a concurrent
+    caller could observe constraint propagation off, or re-enable it
+    mid-loop and resurface the union bug)."""
     spark = pairs_df.sparkSession
     _CP = "spark.sql.constraintPropagation.enabled"
     prior_cp = spark.conf.get(_CP, "true")
@@ -184,8 +189,8 @@ def components_from_pairs(
         .localCheckpoint(eager=True)
     )
     sizes = asg.groupBy("cluster_rep").agg(F.count(F.lit(1)).alias("cluster_size"))
-    # edges stays persisted until the caller's next clearCache — the
-    # returned frame reads it lazily (same contract as knn_edges)
+    # nothing is left persisted: the loop's intermediates live as eager
+    # local checkpoints referenced (only) by the returned frame's plan
     return asg.join(sizes, "cluster_rep").select("id", "cluster_rep", "cluster_size")
 
 

@@ -304,6 +304,10 @@ def commit_files(
     stay time-travelable)."""
     import pyarrow.parquet as pq
 
+    if not files:
+        # an empty first commit would crash on schema inference, and an
+        # empty later one would silently create a pointless snapshot
+        raise ValueError("commit_files requires a non-empty files list")
     meta = load_metadata(location)
     mdir = _metadata_dir(location)
     os.makedirs(mdir, exist_ok=True)

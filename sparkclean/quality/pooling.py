@@ -85,11 +85,17 @@ def span_token_scores_col(span_probs: Column, labels: Column) -> Column:
     probability p becomes token pred_probs [1-p, p]
     (_get_pred_prob_token), and the per-token score is the
     self-confidence of the given binary label — p when the token is
-    labeled in-span, 1-p otherwise."""
-    return F.zip_with(
+    labeled in-span, 1-p otherwise.
+
+    Ragged inputs (len(labels) != len(span_probs) — malformed
+    annotations) resolve to len(span_probs) scores with missing labels
+    treated as 0, matching the SQL twin exactly (zip_with would instead
+    pad to the LONGER array with NULLs — a twin divergence)."""
+    return F.transform(
         span_probs,
-        labels,
-        lambda p, l: F.when(l == F.lit(1), p).otherwise(F.lit(1.0) - p),
+        lambda p, i: F.when(
+            F.try_element_at(labels, i + F.lit(1)) == F.lit(1), p
+        ).otherwise(F.lit(1.0) - p),
     )
 
 

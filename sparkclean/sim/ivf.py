@@ -138,7 +138,13 @@ def ivf_topk(
         if centroids is not None
         else train_centroids(df, dim, id_col, vec_col, n_cells, n_iters)
     )
-    if cell_col is not None and cell_col in df.columns:
+    if cell_col is not None:
+        if cell_col not in df.columns:
+            # a typo here would silently re-assign cells per query batch —
+            # the exact per-batch cost the parameter exists to amortise
+            raise ValueError(
+                f"cell_col {cell_col!r} not in df columns {df.columns}"
+            )
         indexed = df.select(
             F.col(id_col).alias("neighbor_id"),
             F.col(vec_col).alias("_cvec"),
