@@ -374,3 +374,10 @@ def test_iceberg_schema_mapping(spark, tmp_path):
     assert len(ids) == len(set(ids))
     back = read_table(spark, loc).collect()[0]
     assert back["emb"] == [0.5, 1.5] and back["s"]["a"] == 1 and back["payload"] == b"\x01"
+
+
+def test_commit_files_rejects_empty_list(spark, tmp_path):
+    from sparkclean.iceberg import commit_files
+
+    with pytest.raises(ValueError, match="non-empty"):
+        commit_files(spark, [], str(tmp_path / "t"))
