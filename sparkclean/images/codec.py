@@ -68,12 +68,16 @@ def encode(pixels: np.ndarray, fmt: str) -> bytes:
     return magic + struct.pack("<HH", w, h) + zlib.compress(payload, level=1)
 
 
-def decode(blob: bytes) -> tuple[np.ndarray, str]:
-    magic, blob = blob[:5], blob[5:]
-    w, h = struct.unpack("<HH", blob[:4])
-    raw = zlib.decompress(blob[4:])
+def decode(blob) -> tuple[np.ndarray, str]:
+    """Accepts any buffer (bytes / memoryview / Arrow buffer slice) —
+    the decode scan hands in zero-copy views of the Arrow data buffer.
+    The exact ``bufsize`` (w*h*3 is known from the header) lets zlib
+    allocate the output once instead of growing it."""
+    mv = blob if isinstance(blob, memoryview) else memoryview(blob)
+    w, h = struct.unpack("<HH", mv[5:9])
+    raw = zlib.decompress(mv[9:], bufsize=w * h * 3)
     arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, w, 3)
-    fmt = "png" if magic == MAGIC_PNG else "jpeg"
+    fmt = "png" if mv[:5] == MAGIC_PNG else "jpeg"
     return arr, fmt
 
 
@@ -117,10 +121,9 @@ def phash64(pixels: np.ndarray, luma: np.ndarray | None = None) -> int:
                     ys[i] : max(ys[i + 1], ys[i] + 1), xs[j] : max(xs[j + 1], xs[j] + 1)
                 ].mean()
     bits = (blocks > blocks.mean()).flatten()
-    val = 0
-    for k in range(64):
-        if bits[k]:
-            val |= 1 << k
+    # LSB-first bit pack — identical value to the former 64-iteration
+    # Python loop (bit k of val = bits[k]), vectorised
+    val = int.from_bytes(np.packbits(bits, bitorder="little").tobytes(), "little")
     # interpret as signed int64 for Spark LongType
     if val >= 1 << 63:
         val -= 1 << 64

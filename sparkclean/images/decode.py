@@ -51,58 +51,72 @@ _JPEG_PSNR_DB = float(
     10 * np.log10(255.0**2 / (codec.JPEG_Q / np.sqrt(12.0)) ** 2)
 )
 
-def _stats_for_batch(pdf: pd.DataFrame) -> dict[str, np.ndarray]:
-    n = len(pdf)
-    out = {
-        "decode_ok": np.zeros(n, dtype=bool),
-        "fmt_ok": np.zeros(n, dtype=bool),
-        "psnr_db": np.full(n, np.nan),
-        # masked Int64: null (NOT a 0 sentinel) for null blobs / decode
-        # failures — 0 is a legal hash (uniform image) and a sentinel
-        # would bucket every broken image into one fake distance-0
-        # near-dup cluster in phash_near_duplicates
-        "phash_recomputed": pd.array(np.zeros(n, dtype=np.int64), dtype="Int64"),
-        "brightness": np.full(n, np.nan),
-        "pixel_std": np.full(n, np.nan),
-        "aspect_ratio": np.full(n, np.nan),
-        "is_grayscale": np.zeros(n, dtype=bool),
-        "blur_score": np.full(n, np.nan),
-    }
+def _stats_arrays(blobs, ws, hs, fmts) -> dict[str, np.ndarray]:
+    """Core per-image stats kernel over parallel arrays.
+
+    ``blobs`` is any sequence of buffer-likes (bytes / zero-copy Arrow
+    memoryviews — the decode scan passes views so the blob bytes are
+    never copied before zlib) or None.  Output values/semantics are
+    identical to the historical pandas-batch kernel.
+    """
+    n = len(blobs)
+    decode_ok = np.zeros(n, dtype=bool)
+    fmt_ok = np.zeros(n, dtype=bool)
+    psnr_db = np.full(n, np.nan)
+    # masked Int64: null (NOT a 0 sentinel) for null blobs / decode
+    # failures — 0 is a legal hash (uniform image) and a sentinel
+    # would bucket every broken image into one fake distance-0
+    # near-dup cluster in phash_near_duplicates.  Accumulated as a raw
+    # int64 array + null mask; the pandas masked array is built ONCE at
+    # the end (per-row masked-Series __setitem__ was ~4% of the kernel).
+    ph_vals = np.zeros(n, dtype=np.int64)
+    ph_null = np.ones(n, dtype=bool)
+    brightness = np.full(n, np.nan)
+    pixel_std = np.full(n, np.nan)
+    aspect_ratio = np.full(n, np.nan)
+    is_grayscale = np.zeros(n, dtype=bool)
+    blur_score = np.full(n, np.nan)
     # Per-image loop: decompress is inherently per-blob, and the
     # per-image BLAS dot for second moments MEASURES FASTER than a
     # same-shape-group batched einsum rewrite (1802 vs 1581 rows/s
     # single-thread — the stack copies + buffered-cast einsum cost more
     # than the saved ufunc dispatch; measured r4, rewrite reverted).
-    out["phash_recomputed"][:] = pd.NA
-    for i, (blob, w, h, fmt) in enumerate(zip(pdf["bytes"], pdf["w"], pdf["h"], pdf["fmt"])):
+    decode = codec.decode
+    luma32 = codec.luma32
+    phash64 = codec.phash64
+    for i in range(n):
+        blob = blobs[i]
         if blob is None:
             continue
         try:
-            px, got_fmt = codec.decode(bytes(blob))
+            px, got_fmt = decode(blob)
         except Exception:
             continue
-        out["decode_ok"][i] = px.shape[1] == w and px.shape[0] == h
-        out["fmt_ok"][i] = got_fmt == fmt
-        out["psnr_db"][i] = float("inf") if got_fmt == "png" else _JPEG_PSNR_DB
+        w = ws[i]
+        h = hs[i]
+        decode_ok[i] = px.shape[1] == w and px.shape[0] == h
+        fmt_ok[i] = got_fmt == fmts[i]
+        psnr_db[i] = float("inf") if got_fmt == "png" else _JPEG_PSNR_DB
         # float32 + fused moment passes: the decode stage is memory-
         # bandwidth bound at high worker counts, so stats use one luma
         # array, dot-product second moments (single BLAS pass, no temp)
         # and a shared luma for the phash — precision ~1e-4 is ample for
         # the dark/light/blur thresholds.  luma32 (uint16 channel add)
         # replaces the 10×-slower axis-2 mean; it was ~half the kernel.
-        luma = codec.luma32(px)
-        out["phash_recomputed"][i] = codec.phash64(px, luma=luma)
+        luma = luma32(px)
+        ph_vals[i] = phash64(px, luma=luma)
+        ph_null[i] = False
         flat = luma.ravel()
         npx = flat.size
         s1 = float(flat.sum(dtype=np.float64))
         s2 = float(np.dot(flat, flat))
         mean = s1 / npx
-        out["brightness"][i] = mean
-        out["pixel_std"][i] = float(np.sqrt(max(s2 / npx - mean * mean, 0.0)))
-        out["aspect_ratio"][i] = float(max(w, h) / max(min(w, h), 1))
+        brightness[i] = mean
+        pixel_std[i] = float(np.sqrt(max(s2 / npx - mean * mean, 0.0)))
+        aspect_ratio[i] = float(max(w, h) / max(min(w, h), 1))
         d01 = np.abs(px[:, :, 0].astype(np.int16) - px[:, :, 1]).max()
         d12 = np.abs(px[:, :, 1].astype(np.int16) - px[:, :, 2]).max()
-        out["is_grayscale"][i] = bool(d01 < 2 and d12 < 2)
+        is_grayscale[i] = bool(d01 < 2 and d12 < 2)
         gy = np.diff(luma, n=2, axis=0).ravel()
         gx = np.diff(luma, n=2, axis=1).ravel()
         blur = 0.0
@@ -112,14 +126,82 @@ def _stats_for_batch(pdf: pd.DataFrame) -> dict[str, np.ndarray]:
                 gs2 = float(np.dot(g, g))
                 gm = gs1 / g.size
                 blur += max(gs2 / g.size - gm * gm, 0.0)
-        out["blur_score"][i] = blur
+        blur_score[i] = blur
+    return {
+        "decode_ok": decode_ok,
+        "fmt_ok": fmt_ok,
+        "psnr_db": psnr_db,
+        "phash_recomputed": pd.arrays.IntegerArray(ph_vals, ph_null),
+        "brightness": brightness,
+        "pixel_std": pixel_std,
+        "aspect_ratio": aspect_ratio,
+        "is_grayscale": is_grayscale,
+        "blur_score": blur_score,
+    }
+
+
+def _stats_for_batch(pdf: pd.DataFrame) -> dict[str, np.ndarray]:
+    """Pandas-batch wrapper over :func:`_stats_arrays` (the bench probe
+    and the mapInPandas passes call this with a pandas DataFrame)."""
+    return _stats_arrays(
+        pdf["bytes"].to_numpy(),
+        pdf["w"].to_numpy(),
+        pdf["h"].to_numpy(),
+        pdf["fmt"].to_numpy(),
+    )
+
+
+def _binary_views(col) -> list:
+    """Zero-copy per-row memoryviews of an Arrow (large_)binary
+    ChunkedArray (None for null rows).  Each view references the chunk's
+    data buffer directly, so no blob bytes are copied; the views keep
+    the underlying buffers (and any memory-mapped file) alive."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    out: list = []
+    for chunk in col.chunks:
+        n = len(chunk)
+        if n == 0:
+            continue
+        bufs = chunk.buffers()
+        if bufs[2] is None:  # all-null chunk
+            out.extend([None] * n)
+            continue
+        off_dtype = np.int64 if pa.types.is_large_binary(chunk.type) else np.int32
+        offs = np.frombuffer(bufs[1], dtype=off_dtype, count=chunk.offset + n + 1)[
+            chunk.offset :
+        ]
+        mv = memoryview(bufs[2])
+        if chunk.null_count == 0:
+            out.extend(mv[offs[i] : offs[i + 1]] for i in range(n))
+        else:
+            nulls = pc.is_null(chunk).to_numpy(zero_copy_only=False)
+            out.extend(
+                None if nulls[i] else mv[offs[i] : offs[i + 1]] for i in range(n)
+            )
     return out
+
+
+#: repo root for the worker-side sys.path bootstrap — the nested map
+#: functions below are cloudpickled by VALUE but call kernels from this
+#: package, which workers of a foreign-cwd driver cannot import
+_PKG_ROOT = __import__("os").path.dirname(
+    __import__("os").path.dirname(__import__("os").path.dirname(__import__("os").path.abspath(__file__)))
+)
 
 
 def decode_stats(df: DataFrame) -> DataFrame:
     """Per-image stats only (image_id + stats); join back on image_id."""
+    _pkg_root = _PKG_ROOT
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import sys as _sys
+
+        if _pkg_root not in _sys.path:
+            _sys.path.insert(0, _pkg_root)
+        from sparkclean.images.decode import _stats_for_batch
+
         for pdf in batches:
             out = {"image_id": pdf["image_id"]}
             out.update(_stats_for_batch(pdf))
@@ -136,8 +218,15 @@ def decode_and_project(df: DataFrame) -> DataFrame:
     narrow_cols = [c for c in df.columns if c != "bytes"]
     schema_prefix = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema if f.name != "bytes")
     schema = schema_prefix + ", " + STATS_FIELDS
+    _pkg_root = _PKG_ROOT
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import sys as _sys
+
+        if _pkg_root not in _sys.path:
+            _sys.path.insert(0, _pkg_root)
+        from sparkclean.images.decode import _stats_for_batch
+
         for pdf in batches:
             out = {c: pdf[c] for c in narrow_cols}
             out.update(_stats_for_batch(pdf))
@@ -230,37 +319,61 @@ def decode_scan(
     rows0 = max(int(_pq.read_metadata(files[0]).num_rows), 1)
     fpt = max(files_per_task, -(-512 // rows0)) if rows0 < 512 else files_per_task
     n_tasks = max(len(files) // fpt, 1)
+    # Cap the fan-out at 4x the cluster instead of shuffling it back down
+    # afterwards: the old shape (256 tasks -> repartition(2*par)) paid a
+    # full exchange of every narrow output row just to cut downstream
+    # task-launch overhead.  Grouping more files per task at build time
+    # removes that Exchange outright (guide §2.4) — same balance (files
+    # are uniform row-group-sized), zero shuffle.  n_tasks is known at
+    # build time, so no .rdd partition probe is needed.
+    n_tasks = min(n_tasks, 4 * par)
     fdf = spark.createDataFrame([(f,) for f in files], "file string").repartition(n_tasks)
 
+    _pkg_root = _PKG_ROOT
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import sys as _sys
+
         import pyarrow.parquet as pq
+
+        if _pkg_root not in _sys.path:
+            _sys.path.insert(0, _pkg_root)
+        from sparkclean.images.decode import _binary_views, _stats_arrays
 
         for pdf in batches:
             for fname in pdf["file"]:
-                pdf_full = pq.read_table(fname).to_pandas()
-                out = {c: pdf_full[c] for c in narrow_cols}
-                out.update(_stats_for_batch(pdf_full))
+                # use_threads=False: the default threaded read spins a
+                # cpu_count() Arrow pool in EVERY worker process (32
+                # workers x 32 threads oversubscribes the host); the
+                # single-thread buffered read measured 4x faster solo
+                # (0.112 s -> 0.028 s per 28 MB file) and won the
+                # 32-process A/B (mmap measured slightly worse under
+                # concurrency: page-fault path vs readahead).
+                tbl = pq.read_table(fname, use_threads=False)
+                out = {c: tbl.column(c).to_pandas() for c in narrow_cols}
+                # blobs as zero-copy views of the Arrow buffer — the
+                # multi-KB payload is never copied into Python bytes
+                stats = _stats_arrays(
+                    _binary_views(tbl.column("bytes")),
+                    out["w"].to_numpy(),
+                    out["h"].to_numpy(),
+                    out["fmt"].to_numpy(),
+                )
+                out.update(stats)
                 if with_caption_features:
-                    from ..text.fast import caption_features_batch, label_and_probs_batch
+                    from sparkclean.text.fast import (
+                        caption_features_batch,
+                        label_and_probs_batch,
+                    )
 
-                    feats = caption_features_batch(pdf_full["caption"].tolist())
+                    feats = caption_features_batch(out["caption"].tolist())
                     label, probs = label_and_probs_batch(feats)
                     out.update(feats)
                     out["label"] = label
                     out["pred_probs"] = list(probs)
                 yield pd.DataFrame(out)
 
-    out = fdf.mapInPandas(run, schema)
-    # The decode stage wants many tasks (balance), but every downstream
-    # job (persist, thresholds agg, issue count, quantile, cutoff, write)
-    # pays serial driver task-launch per partition per job — 256-task x
-    # 7-job runs at local[4] spent ~40 s scheduling.  Shuffle the narrow
-    # post-decode columns down to ~2x parallelism when the scan fans out
-    # far wider than the cluster.  n_tasks is known at build time, so no
-    # .rdd partition probe is needed.
-    if n_tasks > 4 * par:
-        out = out.repartition(2 * par)
-    return out
+    return fdf.mapInPandas(run, schema)
 
 
 def with_image_issues(stats: DataFrame) -> DataFrame:

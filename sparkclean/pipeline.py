@@ -70,6 +70,99 @@ def _logit(w: dict) -> Column:
     )
 
 
+def _fast_label_frame(df: DataFrame, text_col: str) -> DataFrame:
+    """Arrow fast-path twin of ``_with_label_and_probs(_features(df, c))``
+    — one mapInPandas stage computes every caption feature, the pseudo-
+    label and pred_probs via text.fast (same formulas, same md5 table,
+    same tie-breaks; parity asserted by tests/test_text_parity and the
+    DuckDB gate incl. the adversarial zoo corpus).  Replaces ~10
+    interpreted Catalyst projections (per-bigram md5, marker-set
+    filters) with one vectorized Python stage — the same dataflow the
+    image pipeline has always used (images.decode.decode_scan
+    with_caption_features=True).
+
+    Null-text parity (pinned against the Catalyst/DuckDB twins):
+    ratios/stopword/repetition coalesce to 0.0, pred_lang='und', ppl is
+    the fallback, n_chars/n_words stay NULL, and the scorer's f_len term
+    is 1.0 (Spark ``least`` SKIPS nulls: least(NULL, 50)/50 = 1) — fed
+    here by patching n_words to 50 for null rows before the scorer.
+    """
+    import os as _os
+
+    from .skew import ensure_parallelism
+
+    # worker-side import root: the nested `run` below is cloudpickled by
+    # VALUE, but the text.fast kernels it calls live in this package —
+    # workers of a driver launched from a foreign cwd (the external
+    # driver loads __spark_entry__ by file path) cannot import
+    # sparkclean without this bootstrap
+    _pkg_root = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+
+    src = ensure_parallelism(df)
+    _out_names = (
+        "n_chars", "n_words", "digit_ratio", "alpha_ratio", "punct_ratio",
+        "upper_ratio", "repetition_ratio", "stopword_ratio", "pred_lang",
+        "ppl", "label", "pred_probs",
+    )
+    # a source column colliding with a feature name (e.g. documents'
+    # own n_chars) is replaced by the computed feature — the Catalyst
+    # path appended a duplicate-named column instead, which nothing
+    # downstream could reference anyway
+    cols = [c for c in src.columns if c not in _out_names]
+    base_ddl = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in src.schema
+        if f.name not in _out_names
+    )
+    schema = base_ddl + (
+        ", n_chars bigint, n_words bigint, digit_ratio double, alpha_ratio double,"
+        " punct_ratio double, upper_ratio double, repetition_ratio double,"
+        " stopword_ratio double, pred_lang string, ppl double,"
+        " label int, pred_probs array<double>"
+    )
+
+    def run(batches):
+        import sys
+
+        import numpy as np
+        import pandas as pd
+
+        if _pkg_root not in sys.path:
+            sys.path.insert(0, _pkg_root)
+        from sparkclean.text.fast import (
+            caption_features_batch,
+            label_and_probs_batch,
+        )
+
+        for pdf in batches:
+            out = {c: pdf[c] for c in cols}
+            texts = pdf[text_col]
+            feats = caption_features_batch(texts.tolist())
+            null_mask = texts.isna().to_numpy()
+            if null_mask.any():
+                # f_len = 1.0 for null text (least-skips-null semantics)
+                patched = dict(feats)
+                nw = feats["n_words"].copy()
+                nw[null_mask] = 50
+                patched["n_words"] = nw
+                label, probs = label_and_probs_batch(patched)
+                # n_chars / n_words are NULL for null text (length(NULL))
+                feats["n_chars"] = pd.arrays.IntegerArray(
+                    feats["n_chars"].astype(np.int64), null_mask.copy()
+                )
+                feats["n_words"] = pd.arrays.IntegerArray(
+                    feats["n_words"].astype(np.int64), null_mask.copy()
+                )
+            else:
+                label, probs = label_and_probs_batch(feats)
+            out.update(feats)
+            out["label"] = label
+            out["pred_probs"] = list(probs)
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(run, schema)
+
+
 def _with_label_and_probs(df: DataFrame) -> DataFrame:
     exps = [F.exp(_logit(w)) for w in WEIGHTS]
     total = exps[0] + exps[1] + exps[2]
@@ -125,7 +218,11 @@ def caption_scores(
         # (e.g. inside the decode_scan Arrow pass — text.fast)
         feats = df
     else:
-        feats = _with_label_and_probs(_features(df, text_col))
+        # one Arrow stage instead of ~10 interpreted Catalyst
+        # projections (text.fast twin — measured 3.7 s -> see
+        # OPTIMIZATION_r06.md; the Catalyst builders remain the oracle-
+        # parity / streaming path in _features/_with_label_and_probs)
+        feats = _fast_label_frame(df, text_col)
     feats = feats.persist()
 
     _t0 = _time.time()
