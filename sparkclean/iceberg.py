@@ -506,9 +506,16 @@ def read_table(spark, location: str, snapshot_id: int | None = None):
     return spark.read.parquet(*files)
 
 
-def last_committed_epoch(location: str) -> int | None:
+def last_committed_epoch(location: str, stream_id: str | None = None) -> int | None:
     """Highest ``streaming-epoch-id`` recorded in any snapshot summary,
-    or None for a fresh/non-streaming table."""
+    or None for a fresh/non-streaming table.
+
+    ``stream_id`` scopes the lookup to snapshots whose summary carries a
+    matching ``streaming-stream-id`` — the dedupe key of the real
+    Iceberg sink is (queryId, epochId), not epochId alone: a restarted
+    query with a fresh checkpoint location (or a second query writing
+    the same table) restarts epochs at 0, and a table-global comparison
+    would silently drop every one of its batches."""
     meta = load_metadata(location)
     if meta is None:
         return None
@@ -516,11 +523,15 @@ def last_committed_epoch(location: str) -> int | None:
         int(s["summary"]["streaming-epoch-id"])
         for s in meta["snapshots"]
         if "streaming-epoch-id" in s.get("summary", {})
+        and (
+            stream_id is None
+            or s["summary"].get("streaming-stream-id") == stream_id
+        )
     ]
     return max(epochs) if epochs else None
 
 
-def append_stream(stream_df, location: str, summary_extra_fn=None):
+def append_stream(stream_df, location: str, summary_extra_fn=None, stream_id: str | None = None):
     """Structured-Streaming sink: one Iceberg append snapshot per
     micro-batch via ``foreachBatch``, idempotent under batch replay.
 
@@ -533,24 +544,35 @@ def append_stream(stream_df, location: str, summary_extra_fn=None):
     computes extra lineage counters for the summary (runs before the
     write, so aggregate on a persisted frame or cheap columns).
 
+    ``stream_id`` is the stream's identity for the exactly-once dedupe
+    (pass the query's checkpointLocation or any stable per-query id):
+    the real Iceberg sink dedupes on (queryId, epochId), and with only
+    the epoch a RESTARTED query with a fresh checkpoint — or a second
+    query on the same table — restarts epochs at 0 and has every batch
+    <= the table's historical max silently dropped.  Without an id the
+    handler keeps the table-global comparison (single-writer
+    single-incarnation only).
+
     Returns the ``DataStreamWriter`` (caller adds trigger/checkpoint
     options and ``.start()``)."""
     return stream_df.writeStream.foreachBatch(
-        iceberg_batch_handler(location, summary_extra_fn)
+        iceberg_batch_handler(location, summary_extra_fn, stream_id)
     )
 
 
-def iceberg_batch_handler(location: str, summary_extra_fn=None):
+def iceberg_batch_handler(location: str, summary_extra_fn=None, stream_id: str | None = None):
     """The (batch_df, epoch_id) foreachBatch handler behind
     :func:`append_stream`, exposed so replay idempotency is directly
     testable and so callers composing their own writeStream can reuse
-    it."""
+    it.  See :func:`append_stream` for the ``stream_id`` scoping."""
 
     def handle(batch_df, epoch_id: int) -> None:
-        last = last_committed_epoch(location)
+        last = last_committed_epoch(location, stream_id)
         if last is not None and epoch_id <= last:
-            return  # replayed epoch: already committed, skip
+            return  # replayed epoch of THIS stream: already committed
         extra = {"streaming-epoch-id": str(epoch_id)}
+        if stream_id is not None:
+            extra["streaming-stream-id"] = stream_id
         if summary_extra_fn is not None:
             extra.update(summary_extra_fn(batch_df))
         commit_append(batch_df.sparkSession, batch_df, location, summary_extra=extra)

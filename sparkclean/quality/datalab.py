@@ -661,13 +661,29 @@ def find_issues(
         out = underperforming_group_issues(out, num_classes, cluster_col, label_col, probs_col)
 
     issue_types = [c[3:-6] for c in out.columns if c.startswith("is_") and c.endswith("_issue")]
-    summary_rows = []
+    # ONE combined aggregation for every issue type (the per-type loop
+    # ran one Spark job per type, each re-executing the full `out`
+    # lineage — only the input df was persisted); values are identical:
+    # same sum/avg expressions, evaluated in one pass
+    aggs = []
     for t in issue_types:
-        row = out.agg(
-            F.sum(F.when(F.col(f"is_{t}_issue"), 1).otherwise(0)).alias("n"),
-            F.avg(F.col(f"{t}_score") if f"{t}_score" in out.columns else F.lit(None)).alias("s"),
-        ).collect()[0]
-        summary_rows.append((t, int(row["n"] or 0), float(row["s"]) if row["s"] is not None else None))
+        aggs.append(
+            F.sum(F.when(F.col(f"is_{t}_issue"), 1).otherwise(0)).alias(f"_n_{t}")
+        )
+        aggs.append(
+            F.avg(
+                F.col(f"{t}_score") if f"{t}_score" in out.columns else F.lit(None)
+            ).alias(f"_s_{t}")
+        )
+    row = out.agg(*aggs).collect()[0]
+    summary_rows = [
+        (
+            t,
+            int(row[f"_n_{t}"] or 0),
+            float(row[f"_s_{t}"]) if row[f"_s_{t}"] is not None else None,
+        )
+        for t in issue_types
+    ]
     summary = df.sparkSession.createDataFrame(
         summary_rows, "issue_type: string, num_issues: long, overall_score: double"
     )

@@ -141,6 +141,37 @@ def bottom_n_flags(
         _rows_at_ranks_selection,
     )
 
+    # Small-input fast path: the band machinery exists so no task ever
+    # sorts a data-sized frame, but at total <= the task budget the band
+    # path would rank up to the same row count in one task anyway — rank
+    # the non-null scores directly and skip the approxQuantile + band-
+    # measure jobs (3 Spark jobs -> 1; identical (score, id) cutoff).
+    _fast_cap = task_cap if task_cap is not None else _BAND_TARGET_ROWS
+    if total <= _fast_cap:
+        w = Window.orderBy(F.col(score_col).asc(), F.col(id_col).asc())
+        cut = (
+            df.where(F.col(score_col).isNotNull())
+            .withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == F.lit(n))
+            .select(score_col, id_col)
+            .collect()
+        )
+        if cut:
+            s_star, id_star = cut[0][0], cut[0][1]
+            return df.withColumn(
+                flag_col,
+                F.coalesce(
+                    (F.col(score_col) < F.lit(s_star))
+                    | (
+                        (F.col(score_col) == F.lit(s_star))
+                        & (F.col(id_col) <= F.lit(id_star))
+                    ),
+                    F.lit(False),
+                ),
+            )
+        # n exceeded the non-null count — fall through to the band path
+        # (which preserves the historical behaviour for that edge)
+
     err = min(0.005, _adaptive_err(total, None) * 2.5)
     lo_q, hi_q = max(0.0, frac - 2 * err), min(1.0, frac + 2 * err)
     lo, hi = df.approxQuantile(score_col, [lo_q, hi_q], err / 2)
@@ -253,13 +284,31 @@ def find_label_issues(
 
     if filter_by in ("low_self_confidence", "low_normalized_margin"):
         method = filter_by[4:]
-        n_issues = num_label_issues(
-            df, num_classes, label_col, probs_col, "off_diagonal", thresholds
+        # fused issue-count + row-count: one aggregation job instead of
+        # num_label_issues' count followed by bottom_n_flags' total
+        # count (identical values: same binned condition, same total)
+        binned = _with_reduce_mask(
+            with_confident_bins(df, thresholds, label_col, probs_col),
+            label_col,
+            probs_col,
         )
+        agg_row = binned.agg(
+            F.sum(
+                F.when(
+                    F.col("is_confident")
+                    & (F.col("true_label_guess") != label)
+                    & ~F.col("_reduce_ok"),
+                    1,
+                ).otherwise(0)
+            ).alias("_n"),
+            F.count(F.lit(1)).alias("_total"),
+        ).first()
+        n_issues = int(agg_row["_n"] or 0)
+        total = int(agg_row["_total"])
         scored = with_label_quality_scores(
             df, num_classes, label_col, probs_col, method=method, out_col="_lq"
         )
-        out = bottom_n_flags(scored, n_issues, "_lq", id_col)
+        out = bottom_n_flags(scored, n_issues, "_lq", id_col, total=total)
         return out.drop("_lq")
 
     # prune_by_class / prune_by_noise_rate / both need the calibrated joint

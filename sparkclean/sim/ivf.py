@@ -133,6 +133,16 @@ def ivf_topk(
     when absent the assignment runs inline."""
     from .knn import pair_dist_udf
 
+    if cell_col is not None and centroids is None:
+        # the materialised assignment's centroids are unknowable here:
+        # training a fresh set would probe cells that do not correspond
+        # to the stored cell ids — recall silently collapses with no
+        # error.  Demand the matching centroids.
+        raise ValueError(
+            "cell_col requires the centroids that produced the stored "
+            "assignment (pass centroids=...); training fresh centroids "
+            "would probe mismatched cells"
+        )
     cents = (
         centroids
         if centroids is not None

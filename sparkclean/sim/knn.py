@@ -88,7 +88,13 @@ def cosine_topk(
     )
     c = df.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cvec"))
     joined = c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
-    scored = joined.withColumn("cosine", cosine_col(F.col("_qvec"), F.col("_cvec")))
+    # Arrow pair kernel instead of the interpreted Catalyst HOF fold —
+    # bit-identical (per-dimension accumulation == the zip_with fold's
+    # left-to-right order, zero-norm cosine defined 0 in both); dim is
+    # taken from the batch so no schema probe is needed
+    scored = joined.withColumn(
+        "cosine", pair_dist_udf(None, "cosine_sim")(F.col("_qvec"), F.col("_cvec"))
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
@@ -343,16 +349,19 @@ def pair_dist_udf(dim: int, metric: str):
     def dist(a: pd.Series, b: pd.Series) -> pd.Series:
         ma = np.stack(a.to_numpy()).astype(np.float64)
         mb = np.stack(b.to_numpy()).astype(np.float64)
+        # dim=None → take the width from the batch (same accumulation
+        # order either way; a declared dim only adds a build-time check)
+        d_end = ma.shape[1] if dim is None else dim
         if metric == "euclidean":
             acc = np.zeros(len(ma))
-            for d in range(dim):
+            for d in range(d_end):
                 t = ma[:, d] - mb[:, d]
                 acc += t * t
             return pd.Series(np.sqrt(acc))
         dot = np.zeros(len(ma))
         na = np.zeros(len(ma))
         nb = np.zeros(len(ma))
-        for d in range(dim):
+        for d in range(d_end):
             dot += ma[:, d] * mb[:, d]
             na += ma[:, d] * ma[:, d]
             nb += mb[:, d] * mb[:, d]
@@ -480,6 +489,14 @@ def knn_edges(
             "(bands=%d bits=%d) — raise bits if this grows with N",
             LAST_RESCUE_COUNT, bands, bits,
         )
+    if not LAST_RESCUE_COUNT:
+        # no under-connected rows (the common, measured case): the anti
+        # join and the rescue union would both be no-ops — return the
+        # persisted edge list directly and skip the dead plan subtree
+        # (rescue join + 2 vector joins + window over an empty input,
+        # which still costs AQE stages + codegen on every consumer job)
+        needy.unpersist()
+        return ranked
     rescue_pairs = F.broadcast(needy).join(
         vecs.select(F.col("_id").alias("nid")), F.col("qid") != F.col("nid")
     ).select("qid", "nid")

@@ -348,6 +348,34 @@ def test_iceberg_streaming_append_idempotent(spark, tmp_path):
     assert last_committed_epoch(loc) == 2
 
 
+def test_iceberg_streaming_stream_id_scoping(spark, tmp_path):
+    """The exactly-once guard dedupes on (stream_id, epoch), not epoch
+    alone: a second stream (fresh checkpoint -> epochs restart at 0)
+    writing the same table must NOT have its batches dropped by the
+    first stream's historical epochs, while a replay within one stream
+    is still skipped."""
+    from sparkclean.iceberg import iceberg_batch_handler, last_committed_epoch
+
+    loc = str(tmp_path / "itbl_sid")
+    batch = spark.range(0, 3)
+    h_a = iceberg_batch_handler(loc, stream_id="stream-a")
+    h_a(batch, 0)
+    h_a(batch, 1)
+    assert len(load_metadata(loc)["snapshots"]) == 2
+    # stream B restarts epochs at 0 — must commit, not be dropped
+    h_b = iceberg_batch_handler(loc, stream_id="stream-b")
+    h_b(batch, 0)
+    assert len(load_metadata(loc)["snapshots"]) == 3
+    # replay within each stream is still a no-op
+    h_a(batch, 1)
+    h_b(batch, 0)
+    assert len(load_metadata(loc)["snapshots"]) == 3
+    assert last_committed_epoch(loc, "stream-a") == 1
+    assert last_committed_epoch(loc, "stream-b") == 0
+    # table-global view (legacy) still reports the max
+    assert last_committed_epoch(loc) == 1
+
+
 def test_iceberg_schema_mapping(spark, tmp_path):
     """Nested arrays/structs map to iceberg list/struct with unique ids;
     the round-trip preserves values."""
