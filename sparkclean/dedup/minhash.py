@@ -39,6 +39,84 @@ MERSENNE_P = (1 << 61) - 1
 _RNG = np.random.RandomState(1234)
 COEF_A = [int(x) for x in _RNG.randint(1, 1 << 31, size=NUM_HASHES)]
 COEF_B = [int(x) for x in _RNG.randint(0, 1 << 31, size=NUM_HASHES)]
+_COEF_A_NP = np.asarray(COEF_A, dtype=np.int64)
+_COEF_B_NP = np.asarray(COEF_B, dtype=np.int64)
+
+#: repo root for the worker-side sys.path bootstrap (the Arrow kernels
+#: below are nested closures calling these module-level helpers)
+import os as _os  # noqa: E402
+
+_PKG_ROOT = _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+#: cross-batch memo for the 60-bit md5 hash — shingles repeat heavily in
+#: natural corpora (boilerplate, near-dups), so each worker pays md5 only
+#: on first sight.  Bounded, same discipline as text.fast._LOGP_MEMO.
+_H60_MEMO: dict[str, int] = {}
+_H60_MEMO_MAX = 1_000_000
+
+
+def _h60(s: str) -> int:
+    """Python twin of shared.hash60_col/_sql: int(md5(utf8)[:15], 16)."""
+    v = _H60_MEMO.get(s)
+    if v is None:
+        import hashlib
+
+        if len(_H60_MEMO) > _H60_MEMO_MAX:
+            _H60_MEMO.clear()
+        v = int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
+        _H60_MEMO[s] = v
+    return v
+
+
+def _doc_shingles_py(text: str) -> list[int] | None:
+    """Distinct hashed word-trigram shingles of one doc — the exact
+    kernel twin of :func:`shingles_from_words` over
+    words_py(ascii_lower_py(text)): same tokenizer, same ``' '`` gram
+    join, same md5 hash60, first-occurrence distinct order.  None for
+    docs with < 3 words (the members filter)."""
+    from ..text.shared import ascii_lower_py, words_py
+
+    words = words_py(ascii_lower_py(text))
+    if len(words) < 3:
+        return None
+    hs = [
+        _h60(words[i] + " " + words[i + 1] + " " + words[i + 2])
+        for i in range(len(words) - 2)
+    ]
+    return list(dict.fromkeys(hs))
+
+
+def _doc_sig_py(sh: list[int]) -> np.ndarray:
+    """Minhash signature — integer-exact twin of
+    :func:`minhash_signature_col`: (a*(s mod 2^31)+b) mod P, min per
+    hash function (products < 2^62, no int64 overflow)."""
+    sm = np.asarray(sh, dtype=np.int64) % np.int64(1 << 31)
+    mat = (sm[:, None] * _COEF_A_NP[None, :] + _COEF_B_NP[None, :]) % np.int64(
+        MERSENNE_P
+    )
+    return mat.min(axis=0)
+
+
+def _doc_buckets_py(sig: np.ndarray) -> list[int]:
+    """Band bucket keys — twin of :func:`band_buckets_col`:
+    hash60('band,s1,s2,s3,s4')."""
+    out = []
+    for b in range(BANDS):
+        lo = b * ROWS_PER_BAND
+        out.append(
+            _h60(
+                str(b)
+                + ","
+                + ",".join(str(int(sig[lo + r])) for r in range(ROWS_PER_BAND))
+            )
+        )
+    return out
+
+
+def _set_key_py(sh: list[int]) -> int:
+    """Twin of :func:`shingle_set_key_col`: hash60 of the ascending
+    sorted values comma-joined."""
+    return _h60(",".join(str(v) for v in sorted(sh)))
 
 
 def shingles_from_words(w: Column, n: int = 3) -> Column:
@@ -161,21 +239,114 @@ def shingle_set_key_sql(sh: str) -> str:
 def _content_members(
     df: DataFrame, text_col: str, id_col: str
 ) -> DataFrame:
-    """``(_id, _gk, _sh)`` for every doc with >= 1 shingle: _gk is the
-    shingle-set collapse key.  Built identically by the pair and cluster
-    paths so ReuseExchange shares the groupBy exchange."""
+    """``(_id, _sh, _gk)`` for every doc with >= 1 shingle: _gk is the
+    shingle-set collapse key.
+
+    One Arrow kernel stage (tokenize → hash60 trigrams → distinct →
+    set key), bit-identical to the former interpreted Catalyst
+    projection (words_py IS the engine tokenizer; same md5 hash60; same
+    first-occurrence distinct; same sorted-join set key — the Catalyst
+    builders remain in this module as the oracle-SQL generators and the
+    parity-test reference).  The interpreted HOF chain re-evaluated
+    per consumer subtree and cost ~10x the kernel per doc (guide §4.2);
+    null texts and docs with < 3 words are excluded exactly as the
+    ``size(_w) >= 3`` filter did."""
     from ..skew import ensure_parallelism
 
-    # Filter on the word count, NOT on size(_sh) > 0: an equivalent
-    # predicate on the shingle array gets pushed below the exchange and
-    # re-inlines the whole O(len^2) shingle expression over raw text.
-    return (
-        ensure_parallelism(df)
-        .withColumn("_w", words_col(ascii_lower_col(F.col(text_col))))
-        .where(F.size("_w") >= 3)
-        .select(F.col(id_col).alias("_id"), shingles_from_words(F.col("_w")).alias("_sh"))
-        .withColumn("_gk", shingle_set_key_col(F.col("_sh")))
+    id_type = dict(zip(df.columns, [f.dataType.simpleString() for f in df.schema]))[
+        id_col
+    ]
+    src = ensure_parallelism(df).select(
+        F.col(id_col).alias("_id"), F.col(text_col).alias("_t")
     )
+    _pkg_root = _PKG_ROOT
+
+    def run(batches):
+        import sys as _sys
+
+        import pandas as _pd
+
+        if _pkg_root not in _sys.path:
+            _sys.path.insert(0, _pkg_root)
+        from sparkclean.dedup.minhash import _doc_shingles_py, _set_key_py
+
+        for pdf in batches:
+            pos, shs, gks = [], [], []
+            texts = pdf["_t"]
+            for i, t in enumerate(texts):
+                if t is None:
+                    continue
+                sh = _doc_shingles_py(t)
+                if sh is None:
+                    continue
+                pos.append(i)
+                shs.append(sh)
+                gks.append(_set_key_py(sh))
+            yield _pd.DataFrame(
+                {
+                    "_id": pdf["_id"].iloc[pos].reset_index(drop=True),
+                    "_sh": _pd.Series(shs, dtype=object),
+                    "_gk": _pd.Series(gks, dtype="int64" if gks else object),
+                }
+            )
+
+    return src.mapInPandas(run, f"_id {id_type}, _sh array<bigint>, _gk bigint")
+
+
+def _bucket_rows(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """``(_id, _gk, _bucket)`` — BANDS rows per kept doc, the exploded
+    LSH band-bucket keys.  Fuses shingle → signature → band keys into
+    one Arrow kernel (integer-exact twins of minhash_signature_col +
+    band_buckets_col); only scalars leave the stage, so the band join
+    still carries ~16 bytes/row."""
+    from ..skew import ensure_parallelism
+
+    id_type = dict(zip(df.columns, [f.dataType.simpleString() for f in df.schema]))[
+        id_col
+    ]
+    src = ensure_parallelism(df).select(
+        F.col(id_col).alias("_id"), F.col(text_col).alias("_t")
+    )
+    _pkg_root = _PKG_ROOT
+
+    def run(batches):
+        import sys as _sys
+
+        import pandas as _pd
+
+        if _pkg_root not in _sys.path:
+            _sys.path.insert(0, _pkg_root)
+        from sparkclean.dedup.minhash import (
+            BANDS,
+            _doc_buckets_py,
+            _doc_shingles_py,
+            _doc_sig_py,
+            _set_key_py,
+        )
+
+        for pdf in batches:
+            pos, gks, bks = [], [], []
+            texts = pdf["_t"]
+            for i, t in enumerate(texts):
+                if t is None:
+                    continue
+                sh = _doc_shingles_py(t)
+                if sh is None:
+                    continue
+                sig = _doc_sig_py(sh)
+                gk = _set_key_py(sh)
+                pos.extend([i] * BANDS)
+                gks.extend([gk] * BANDS)
+                bks.extend(_doc_buckets_py(sig))
+            yield _pd.DataFrame(
+                {
+                    "_id": pdf["_id"].iloc[pos].reset_index(drop=True),
+                    "_gk": _pd.Series(gks, dtype="int64" if gks else object),
+                    "_bucket": _pd.Series(bks, dtype="int64" if bks else object),
+                }
+            )
+
+    return src.mapInPandas(run, f"_id {id_type}, _gk bigint, _bucket bigint")
 
 
 def _content_groups(members: DataFrame) -> DataFrame:
@@ -220,14 +391,11 @@ def near_duplicate_pairs(
     instead of ~2 KB/row.  (A min_by(_sh) collapse that carried the
     arrays through the groupBy measured 2x the whole query at sf0.1 and
     was reverted — see :func:`_content_groups`.)"""
-    # NOTE on the apparent repeated shingle computation: `members`
-    # appears in multiple plan subtrees (bucket path + the two verify
-    # join-backs), but identical exchanges are deduplicated by
-    # ReuseExchange at execution — measured r3: a persist+re-shingle
-    # "optimization" ran 1.5-1.8x SLOWER at sf0.1.  Keep the
-    # declarative form and let the optimizer share the subtree.
+    # The members kernel appears in multiple plan subtrees (the two
+    # verify join-backs); the bucket path runs the fused shingle+sig+
+    # band kernel (_bucket_rows).  Each consumer re-runs its (cheap)
+    # Arrow kernel map-side — scalars only, no array ever shuffles.
     members = _content_members(df, text_col, id_col)
-    sig = members.withColumn("_sig", minhash_signature_col(F.col("_sh")))
     # Per-(bucket, content-key) collapse: identical shingle sets have
     # identical signatures, hence identical bucket rows — so the min id
     # per (_bucket, _gk) IS the group's global representative, and the
@@ -235,9 +403,7 @@ def near_duplicate_pairs(
     # aggregation (map-side combine shrinks hot groups before the
     # exchange).  No extra shingle pass, no array shuffle.
     buckets = (
-        sig.select(
-            "_gk", "_id", F.explode(band_buckets_col(F.col("_sig"))).alias("_bucket")
-        )
+        _bucket_rows(df, text_col, id_col)
         .groupBy("_bucket", "_gk")
         .agg(F.min("_id").alias("_id"))
     )

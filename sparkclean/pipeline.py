@@ -318,6 +318,19 @@ def run_image_caption_quality_from_path(
     # python-source plan and never changes the layout.
     scanned = decode_scan(spark, path, with_caption_features=fast_captions)
     projected = with_image_issues(scanned)
+    # project down to what the scoring passes + final output actually
+    # read BEFORE the persist: caption_scores caches its input frame,
+    # and caching all ~31 scan columns (w/h/fmt/phash/raw feature
+    # ratios/...) materialises ~2.5x the bytes the pipeline ever
+    # consumes again (guide §2.3 "project before the exchange" — the
+    # cache write is the exchange here)
+    needed = [
+        id_col, text_col, "decode_ok", "fmt_ok", "psnr_db", "brightness",
+        "is_dark", "is_light", "is_low_information", "is_blurry",
+    ]
+    if fast_captions:
+        needed += ["label", "pred_probs"]
+    projected = projected.select(*needed)
     joined = caption_scores(
         projected, id_col=id_col, text_col=text_col, stage_times=stage_times
     )
