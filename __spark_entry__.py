@@ -655,7 +655,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             (F.col("_a1") - F.col("_b1")) * (F.col("_a1") - F.col("_b1"))
             + (F.col("_a2") - F.col("_b2")) * (F.col("_a2") - F.col("_b2"))
         )
-        pairs = a.join(b, F.col("qid") != F.col("nid")).withColumn("_d", d)
+        # broadcast the neighbour side: the all-pairs join is inherent to
+        # OUTRE's k = ceil(N/2) neighbour definition (bounded subset), but
+        # an unhinted join planned as CartesianProduct (a.partitions x
+        # b.partitions tasks); BroadcastNestedLoopJoin streams the big
+        # side once with no shuffle
+        pairs = a.join(F.broadcast(b), F.col("qid") != F.col("nid")).withColumn("_d", d)
         w = Window.partitionBy("qid").orderBy(F.col("_d").asc(), F.col("nid").asc())
         avg_d = (
             pairs.withColumn("_rk", F.row_number().over(w))

@@ -248,11 +248,15 @@ def caption_scores(
     n_issues = int(agg_row["_n_issues"] or 0)
     total = int(agg_row["_total"])
 
+    # quality_score is a one-expression derivation (element_at) over the
+    # already-cached feats — derive it lazily instead of persisting a
+    # SECOND near-identical copy of the frame (the double cache write
+    # materialised ~240k x 13 columns twice per pipeline run); feats
+    # stays pinned for the session, same ownership contract as before
     scored = feats.withColumn(
         "quality_score", self_confidence(F.col("label"), F.col("pred_probs"))
-    ).persist()
+    )
     flagged = bottom_n_flags(scored, n_issues, "quality_score", id_col, total=total)
-    feats.unpersist()
     flagged = flagged.withColumn(
         "is_label_issue",
         F.col("is_label_issue")
