@@ -286,7 +286,7 @@ def _content_members(
                 {
                     "_id": pdf["_id"].iloc[pos].reset_index(drop=True),
                     "_sh": _pd.Series(shs, dtype=object),
-                    "_gk": _pd.Series(gks, dtype="int64" if gks else object),
+                    "_gk": _pd.Series(gks, dtype="int64"),
                 }
             )
 
@@ -341,8 +341,8 @@ def _bucket_rows(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
             yield _pd.DataFrame(
                 {
                     "_id": pdf["_id"].iloc[pos].reset_index(drop=True),
-                    "_gk": _pd.Series(gks, dtype="int64" if gks else object),
-                    "_bucket": _pd.Series(bks, dtype="int64" if bks else object),
+                    "_gk": _pd.Series(gks, dtype="int64"),
+                    "_bucket": _pd.Series(bks, dtype="int64"),
                 }
             )
 
