@@ -254,6 +254,39 @@ def test_rows_at_ranks_selection_direct(spark):
         assert (got[k]["v"], got[k]["id"]) == (vals[i], ids[i]), k
 
 
+def test_bottom_n_flags_fast_path_matches_band(spark):
+    """The r6 small-input fast path (one direct rank job when total fits
+    the band task budget) must flag exactly the same rows as the banded
+    quantile path — including tie blocks at the cutoff and null scores
+    (never flagged, NULLS-LAST like the SQL twins)."""
+    from sparkclean.quality.issues import bottom_n_flags
+
+    rng = np.random.default_rng(11)
+    n_rows = 500
+    scores = rng.uniform(0, 1, n_rows)
+    scores[::50] = 0.5  # planted tie block
+    ids = rng.permutation(n_rows)
+    rows = [(int(i), float(s)) for i, s in zip(ids, scores)]
+    rows += [(10_000 + j, None) for j in range(5)]  # null scores
+    df = spark.createDataFrame(rows, "id: long, score: double")
+    for n_flag in (1, 120, 499):
+        fast = {
+            r["id"]
+            for r in bottom_n_flags(df, n_flag, "score", "id")
+            .where(F.col("is_label_issue"))
+            .collect()
+        }
+        band = {
+            r["id"]
+            for r in bottom_n_flags(df, n_flag, "score", "id", task_cap=40)
+            .where(F.col("is_label_issue"))
+            .collect()
+        }
+        assert fast == band, n_flag
+        assert len(fast) == n_flag
+        assert all(i < 10_000 for i in fast), "null scores must never flag"
+
+
 def test_bottom_n_flags_heavy_ties_capped(spark):
     """bottom_n_flags with the cutoff inside a 40% tie block and a tiny
     task_cap: flags must still be exactly the n smallest (score, id)
